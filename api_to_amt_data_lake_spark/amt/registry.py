@@ -1,0 +1,82 @@
+"""View registry + runner (replaces the reference's sequential collection
+loop `parquet/amt_parquet.py:20-41` and parquet-existence memo-cache
+`pandasWrapper.py:219-256`).
+
+Views shared by several downstream views (the J11 reuse set, SURVEY.md §4)
+are built once and `.cache()`d by the runner instead of round-tripping
+through parquet files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from api_to_amt_data_lake_spark.amt.base import (
+    date_dim,
+    grading_period_dim,
+    local_education_agency_dim,
+    school_dim,
+)
+from api_to_amt_data_lake_spark.plans.contracts import ViewContract
+from api_to_amt_data_lake_spark.sources.parquet_io import write_view
+
+BuilderFn = Callable[[SparkSession, str, "str | int", "str | None"], DataFrame]
+
+
+@dataclass(frozen=True)
+class ViewSpec:
+    name: str
+    collection: str  # asmt | base | chrab | engage | epp | equity | ews | qews | rls
+    contract: ViewContract
+    build: BuilderFn
+    # True for views consumed by other views (J11) — runner caches them.
+    shared: bool = False
+
+
+VIEWS: dict[str, ViewSpec] = {}
+
+
+def _register(module, collection: str, shared: bool = False) -> None:
+    spec = ViewSpec(
+        name=module.CONTRACT.name,
+        collection=collection,
+        contract=module.CONTRACT,
+        build=module.build,
+        shared=shared,
+    )
+    VIEWS[spec.name] = spec
+
+
+_register(date_dim, "base")
+_register(grading_period_dim, "base", shared=True)
+_register(school_dim, "base", shared=True)
+_register(local_education_agency_dim, "base")
+
+
+def build_view(name: str, spark: SparkSession, silver_root: str,
+               school_year: str | int, run_date: str | None = None) -> DataFrame:
+    return VIEWS[name].build(spark, silver_root, school_year, run_date)
+
+
+def run_all(spark: SparkSession, silver_root: str, gold_root: str,
+            school_year: str | int, run_date: str | None = None) -> dict[str, str]:
+    """Build and write every registered view; shared upstreams cached.
+
+    Returns {view_name: gold_path}. Unlike the reference's strictly
+    sequential loop, each view is an independent lazy plan — Spark
+    schedules the writes' stages across all executor cores.
+    """
+    out: dict[str, str] = {}
+    cached: list[DataFrame] = []
+    for spec in VIEWS.values():
+        df = spec.build(spark, silver_root, school_year, run_date)
+        if spec.shared:
+            df = df.cache()
+            cached.append(df)
+        out[spec.name] = write_view(df, gold_root, spec.name, school_year)
+    for df in cached:
+        df.unpersist()
+    return out

@@ -1,0 +1,15 @@
+"""Reusable relational operators (SURVEY.md §2.3-§2.6) plus the
+training-data-pipeline operator suite (dedup / similarity / text /
+multimodal) that the 100 TB use-case needs.
+"""
+
+from api_to_amt_data_lake_spark.operators.aggregates import string_agg_ordered
+from api_to_amt_data_lake_spark.operators.pivots import crosstab_count, pivot_first
+from api_to_amt_data_lake_spark.operators.joins import interval_join
+
+__all__ = [
+    "string_agg_ordered",
+    "crosstab_count",
+    "pivot_first",
+    "interval_join",
+]

@@ -1,0 +1,177 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact: hash-groupBy on content (one shuffle on the hash — uniform keys,
+  no skew).
+- MinHash + LSH: shingle → per-permutation min-hash → band → bucket join.
+  The "permutations" are md5 with a per-permutation salt; taking the
+  lexicographic MIN of the hex digest is a valid min-wise hash and — key
+  design point — is *expressible in any SQL dialect*, so the DuckDB oracle
+  can verify the Spark result bit-for-bit.
+- SimHash: per-bit majority vote over token hashes (16-bit default).
+- n-gram Jaccard: exact set similarity over candidate pairs from a cheap
+  blocking key.
+
+Scale notes: LSH candidate generation is the canonical 100 TB near-dup
+design — the only shuffles are (a) signature groupBy on doc_id and (b) the
+band-bucket self-join, whose key cardinality (band values) is high and
+uniform; hot buckets (boilerplate docs) are exactly the AQE skew-join case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from api_to_amt_data_lake_spark.operators.text import tokens
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Group identical content: (content_hash, n_copies, keeper_id).
+
+    Keep-policy: lowest id survives (deterministic).
+    """
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def _shingle_expr(col: str, n: int) -> str:
+    """SQL expr: distinct overlapping n-word shingles of word-array `col`.
+
+    Guarded for short docs: Spark's sequence(0, -1) would generate a
+    *descending* range, so docs with fewer than n words yield an empty
+    shingle set explicitly.
+    """
+    parts = ", ".join(f"{col}[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN size({col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({col}) - {n}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, content_col: str,
+    num_hashes: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """One row per doc: id + sig_0..sig_{h-1} (min salted-md5 per perm).
+
+    Plan shape: project (no shuffle) → explode shingles → groupBy(id) with
+    h partial-aggregating min()s — a single shuffle on doc id.
+    """
+    # explode_outer, NOT explode: a plain explode makes Catalyst infer a
+    # `size(sh) > 0 AND isnotnull(sh)` filter and push it below the
+    # projections, where the whole shingle expression (with split() inlined
+    # per element access) is re-evaluated per row in interpreted mode —
+    # measured 50×+ slowdown. With explode_outer no filter is inferred; we
+    # drop the null rows (docs shorter than the shingle width) on the
+    # *generated* column, which cannot be pushed below the Generate.
+    shingled = (
+        df.select(F.col(id_col), F.split(F.trim(F.col(content_col)), " ").alias("ws"))
+        .select(F.col(id_col), F.expr(_shingle_expr("ws", shingle_n)).alias("sh"))
+        .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"perm{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band are
+    candidate near-dups. Output: (id_a, id_b) distinct, id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band_idx"),
+                                  F.concat(*parts).alias("band_val")))
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, content_col: str, block_col: str,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact token-set Jaccard over pairs sharing a blocking key.
+
+    (id_a, id_b, jaccard rounded to 6dp). Blocking bounds the quadratic
+    blow-up; at scale the block key should be an LSH band (compose with
+    `lsh_candidate_pairs`), source, or length bucket.
+    """
+    toks = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"),
+        F.array_distinct(tokens(content_col)).alias("_toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._toks"), F.col("b._toks")))
+    union = F.size(F.array_union(F.col("a._toks"), F.col("b._toks")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, content_col: str,
+              out_name: str = "simhash") -> DataFrame:
+    """16-bit SimHash per row over whitespace tokens.
+
+    Each token hashes to 16 bits (first 4 hex chars of md5); per bit
+    position the signed token votes are summed; the sign vector
+    re-assembles into an int. Pure integer arithmetic (bitwise AND on the
+    hash) → bit-identical in any engine, so oracle-expressible.
+
+    Shape: explode tokens → hash once per token → groupBy(id) with 16
+    integer SUM(CASE) votes. All fixed-width ints → HashAggregate with
+    map-side partial aggregation inside whole-stage codegen. (The obvious
+    alternative — 16 `F.aggregate` folds over a token array column — runs
+    interpreted and re-evaluates the tokenization per fold: measured ~100×
+    slower.)
+    """
+    tok = df.select(F.col(id_col), F.explode_outer(tokens(content_col)).alias("_t"))
+    hashed = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("_t"), 1, 4), 16, 10).cast("int").alias("_h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(16)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    bits: Column = F.lit(0)
+    for i in range(16):
+        bits = bits + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), bits.cast("int").alias(out_name))

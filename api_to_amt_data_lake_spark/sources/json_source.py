@@ -1,0 +1,50 @@
+"""Silver JSON collection source (SURVEY.md §2.1 S5).
+
+Reference behavior (`parquet/Common/functions.py:10-23`): read the first
+.json file in `{silver}/{school_year}/{endpoint}/` and parse the whole
+document. Spark-first version: `spark.read.json` over the directory —
+distributed parse, schema inference (or caller-provided schema for
+stability), nested objects as StructType, arrays as ArrayType.
+
+The reference's "first file only" quirk is reproduced *optionally*
+(`first_file_only=True`) for parity testing; the engine default reads the
+full directory, which is the behavior a 100 TB lake actually needs
+(multiline JSON arrays split per-file across executors).
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_collection(
+    spark: SparkSession,
+    silver_root: str,
+    school_year: str | int,
+    endpoint: str,
+    schema: T.StructType | None = None,
+    first_file_only: bool = False,
+) -> DataFrame | None:
+    """Read one endpoint's landed JSON documents.
+
+    Returns None when the endpoint directory has no .json files — the
+    view-contract layer (`plans.contracts`) converts None into a typed
+    empty frame, mirroring `helper/data_frame_generation_result.py:8-23`.
+
+    Files are written by the ingestion module as JSON arrays, so
+    ``multiLine=True``. At scale, one file per API page keeps parse
+    parallelism; `spark.read.json` fans the file list across executors.
+    """
+    path = os.path.join(str(silver_root), str(school_year), endpoint)
+    files = sorted(glob(os.path.join(path, "*.json")))
+    if not files:
+        return None
+    targets = files[:1] if first_file_only else files
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(targets)

@@ -1,0 +1,47 @@
+"""Parquet gold sink / testdata source (SURVEY.md §2.1 S7/S8).
+
+The reference writes one fastparquet file per view
+(`pandasWrapper.py:128-135`) under a per-school-year directory. Here gold
+is standard Spark parquet, partitioned by `school_year` when provided —
+partition pruning then makes per-year reads free (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated testdata table (TESTDATA.md).
+
+    The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    Spark's reader rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos
+    as long (`spark.sql.legacy.parquet.nanosAsLong` — affects only NANOS
+    columns) and rebuild a proper timestamp at microsecond precision.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def write_view(df: DataFrame, gold_root: str, view_name: str,
+               school_year: str | int | None = None,
+               partition_by: str | None = None) -> str:
+    """Write a gold view. Overwrite mode replaces the reference's
+    delete-then-write (`helper/helper.py:78-100` + `pandasWrapper.py:128-135`).
+    """
+    path = os.path.join(gold_root, str(school_year), view_name) if school_year \
+        else os.path.join(gold_root, view_name)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+    return path

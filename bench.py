@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed over a full execution (plan + run + collect count via
+a cheap action). A warm-up pass of the first query absorbs one-time JVM /
+codegen startup so numbers reflect steady-state engine cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from api_to_amt_data_lake_spark.plans import conformance  # noqa: E402
+from api_to_amt_data_lake_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q07_interval_containment",
+    "q09_max_per_group_join_back",
+    "q10_crosstab_orders",
+    "q16_datekey_range",
+    "q22_window_latest_order",
+    "q25_tumbling_window",
+    "q26_token_stats",
+    "q30_dedup_exact",
+    "q31_jaccard_pairs",
+    "q32_minhash_lsh",
+    "q33_simhash",
+    "q34_cosine_topk",
+    "q36_binary_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # Warm-up: JVM JIT + codegen + parquet footer caches (not measured).
+    conformance.QUERIES[HEADLINE[0]](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = conformance.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

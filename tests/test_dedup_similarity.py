@@ -1,0 +1,126 @@
+"""Tests for the training-data operator suite (dedup / similarity / text /
+multimodal) on small inline data."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from api_to_amt_data_lake_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+)
+from api_to_amt_data_lake_spark.operators.multimodal import (
+    binary_metadata,
+    fake_feature_extract,
+    with_binary_content,
+)
+from api_to_amt_data_lake_spark.operators.similarity import cosine_topk, ivf_topk
+from api_to_amt_data_lake_spark.operators.text import (
+    content_fingerprint,
+    predicted_lang,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "a"),
+    (2, "the quick brown fox jumps over the lazy dog", "a"),   # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog", "a"),  # near dup
+    (4, "completely different text about spark engines", "a"),
+    (5, "tiny", "b"),                                           # < shingle width
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "src"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup_groups(_docs(spark), "doc_id", "text").collect()
+    dups = [r for r in out if r["n_copies"] > 1]
+    assert len(dups) == 1 and dups[0]["keeper_id"] == 1 and dups[0]["n_copies"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sig = minhash_signatures(_docs(spark), "doc_id", "text")
+    assert sig.filter(F.col("doc_id") == 5).count() == 0  # too short → no shingles
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup shares most shingles
+    assert not any(4 in p for p in pairs)      # unrelated doc never pairs
+
+
+def test_jaccard_pairs_blocked(spark):
+    out = jaccard_pairs(_docs(spark), "doc_id", "text", "src", threshold=0.5)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert rows[(1, 2)] == 1.0
+    assert 0.5 < rows[(1, 3)] < 1.0
+    assert (1, 4) not in rows
+
+
+def test_simhash_similarity_structure(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash16(
+        _docs(spark), "doc_id", "text").collect()}
+    assert out[1] == out[2]  # identical text → identical simhash
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+    assert all(0 <= v < 2 ** 16 for v in out.values())
+
+
+def test_text_ops(spark):
+    d = _docs(spark)
+    toks = {r["doc_id"]: r["n"] for r in d.select(
+        "doc_id", token_count("text").alias("n")).collect()}
+    assert toks[1] == 9 and toks[5] == 1
+    fps = {r["doc_id"]: r["fp"] for r in d.select(
+        "doc_id", content_fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] and fps[1] != fps[4]
+    langs = d.select(predicted_lang("text").alias("lg")).collect()
+    assert all(r["lg"] in ("en", "es", "de") for r in langs)
+
+
+def _embs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),   # close to 2
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk(spark):
+    e = _embs(spark)
+    q = e.filter(F.col("vec_id") == 0)
+    out = cosine_topk(q, e, "vec_id", "embedding", k=2).collect()
+    assert [r["match_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
+    top = max(out, key=lambda r: r["cosine_sim"])
+    assert math.isclose(top["cosine_sim"], 0.9 / math.sqrt(0.82), rel_tol=1e-5)
+
+
+def test_ivf_topk_bucketed(spark):
+    e = _embs(spark)
+    q = e.filter(F.col("vec_id") == 1)
+    cent = e.filter(F.col("vec_id").isin(0, 2, 4))
+    out = ivf_topk(q, e, cent, "vec_id", "embedding", k=3).collect()
+    # Bucket of query 1 is centroid 0; only members of that bucket appear.
+    assert {r["match_id"] for r in out} == {0}
+
+
+def test_binary_metadata_and_fake_features(spark):
+    d = _docs(spark)
+    blobs = with_binary_content(d, "text", "doc_id")
+    meta = {r["id"]: r for r in binary_metadata(blobs).collect()}
+    assert meta[1]["byte_len"] == len(DOCS[0][1].encode())
+    assert len(meta[1]["sha256_hex"]) == 64
+    assert meta[1]["sha256_hex"] == meta[2]["sha256_hex"]
+    feats = {r["id"]: r["feature"] for r in fake_feature_extract(blobs).collect()}
+    assert len(feats[1]) == 8 and feats[1] == feats[2] != feats[4]
+    assert all(0.0 <= x <= 1.0 for x in feats[1])

@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` on DuckDB at
+the given scale factor, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted, values
+stringified with float rounding).
+
+Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "<null>"
+        if pd.isna(v) if not isinstance(v, (list, tuple)) else False:
+            return "<null>"
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        return str(v)
+
+    out = df.map(norm)
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from api_to_amt_data_lake_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"OK?   {name}: rows={len(sdf)} (no oracle, rows-only) "
+                  f"[{spark_s:.1f}s]")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(sdf)} duckdb={len(odf)}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={sorted(sdf.columns)} "
+                  f"duckdb={sorted(odf.columns)}")
+            continue
+        cs, co = canon(sdf), canon(odf)
+        if not cs.equals(co):
+            failures.append(name)
+            diff_mask = (cs != co).any(axis=1)
+            print(f"FAIL  {name}: value mismatch in {int(diff_mask.sum())} rows")
+            merged = pd.concat(
+                [cs[diff_mask].head(3).add_suffix("_spark"),
+                 co[diff_mask].head(3).add_suffix("_duck")], axis=1)
+            print(merged.to_string())
+            continue
+        print(f"PASS  {name}: rows={len(sdf)} [{spark_s:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
