@@ -1,8 +1,10 @@
 """base collection views (reference `parquet/amt/base/`)."""
 
 from api_to_amt_data_lake_spark.amt.base import (  # noqa: F401
+    class_period_dim,
     date_dim,
     grading_period_dim,
     local_education_agency_dim,
     school_dim,
+    section_dim,
 )

@@ -15,11 +15,15 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from api_to_amt_data_lake_spark.amt.base import (
+    class_period_dim,
     date_dim,
     grading_period_dim,
     local_education_agency_dim,
+    most_recent_grading_period,
     school_dim,
+    section_dim,
 )
+from api_to_amt_data_lake_spark.amt.equity import feeder_school_dim
 from api_to_amt_data_lake_spark.plans.contracts import ViewContract
 from api_to_amt_data_lake_spark.sources.parquet_io import write_view
 
@@ -54,6 +58,10 @@ _register(date_dim, "base")
 _register(grading_period_dim, "base", shared=True)
 _register(school_dim, "base", shared=True)
 _register(local_education_agency_dim, "base")
+_register(class_period_dim, "base")
+_register(section_dim, "base")
+_register(most_recent_grading_period, "base")
+_register(feeder_school_dim, "equity")
 
 
 def build_view(name: str, spark: SparkSession, silver_root: str,

@@ -1,0 +1,153 @@
+"""Driver-side REST ingestion (SURVEY.md §2.1 S1-S4, §3 EP1).
+
+Reference behavior re-expressed:
+- S1 paginated scan: limit/offset loop until an empty page
+  (`api/api.py:88-116`).
+- S2 deletes scan: same endpoint + `/deletes` (`api/api.py:134-136`).
+- S3 OAuth client-credentials token (`helper/token.py:13-31`).
+- S4 change-version watermark (`api/changeVersion.py:57-94`) — min/max
+  change version persisted between runs for incremental pulls.
+
+Design differences (deliberate, scale-motivated):
+- Pages land as one JSON file per page (not one giant file): Spark then
+  parallelizes the parse across executors, and a failed page retries
+  without re-pulling the collection.
+- Endpoints fetch concurrently via a thread pool that actually overlaps
+  I/O (the reference's `apply_async(...).get()` serializes —
+  `api/api.py:130-131`).
+- `requests` is imported lazily so the engine runs in environments
+  without it (tests use the local filesystem path instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+
+@dataclass
+class OdsConfig:
+    base_url: str
+    token_url: str
+    client_id: str
+    client_secret: str
+    page_limit: int = 500
+    max_workers: int = 8
+    extra_params: dict[str, str] = field(default_factory=dict)
+
+
+def fetch_token(cfg: OdsConfig, session=None) -> str:
+    """S3: OAuth2 client-credentials grant → bearer token."""
+    import requests  # deferred: optional dependency
+
+    sess = session or requests
+    resp = sess.post(cfg.token_url, data={"grant_type": "client_credentials"},
+                     auth=(cfg.client_id, cfg.client_secret), timeout=60)
+    resp.raise_for_status()
+    return resp.json()["access_token"]
+
+
+def fetch_collection_pages(
+    cfg: OdsConfig, token: str, endpoint: str,
+    min_change_version: int | None = None,
+    max_change_version: int | None = None,
+    deletes: bool = False,
+    session=None,
+):
+    """S1/S2: generator of page payloads (lists of documents)."""
+    import requests  # deferred
+
+    sess = session or requests
+    url = f"{cfg.base_url.rstrip('/')}/{endpoint}"
+    if deletes:
+        url += "/deletes"
+    offset = 0
+    while True:
+        params: dict[str, object] = {
+            "limit": cfg.page_limit, "offset": offset, **cfg.extra_params}
+        if min_change_version is not None:
+            params["minChangeVersion"] = min_change_version
+        if max_change_version is not None:
+            params["maxChangeVersion"] = max_change_version
+        resp = sess.get(url, params=params,
+                        headers={"Authorization": f"Bearer {token}"}, timeout=300)
+        resp.raise_for_status()
+        page = resp.json()
+        if not page:
+            return
+        yield page
+        offset += cfg.page_limit
+
+
+def land_collection(
+    cfg: OdsConfig, token: str, endpoint: str, silver_root: str,
+    school_year: str | int, deletes: bool = False, session=None, **cv,
+) -> int:
+    """Land one endpoint: one JSON file per page under
+    `{silver_root}/{school_year}/{endpoint}/`. Returns document count."""
+    name = f"deletes_{endpoint}" if deletes else endpoint
+    out_dir = os.path.join(str(silver_root), str(school_year), name)
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for i, page in enumerate(
+        fetch_collection_pages(cfg, token, endpoint, deletes=deletes,
+                               session=session, **cv)
+    ):
+        with open(os.path.join(out_dir, f"{name}_page{i:05d}.json"), "w") as f:
+            json.dump(page, f)
+        total += len(page)
+    return total
+
+
+def land_all(
+    cfg: OdsConfig, endpoints: list[str], silver_root: str,
+    school_year: str | int, with_deletes: bool = True, session=None,
+) -> dict[str, int]:
+    """EP1: fetch every endpoint (+ deletes) concurrently."""
+    token = fetch_token(cfg, session=session)
+    results: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=cfg.max_workers) as pool:
+        futures = {
+            pool.submit(land_collection, cfg, token, ep, silver_root,
+                        school_year, session=session): ep
+            for ep in endpoints
+        }
+        if with_deletes:
+            futures.update({
+                pool.submit(land_collection, cfg, token, ep, silver_root,
+                            school_year, deletes=True, session=session):
+                f"deletes_{ep}"
+                for ep in endpoints
+            })
+        for fut, name in futures.items():
+            results[name] = fut.result()
+    return results
+
+
+# --- S4: change-version watermark -----------------------------------------
+
+def read_watermark(path: str) -> int | None:
+    try:
+        with open(path) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def write_watermark(path: str, version: int) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(str(version))
+
+
+def newest_change_version(cfg: OdsConfig, token: str, session=None) -> int:
+    """The ODS 'availableChangeVersions' endpoint (newestChangeVersion)."""
+    import requests  # deferred
+
+    sess = session or requests
+    url = f"{cfg.base_url.rstrip('/')}/changeQueries/v1/availableChangeVersions"
+    resp = sess.get(url, headers={"Authorization": f"Bearer {token}"}, timeout=60)
+    resp.raise_for_status()
+    return int(resp.json()["newestChangeVersion"])

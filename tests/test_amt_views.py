@@ -8,11 +8,15 @@ import json
 import pytest
 
 from api_to_amt_data_lake_spark.amt.base import (
+    class_period_dim,
     date_dim,
     grading_period_dim,
     local_education_agency_dim,
+    most_recent_grading_period,
     school_dim,
+    section_dim,
 )
+from api_to_amt_data_lake_spark.amt.equity import feeder_school_dim
 
 SY = 2023
 
@@ -97,6 +101,65 @@ def silver(tmp_path_factory):
         {"id": "sea-1", "stateEducationAgencyId": 1,
          "nameOfInstitution": "Texas Education Agency"},
     ])
+    dump("sections", [
+        {"id": "sec1", "sectionIdentifier": "S-01", "sectionName": "Alg I-1",
+         "educationalEnvironmentDescriptor":
+             "uri://ed-fi.org/EducationalEnvironmentDescriptor#Classroom",
+         "courseOfferingReference": {
+             "localCourseCode": "ALG1", "schoolId": 100, "schoolYear": 2023,
+             "sessionName": "Fall", "link": {"href": "/ed-fi/courseOfferings/co1"}},
+         "classPeriods": [
+             {"classPeriodReference": {"classPeriodName": "P1", "schoolId": 100}},
+             {"classPeriodReference": {"classPeriodName": "P2", "schoolId": 100}}]},
+        {"id": "sec2", "sectionIdentifier": "S-02", "sectionName": "Alg I-2",
+         "courseOfferingReference": {
+             "localCourseCode": "ALG1", "schoolId": 100, "schoolYear": 2023,
+             "sessionName": "Fall", "link": {"href": "/ed-fi/courseOfferings/co1"}},
+         "classPeriods": []},
+    ])
+    dump("courseOfferings", [
+        {"id": "co1", "localCourseCode": "ALG1",
+         "schoolReference": {"schoolId": 100,
+                             "link": {"href": "/ed-fi/schools/s1"}},
+         "sessionReference": {"schoolYear": 2023, "sessionName": "Fall",
+                              "link": {"href": "/ed-fi/sessions/ses1"}},
+         "courseReference": {"courseCode": "ALG-1",
+                             "link": {"href": "/ed-fi/courses/c1"}}},
+    ])
+    dump("courses", [
+        {"id": "c1", "courseCode": "ALG-1", "courseTitle": "Algebra I",
+         "academicSubjectDescriptor":
+             "uri://ed-fi.org/AcademicSubjectDescriptor#Mathematics",
+         "educationOrganizationReference": {"educationOrganizationId": 5}},
+    ])
+    dump("sessions", [
+        {"id": "ses1", "sessionName": "Fall", "beginDate": "2023-08-15",
+         "endDate": "2023-12-20",
+         "termDescriptor": "uri://ed-fi.org/TermDescriptor#Fall Semester"},
+    ])
+    dump("academicSubjectDescriptors", [
+        {"academicSubjectDescriptorId": 3, "codeValue": "Mathematics",
+         "description": "Math",
+         "namespace": "uri://ed-fi.org/AcademicSubjectDescriptor"},
+    ])
+    dump("termDescriptors", [
+        {"termDescriptorId": 4, "codeValue": "Fall Semester",
+         "description": "Fall",
+         "namespace": "uri://ed-fi.org/TermDescriptor"},
+    ])
+    dump("educationalEnvironmentDescriptors", [
+        {"educationalEnvironmentDescriptorId": 5, "codeValue": "Classroom",
+         "description": "In person",
+         "namespace": "uri://ed-fi.org/EducationalEnvironmentDescriptor"},
+    ])
+    dump("feederSchoolAssociations", [
+        {"feederSchoolReference": {"schoolId": 100},
+         "schoolReference": {"schoolId": 200},
+         "beginDate": "2015-01-01", "endDate": "2199-12-31"},
+        {"feederSchoolReference": {"schoolId": 100},
+         "schoolReference": {"schoolId": 300},
+         "beginDate": "2015-01-01", "endDate": "2020-01-01"},  # expired
+    ])
     return str(root)
 
 
@@ -142,6 +205,48 @@ def test_school_dim_golden(spark, silver):
     assert r["LocalEducationAgencyKey"] == "5"
     assert r["EducationServiceCenterName"] == "Region 9"
     assert r["StateEducationAgencyName"] == "Texas Education Agency"
+
+
+def test_class_period_dim_golden(spark, silver):
+    rows = class_period_dim.build(spark, silver, SY).collect()
+    by_key = {r["ClassPeriodKey"]: r for r in rows}
+    assert len(rows) == 3  # 2 periods for sec1 + 1 null-period row for sec2
+    r = by_key["P1-ALG1-100-2023-S-01-Fall"]
+    assert r["SectionKey"] == "100-ALG1-2023-S-01-Fall"
+    assert r["SchoolKey"] == "100" and r["SchoolYear"] == "2023"
+    # Section without classPeriods: key null-propagates (pandas + parity).
+    assert None in by_key and by_key[None]["SectionIdentifier"] == "S-02"
+
+
+def test_section_dim_golden(spark, silver):
+    rows = section_dim.build(spark, silver, SY).collect()
+    assert len(rows) == 2
+    r = {x["SectionKey"]: x for x in rows}["100-ALG1-2023-S-01-Fall"]
+    assert r["Description"] == "Math-(ALG1)-Algebra I-Fall"
+    assert r["SectionName"] == "ALG1-Fall"
+    assert r["SessionKey"] == "100-2023-Fall"
+    assert r["CourseTitle"] == "Algebra I"
+    assert r["EducationalEnvironmentDescriptor"] == "In person"
+    assert r["LocalEducationAgencyKey"] == "5"
+    # sec2 has no educationalEnvironmentDescriptor → '' via fillna parity.
+    r2 = {x["SectionKey"]: x for x in rows}["100-ALG1-2023-S-02-Fall"]
+    assert r2["EducationalEnvironmentDescriptor"] == ""
+
+
+def test_most_recent_grading_period_golden(spark, silver):
+    rows = most_recent_grading_period.build(spark, silver, SY).collect()
+    assert [(r["SchoolKey"], r["GradingPeriodBeginDateKey"]) for r in rows] == \
+        [("100", "20230815")]
+
+
+def test_feeder_school_dim_golden(spark, silver):
+    rows = feeder_school_dim.build(spark, silver, SY,
+                                   run_date="2023-09-01").collect()
+    assert len(rows) == 1  # expired association filtered by run_date
+    r = rows[0]
+    assert r["feederSchoolUniqueKey"] == "200-100"
+    assert r["schoolKey"] == "200" and r["feederSchoolKey"] == "100"
+    assert r["feederSchoolName"] == "Alpha High"
 
 
 def test_local_education_agency_dim_golden(spark, silver):

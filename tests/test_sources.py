@@ -1,0 +1,99 @@
+"""Tests for sources: REST ingestion (fake session), JSON source quirks,
+watermark, streaming events."""
+
+from __future__ import annotations
+
+import json
+
+from api_to_amt_data_lake_spark.sources.json_source import read_collection
+from api_to_amt_data_lake_spark.sources.rest import (
+    OdsConfig,
+    fetch_collection_pages,
+    land_collection,
+    read_watermark,
+    write_watermark,
+)
+
+
+class FakeResponse:
+    def __init__(self, payload):
+        self.payload = payload
+
+    def raise_for_status(self):
+        pass
+
+    def json(self):
+        return self.payload
+
+
+class FakeSession:
+    """Serves 2 full pages then an empty page; records every request."""
+
+    def __init__(self, docs):
+        self.docs = docs
+        self.calls = []
+
+    def get(self, url, params=None, headers=None, timeout=None):
+        self.calls.append((url, dict(params or {})))
+        off, lim = params["offset"], params["limit"]
+        return FakeResponse(self.docs[off:off + lim])
+
+    def post(self, url, data=None, auth=None, timeout=None):
+        return FakeResponse({"access_token": "tok"})
+
+
+CFG = OdsConfig(base_url="https://ods.example/data/v3/ed-fi",
+                token_url="https://ods.example/oauth/token",
+                client_id="k", client_secret="s", page_limit=2)
+
+
+def test_pagination_until_empty_page():
+    docs = [{"id": i} for i in range(5)]
+    sess = FakeSession(docs)
+    pages = list(fetch_collection_pages(CFG, "tok", "students", session=sess))
+    assert [len(p) for p in pages] == [2, 2, 1]
+    # offset advanced by page_limit each request; stops after empty page
+    offsets = [c[1]["offset"] for c in sess.calls]
+    assert offsets == [0, 2, 4, 6]
+
+
+def test_deletes_url_suffix():
+    sess = FakeSession([])
+    list(fetch_collection_pages(CFG, "tok", "students", deletes=True,
+                                session=sess))
+    assert sess.calls[0][0].endswith("/students/deletes")
+
+
+def test_change_version_params_passed():
+    sess = FakeSession([])
+    list(fetch_collection_pages(CFG, "tok", "students",
+                                min_change_version=5, max_change_version=9,
+                                session=sess))
+    p = sess.calls[0][1]
+    assert p["minChangeVersion"] == 5 and p["maxChangeVersion"] == 9
+
+
+def test_land_collection_one_file_per_page(tmp_path, spark):
+    docs = [{"id": str(i), "v": i} for i in range(5)]
+    n = land_collection(CFG, "tok", "students", str(tmp_path), 2023,
+                        session=FakeSession(docs))
+    assert n == 5
+    files = sorted((tmp_path / "2023" / "students").glob("*.json"))
+    assert len(files) == 3
+    # Landed pages are readable by the engine's silver JSON source.
+    df = read_collection(spark, str(tmp_path), 2023, "students")
+    assert df.count() == 5
+    # first_file_only reproduces the reference's quirk (S5).
+    assert read_collection(spark, str(tmp_path), 2023, "students",
+                           first_file_only=True).count() == 2
+
+
+def test_watermark_roundtrip(tmp_path):
+    p = str(tmp_path / "wm" / "changeVersion.txt")
+    assert read_watermark(p) is None
+    write_watermark(p, 42)
+    assert read_watermark(p) == 42
+
+
+def test_read_collection_missing_returns_none(spark, tmp_path):
+    assert read_collection(spark, str(tmp_path), 2023, "nothing") is None
