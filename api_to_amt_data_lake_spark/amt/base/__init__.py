@@ -7,4 +7,6 @@ from api_to_amt_data_lake_spark.amt.base import (  # noqa: F401
     local_education_agency_dim,
     school_dim,
     section_dim,
+    staff_section_dim,
+    student_section_dim,
 )

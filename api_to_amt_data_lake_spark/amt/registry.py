@@ -22,6 +22,11 @@ from api_to_amt_data_lake_spark.amt.base import (
     most_recent_grading_period,
     school_dim,
     section_dim,
+    staff_section_dim,
+    student_section_dim,
+)
+from api_to_amt_data_lake_spark.amt.chrab import (
+    chronic_absenteeism_attendance_fact,
 )
 from api_to_amt_data_lake_spark.amt.equity import feeder_school_dim
 from api_to_amt_data_lake_spark.plans.contracts import ViewContract
@@ -62,6 +67,9 @@ _register(class_period_dim, "base")
 _register(section_dim, "base")
 _register(most_recent_grading_period, "base")
 _register(feeder_school_dim, "equity")
+_register(staff_section_dim, "base")
+_register(student_section_dim, "base", shared=True)
+_register(chronic_absenteeism_attendance_fact, "chrab", shared=True)
 
 
 def build_view(name: str, spark: SparkSession, silver_root: str,

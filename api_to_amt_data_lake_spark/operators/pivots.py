@@ -31,11 +31,14 @@ def crosstab_count(
         df.groupBy(*keys)
         .pivot(category_col, list(categories))
         .agg(F.count(F.lit(1)))
-        .na.fill(fill, subset=list(categories))
     )
-    if rename:
-        out = out.withColumnsRenamed(rename)
-    return out
+    # Backtick-escape category columns: values like 'AttendanceEvent.Present'
+    # would otherwise resolve as nested field paths.
+    sel = [F.col(f"`{k}`") for k in keys]
+    for c in categories:
+        target = (rename or {}).get(c, c)
+        sel.append(F.coalesce(F.col(f"`{c}`"), F.lit(fill)).alias(target))
+    return out.select(*sel)
 
 
 def pivot_first(
@@ -63,6 +66,8 @@ def pivot_first(
         .pivot(category_col, list(categories))
         .agg(F.min(value_col))
     )
-    if rename:
-        out = out.withColumnsRenamed(rename)
-    return out
+    sel = [F.col(f"`{k}`") for k in keys]
+    for c in categories:
+        target = (rename or {}).get(c, c)
+        sel.append(F.col(f"`{c}`").alias(target))
+    return out.select(*sel)

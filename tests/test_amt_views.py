@@ -41,7 +41,9 @@ def silver(tmp_path_factory):
          "calendarEvents": []},
         {"id": "cd3", "date": "2024-01-02",
          "calendarReference": {"schoolYear": 2023, "schoolId": 100},
-         "calendarEvents": []},
+         "calendarEvents": [
+             {"calendarEventDescriptor":
+              "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}]},
     ])
     dump("gradingPeriods", [
         {"gradingPeriodDescriptor":
@@ -152,6 +154,91 @@ def silver(tmp_path_factory):
          "description": "In person",
          "namespace": "uri://ed-fi.org/EducationalEnvironmentDescriptor"},
     ])
+    dump("staffs", [
+        {"id": "st1", "staffUniqueId": "T100", "firstName": "Ada",
+         "lastSurname": "Lovelace", "birthDate": "1980-01-01",
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Female",
+         "hispanicLatinoEthnicity": False, "highlyQualifiedTeacher": True,
+         "loginId": "ada",
+         "electronicMails": [
+             {"electronicMailAddress": "ada@example.edu",
+              "electronicMailTypeDescriptor":
+                  "uri://ed-fi.org/ElectronicMailTypeDescriptor#Work"}],
+         "races": [
+             {"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#White"},
+             {"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#Asian"}]},
+        {"id": "st2", "staffUniqueId": "T200", "firstName": "Alan",
+         "lastSurname": "Turing",
+         "races": [
+             {"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#White"}]},
+    ])
+    dump("staffSectionAssociations", [
+        {"staffReference": {"staffUniqueId": "T100",
+                            "link": {"href": "/ed-fi/staffs/st1"}},
+         "sectionReference": {"schoolId": 100, "localCourseCode": "ALG1",
+                              "schoolYear": 2023, "sectionIdentifier": "S-01",
+                              "sessionName": "Fall",
+                              "link": {"href": "/ed-fi/sections/sec1"}},
+         "beginDate": "2023-08-15", "endDate": "2199-12-31"},
+        {"staffReference": {"staffUniqueId": "T200",
+                            "link": {"href": "/ed-fi/staffs/st2"}},
+         "sectionReference": {"schoolId": 100, "localCourseCode": "ALG1",
+                              "schoolYear": 2023, "sectionIdentifier": "S-01",
+                              "sessionName": "Fall",
+                              "link": {"href": "/ed-fi/sections/sec1"}},
+         "beginDate": "2023-08-15", "endDate": "2023-08-20"},  # expired
+    ])
+    dump("studentSectionAssociations", [
+        {"id": "ssa1", "homeroomIndicator": True,
+         "studentReference": {"studentUniqueId": "STU1",
+                              "link": {"href": "/ed-fi/students/stu1"}},
+         "sectionReference": {"schoolId": 100, "localCourseCode": "ALG1",
+                              "schoolYear": 2023, "sectionIdentifier": "S-01",
+                              "sessionName": "Fall",
+                              "link": {"href": "/ed-fi/sections/sec1"}},
+         "beginDate": "2023-08-15", "endDate": "2023-12-20"},
+    ])
+    dump("studentSchoolAssociations", [
+        {"id": "ssch1", "entryDate": "2023-08-15",
+         "exitWithdrawDate": None,
+         "schoolReference": {"schoolId": 100,
+                             "link": {"href": "/ed-fi/schools/s1"}},
+         "studentReference": {"studentUniqueId": "STU1",
+                              "link": {"href": "/ed-fi/students/stu1"}},
+         "schoolYearTypeReference": {"schoolYear": 2023},
+         "calendarReference": {"calendarCode": "C1"}},
+        {"id": "ssch2", "entryDate": "2023-08-15",
+         "exitWithdrawDate": "2023-08-20",   # exits before the January day
+         "schoolReference": {"schoolId": 100,
+                             "link": {"href": "/ed-fi/schools/s1"}},
+         "studentReference": {"studentUniqueId": "STU2",
+                              "link": {"href": "/ed-fi/students/stu2"}},
+         "schoolYearTypeReference": {"schoolYear": 2023},
+         "calendarReference": {"calendarCode": "C1"}},
+    ])
+    dump("studentSchoolAttendanceEvents", [
+        {"id": "ae1", "eventDate": "2023-08-15",
+         "attendanceEventCategoryDescriptor":
+             "uri://ed-fi.org/AttendanceEventCategoryDescriptor#In Attendance",
+         "schoolReference": {"schoolId": 100},
+         "studentReference": {"studentUniqueId": "STU1"},
+         "sessionReference": {"schoolYear": 2023}},
+        {"id": "ae2", "eventDate": "2024-01-02",
+         "attendanceEventCategoryDescriptor":
+             "uri://ed-fi.org/AttendanceEventCategoryDescriptor#Excused Absence",
+         "schoolReference": {"schoolId": 100},
+         "studentReference": {"studentUniqueId": "STU1"},
+         "sessionReference": {"schoolYear": 2023}},
+    ])
+    dump("studentSectionAttendanceEvents", [
+        {"id": "se1", "eventDate": "2024-01-02",
+         "attendanceEventCategoryDescriptor":
+             "uri://ed-fi.org/AttendanceEventCategoryDescriptor#Unexcused Absence",
+         "studentReference": {"studentUniqueId": "STU1"},
+         "sectionReference": {"schoolId": 100, "localCourseCode": "ALG1",
+                              "schoolYear": 2023, "sectionIdentifier": "S-01",
+                              "sessionName": "Fall"}},
+    ])
     dump("feederSchoolAssociations", [
         {"feederSchoolReference": {"schoolId": 100},
          "schoolReference": {"schoolId": 200},
@@ -247,6 +334,62 @@ def test_feeder_school_dim_golden(spark, silver):
     assert r["feederSchoolUniqueKey"] == "200-100"
     assert r["schoolKey"] == "200" and r["feederSchoolKey"] == "100"
     assert r["feederSchoolName"] == "Alpha High"
+
+
+def test_staff_section_dim_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.base import staff_section_dim
+    rows = staff_section_dim.build(spark, silver, SY,
+                                   run_date="2023-09-01").collect()
+    assert len(rows) == 1  # T200's assignment expired before run_date
+    r = rows[0]
+    assert r["StaffSectionKey"] == "T100-100-ALG1-2023-S-01-Fall"
+    assert r["SectionKey"] == "100-ALG1-2023-S-01-Fall"
+    assert r["UserKey"] == "T100" and r["SchoolKey"] == "100"
+    assert r["StaffFirstName"] == "Ada" and r["StaffLastName"] == "Lovelace"
+    assert r["ElectronicMailAddress"] == "ada@example.edu"
+    assert r["Race"] == "Multiracial"  # two races collapse
+    assert r["Sex"] == "Female"
+    assert r["HispanicLatinoEthnicity"] == 0
+    assert r["HighlyQualifiedTeacher"] == 1
+    assert r["LoginId"] == "ada"
+
+
+def test_student_section_dim_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.base import student_section_dim
+    rows = student_section_dim.build(spark, silver, SY).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["StudentSectionKey"] == "STU1-100-ALG1-2023-S-01-Fall-20230815"
+    assert r["StudentSchoolKey"] == "STU1-100"
+    assert r["SectionKey"] == "100-ALG1-2023-S-01-Fall"
+    assert r["Subject"] == "Math" and r["CourseTitle"] == "Algebra I"
+    assert r["TeacherName"] == "Ada Lovelace, Alan Turing"
+    assert r["StudentSectionStartDateKey"] == "20230815"
+    assert r["StudentSectionEndDateKey"] == "20231220"
+
+
+def test_chronic_absenteeism_fact_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.chrab import (
+        chronic_absenteeism_attendance_fact as chrab,
+    )
+    rows = chrab.build(spark, silver, SY, run_date="2024-06-01").collect()
+    by_key = {(r["StudentKey"], r["DateKey"]): r for r in rows}
+    # STU1 enrolled all year → both instructional days; STU2 exited 0820 →
+    # only the August day.
+    assert set(by_key) == {("STU1", "20230815"), ("STU1", "20240102"),
+                           ("STU2", "20230815")}
+    aug = by_key[("STU1", "20230815")]
+    assert aug["ReportedAsPresentAtSchool"] == 1
+    assert aug["ReportedAsAbsentFromSchool"] == 0
+    assert aug["ReportedAsAbsentFromAnySection"] == 0
+    jan = by_key[("STU1", "20240102")]
+    assert jan["ReportedAsAbsentFromSchool"] == 1   # excused absence
+    assert jan["ReportedAsPresentAtSchool"] == 0
+    assert jan["ReportedAsAbsentFromHomeRoom"] == 1  # section unexcused
+    assert jan["ReportedAsAbsentFromAnySection"] == 1
+    assert jan["ReportedAsIsPresentInAllSections"] == 0  # reference bug parity
+    assert by_key[("STU2", "20230815")]["ReportedAsPresentAtSchool"] == 0
+    assert aug["StudentSchoolKey"] == "STU1-100"
 
 
 def test_local_education_agency_dim_golden(spark, silver):
