@@ -29,6 +29,7 @@ from api_to_amt_data_lake_spark.amt.chrab import (
     chronic_absenteeism_attendance_fact,
 )
 from api_to_amt_data_lake_spark.amt.equity import feeder_school_dim
+from api_to_amt_data_lake_spark.amt.ews import student_early_warning_fact
 from api_to_amt_data_lake_spark.plans.contracts import ViewContract
 from api_to_amt_data_lake_spark.sources.parquet_io import write_view
 
@@ -70,6 +71,7 @@ _register(feeder_school_dim, "equity")
 _register(staff_section_dim, "base")
 _register(student_section_dim, "base", shared=True)
 _register(chronic_absenteeism_attendance_fact, "chrab", shared=True)
+_register(student_early_warning_fact, "ews")
 
 
 def build_view(name: str, spark: SparkSession, silver_root: str,

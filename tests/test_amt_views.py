@@ -392,6 +392,24 @@ def test_chronic_absenteeism_fact_golden(spark, silver):
     assert aug["StudentSchoolKey"] == "STU1-100"
 
 
+def test_student_early_warning_fact_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.ews import student_early_warning_fact as ews
+    rows = ews.build(spark, silver, SY, run_date="2024-06-01").collect()
+    by_key = {(r["StudentKey"], r["DateKey"]): r for r in rows}
+    assert set(by_key) == {("STU1", "20230815"), ("STU1", "20240102"),
+                           ("STU2", "20230815")}
+    aug = by_key[("STU1", "20230815")]
+    assert aug["IsInstructionalDay"] == 1 and aug["IsEnrolled"] == 1
+    assert aug["IsPresentSchool"] == 1 and aug["IsAbsentFromSchoolExcused"] == 0
+    jan = by_key[("STU1", "20240102")]
+    assert jan["IsAbsentFromSchoolExcused"] == 1
+    assert jan["IsAbsentFromAnyClassUnexcused"] == 1
+    # the section is STU1's homeroom → homeroom flag mirrors it
+    assert jan["IsAbsentFromHomeroomUnexcused"] == 1
+    assert jan["IsPresentHomeroom"] == 0
+    assert by_key[("STU2", "20230815")]["IsPresentSchool"] == 0
+
+
 def test_local_education_agency_dim_golden(spark, silver):
     rows = local_education_agency_dim.build(spark, silver, SY).collect()
     assert len(rows) == 1
