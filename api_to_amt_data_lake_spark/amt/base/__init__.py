@@ -1,6 +1,7 @@
 """base collection views (reference `parquet/amt/base/`)."""
 
 from api_to_amt_data_lake_spark.amt.base import (  # noqa: F401
+    all_student_school_dim,
     class_period_dim,
     date_dim,
     grading_period_dim,
@@ -8,5 +9,6 @@ from api_to_amt_data_lake_spark.amt.base import (  # noqa: F401
     school_dim,
     section_dim,
     staff_section_dim,
+    student_school_dim,
     student_section_dim,
 )

@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from api_to_amt_data_lake_spark.amt.base import (
+    all_student_school_dim,
     class_period_dim,
     date_dim,
     grading_period_dim,
@@ -23,6 +24,7 @@ from api_to_amt_data_lake_spark.amt.base import (
     school_dim,
     section_dim,
     staff_section_dim,
+    student_school_dim,
     student_section_dim,
 )
 from api_to_amt_data_lake_spark.amt.chrab import (
@@ -72,6 +74,8 @@ _register(staff_section_dim, "base")
 _register(student_section_dim, "base", shared=True)
 _register(chronic_absenteeism_attendance_fact, "chrab", shared=True)
 _register(student_early_warning_fact, "ews")
+_register(all_student_school_dim, "base", shared=True)
+_register(student_school_dim, "base", shared=True)
 
 
 def build_view(name: str, spark: SparkSession, silver_root: str,

@@ -21,6 +21,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def col_or_null(df: DataFrame, path: str, cast: str = "string"):
+    """Resolve a (possibly nested) field, or a typed null when the document
+    never carries it — the Spark analogue of the reference's
+    ``jsonNormalize(errors='ignore')`` + ``addColumnIfNotExists`` scaffold
+    (`pandasWrapper.py:57-61,138-140`): views stay schema-stable when an
+    optional field is absent from every landed document.
+    """
+    from pyspark.sql import functions as F
+
+    root = path.split(".")[0]
+    if root in df.columns:
+        # The root may exist but a nested member may not (partial structs).
+        try:
+            df.select(path)
+            return F.col(path).cast(cast)
+        except Exception:
+            return F.lit(None).cast(cast)
+    return F.lit(None).cast(cast)
+
+
 def read_collection(
     spark: SparkSession,
     silver_root: str,

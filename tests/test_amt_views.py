@@ -154,6 +154,32 @@ def silver(tmp_path_factory):
          "description": "In person",
          "namespace": "uri://ed-fi.org/EducationalEnvironmentDescriptor"},
     ])
+    dump("students", [
+        {"id": "stu1", "studentUniqueId": "STU1", "firstName": "Maria",
+         "middleName": "J", "lastSurname": "Garcia", "birthDate": "2009-05-01"},
+        {"id": "stu2", "studentUniqueId": "STU2", "firstName": "Liu",
+         "middleName": None, "lastSurname": "Wei", "birthDate": "2009-07-04"},
+    ])
+    dump("studentEducationOrganizationAssociations", [
+        # school-level association for STU1 (edOrg id == schoolId 100)
+        {"id": "eo1",
+         "educationOrganizationReference": {"educationOrganizationId": 100},
+         "studentReference": {"studentUniqueId": "STU1"},
+         "hispanicLatinoEthnicity": True,
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Female",
+         "studentIndicators": [
+             {"indicatorName": "Internet Access In Residence",
+              "indicator": "Yes", "indicatorGroup": "Connectivity"}]},
+        # district-level association for STU1 (edOrg id == LEA id 5)
+        {"id": "eo2",
+         "educationOrganizationReference": {"educationOrganizationId": 5},
+         "studentReference": {"studentUniqueId": "STU1"},
+         "hispanicLatinoEthnicity": True,
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Female",
+         "studentIndicators": [
+             {"indicatorName": "Internet Performance In Residence",
+              "indicator": "Good", "indicatorGroup": "Connectivity"}]},
+    ])
     dump("staffs", [
         {"id": "st1", "staffUniqueId": "T100", "firstName": "Ada",
          "lastSurname": "Lovelace", "birthDate": "1980-01-01",
@@ -200,6 +226,8 @@ def silver(tmp_path_factory):
     ])
     dump("studentSchoolAssociations", [
         {"id": "ssch1", "entryDate": "2023-08-15",
+         "entryGradeLevelDescriptor":
+             "uri://ed-fi.org/GradeLevelDescriptor#Ninth grade",
          "exitWithdrawDate": None,
          "schoolReference": {"schoolId": 100,
                              "link": {"href": "/ed-fi/schools/s1"}},
@@ -408,6 +436,36 @@ def test_student_early_warning_fact_golden(spark, silver):
     assert jan["IsAbsentFromHomeroomUnexcused"] == 1
     assert jan["IsPresentHomeroom"] == 0
     assert by_key[("STU2", "20230815")]["IsPresentSchool"] == 0
+
+
+def test_all_student_school_dim_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.base import all_student_school_dim
+    rows = all_student_school_dim.build(spark, silver, SY,
+                                        run_date="2023-09-01").collect()
+    by = {r["StudentKey"]: r for r in rows}
+    assert set(by) == {"STU1", "STU2"}
+    r = by["STU1"]
+    assert r["AllStudentSchoolKey"] == "STU1-100-20230815"
+    assert r["StudentSchoolKey"] == "STU1-100"
+    assert r["StudentFirstName"] == "Maria" and r["GradeLevel"] == "Ninth grade"
+    assert r["IsHispanic"] == 1                       # school-level edOrg
+    assert r["Sex"] == "Female"
+    assert r["InternetAccessInResidence"] == "Yes"    # school-level indicator
+    assert r["InternetPerformance"] == "Good"         # district-level fallback
+    assert r["DigitalDevice"] == "n/a"                # absent everywhere
+    assert r["LimitedEnglishProficiency"] == "Not applicable"
+    assert r["IsEnrolled"] == 1 and r["SchoolYear"] == "2023"
+    r2 = by["STU2"]
+    assert r2["IsEnrolled"] == 0                      # exited 2023-08-20
+    assert r2["IsHispanic"] == 0 and r2["Sex"] == ""
+
+
+def test_student_school_dim_enrolled_only(spark, silver):
+    from api_to_amt_data_lake_spark.amt.base import student_school_dim
+    rows = student_school_dim.build(spark, silver, SY,
+                                    run_date="2023-09-01").collect()
+    assert [r["StudentKey"] for r in rows] == ["STU1"]
+    assert "IsEnrolled" not in student_school_dim.CONTRACT.columns
 
 
 def test_local_education_agency_dim_golden(spark, silver):
