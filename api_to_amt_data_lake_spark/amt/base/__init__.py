@@ -3,7 +3,9 @@
 from api_to_amt_data_lake_spark.amt.base import (  # noqa: F401
     all_student_school_dim,
     class_period_dim,
+    contact_person_dim,
     date_dim,
+    demographics_dim,
     grading_period_dim,
     local_education_agency_dim,
     school_dim,

@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from api_to_amt_data_lake_spark.amt.base import (
     all_student_school_dim,
     class_period_dim,
+    contact_person_dim,
     date_dim,
+    demographics_dim,
     grading_period_dim,
     local_education_agency_dim,
     most_recent_grading_period,
@@ -76,6 +78,8 @@ _register(chronic_absenteeism_attendance_fact, "chrab", shared=True)
 _register(student_early_warning_fact, "ews")
 _register(all_student_school_dim, "base", shared=True)
 _register(student_school_dim, "base", shared=True)
+_register(contact_person_dim, "base")
+_register(demographics_dim, "base")
 
 
 def build_view(name: str, spark: SparkSession, silver_root: str,

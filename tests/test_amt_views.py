@@ -267,6 +267,73 @@ def silver(tmp_path_factory):
                               "schoolYear": 2023, "sectionIdentifier": "S-01",
                               "sessionName": "Fall"}},
     ])
+    dump("parents", [
+        {"id": "p1", "parentUniqueId": "PAR1", "firstName": "Rosa",
+         "lastSurname": "Garcia",
+         "addresses": [
+             {"addressTypeDescriptor":
+                  "uri://ed-fi.org/AddressTypeDescriptor#Home",
+              "city": "Austin", "postalCode": "78701",
+              "stateAbbreviationDescriptor":
+                  "uri://ed-fi.org/StateAbbreviationDescriptor#TX",
+              "streetNumberName": "5 Oak Ln",
+              "apartmentRoomSuiteNumber": "2B",
+              "periods": [{"beginDate": "2020-01-01"}]},
+             {"addressTypeDescriptor":
+                  "uri://ed-fi.org/AddressTypeDescriptor#Work",
+              "city": "Austin", "postalCode": "78702",
+              "stateAbbreviationDescriptor":
+                  "uri://ed-fi.org/StateAbbreviationDescriptor#TX",
+              "streetNumberName": "9 Elm St",
+              "apartmentRoomSuiteNumber": None,
+              "periods": []}],
+         "telephones": [
+             {"telephoneNumber": "512-1111",
+              "telephoneNumberTypeDescriptor":
+                  "uri://ed-fi.org/TelephoneNumberTypeDescriptor#Mobile"}],
+         "electronicMails": [
+             {"electronicMailAddress": "rosa@home.example",
+              "electronicMailTypeDescriptor":
+                  "uri://ed-fi.org/ElectronicMailTypeDescriptor#Home/Personal",
+              "primaryEmailAddressIndicator": True},
+             {"electronicMailAddress": "rosa@work.example",
+              "electronicMailTypeDescriptor":
+                  "uri://ed-fi.org/ElectronicMailTypeDescriptor#Work",
+              "primaryEmailAddressIndicator": False}]},
+    ])
+    dump("studentParentAssociations", [
+        {"id": "spa1",
+         "parentReference": {"parentUniqueId": "PAR1"},
+         "studentReference": {"studentUniqueId": "STU1"},
+         "primaryContactStatus": True, "livesWith": True,
+         "emergencyContactStatus": False, "contactPriority": 1,
+         "contactRestrictions": None,
+         "relationDescriptor": "uri://ed-fi.org/RelationDescriptor#Mother"},
+    ])
+    dump("schoolYearTypes", [
+        {"schoolYear": 2023, "currentSchoolYear": True,
+         "schoolYearDescription": "2022-2023"},
+        {"schoolYear": 2024, "currentSchoolYear": False,
+         "schoolYearDescription": "2023-2024"},
+    ])
+    dump("cohortYearTypeDescriptors", [
+        {"cohortYearTypeDescriptorId": 11, "codeValue": "First grade",
+         "shortDescription": "First grade",
+         "namespace": "uri://ed-fi.org/CohortYearTypeDescriptor"},
+    ])
+    dump("raceDescriptors", [
+        {"raceDescriptorId": 21, "codeValue": "Asian",
+         "shortDescription": "Asian",
+         "namespace": "uri://ed-fi.org/RaceDescriptor"},
+        {"raceDescriptorId": 22, "codeValue": "White",
+         "shortDescription": "White",
+         "namespace": "uri://ed-fi.org/RaceDescriptor"},
+    ])
+    dump("languageDescriptors", [
+        {"languageDescriptorId": 31, "codeValue": "Spanish",
+         "shortDescription": "Spanish",
+         "namespace": "uri://ed-fi.org/LanguageDescriptor"},
+    ])
     dump("feederSchoolAssociations", [
         {"feederSchoolReference": {"schoolId": 100},
          "schoolReference": {"schoolId": 200},
@@ -466,6 +533,43 @@ def test_student_school_dim_enrolled_only(spark, silver):
                                     run_date="2023-09-01").collect()
     assert [r["StudentKey"] for r in rows] == ["STU1"]
     assert "IsEnrolled" not in student_school_dim.CONTRACT.columns
+
+
+def test_contact_person_dim_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.base import contact_person_dim
+    rows = contact_person_dim.build(spark, silver, SY,
+                                    run_date="2023-09-01").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["UniqueKey"] == "PAR1-STU1"
+    assert r["ContactPersonKey"] == "PAR1" and r["StudentKey"] == "STU1"
+    assert r["RelationshipToStudent"] == "Mother"
+    assert r["ContactHomeAddress"] == "5 Oak Ln, 2B, Austin TX 78701"
+    assert r["ContactWorkAddress"] == "9 Elm St, Austin TX 78702"
+    assert r["ContactPhysicalAddress"] == ""
+    assert r["MobilePhoneNumber"] == "512-1111" and r["HomePhoneNumber"] == ""
+    assert r["PersonalEmailAddress"] == "rosa@home.example"
+    assert r["WorkEmailAddress"] == "rosa@work.example"
+    assert r["PrimaryEmailAddress"] == "Personal"
+    assert r["IsPrimaryContact"] == 1 and r["StudentLivesWith"] == 1
+    assert r["IsEmergencyContact"] == 0 and r["ContactPriority"] == 1
+    assert r["PostalCode"] == "78701"
+
+
+def test_demographics_dim_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.base import demographics_dim
+    rows = demographics_dim.build(spark, silver, SY).collect()
+    keys = {r["DemographicKey"] for r in rows}
+    # cohort cross join: 1 cohort descriptor × 2 school years
+    assert "CohortYear:2023-First grade" in keys
+    assert "CohortYear:2024-First grade" in keys
+    assert "Race:Asian" in keys and "Race:White" in keys
+    assert "Language:Spanish" in keys
+    by = {r["DemographicKey"]: r for r in rows}
+    assert by["Race:Asian"]["DemographicParentKey"] == "Race"
+    assert by["Race:Asian"]["DemographicLabel"] == "Asian"
+    assert by["CohortYear:2023-First grade"]["DemographicLabel"] == \
+        "2023-First grade"
 
 
 def test_local_education_agency_dim_golden(spark, silver):
