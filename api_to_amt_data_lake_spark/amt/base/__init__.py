@@ -11,6 +11,7 @@ from api_to_amt_data_lake_spark.amt.base import (  # noqa: F401
     school_dim,
     section_dim,
     staff_section_dim,
+    student_program_dim,
     student_school_dim,
     student_section_dim,
 )

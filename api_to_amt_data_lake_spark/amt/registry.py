@@ -26,6 +26,7 @@ from api_to_amt_data_lake_spark.amt.base import (
     school_dim,
     section_dim,
     staff_section_dim,
+    student_program_dim,
     student_school_dim,
     student_section_dim,
 )
@@ -33,7 +34,11 @@ from api_to_amt_data_lake_spark.amt.chrab import (
     chronic_absenteeism_attendance_fact,
 )
 from api_to_amt_data_lake_spark.amt.equity import feeder_school_dim
-from api_to_amt_data_lake_spark.amt.ews import student_early_warning_fact
+from api_to_amt_data_lake_spark.amt.epp import descriptor_dims, epp_dim
+from api_to_amt_data_lake_spark.amt.ews import (
+    student_early_warning_fact,
+    student_section_grade_fact,
+)
 from api_to_amt_data_lake_spark.plans.contracts import ViewContract
 from api_to_amt_data_lake_spark.sources.parquet_io import write_view
 
@@ -79,6 +84,12 @@ _register(student_early_warning_fact, "ews")
 _register(all_student_school_dim, "base", shared=True)
 _register(student_school_dim, "base", shared=True)
 _register(contact_person_dim, "base")
+_register(student_program_dim, "base")
+_register(student_section_grade_fact, "ews")
+_register(epp_dim, "epp")
+_register(descriptor_dims.race_descriptor_dim, "epp")
+_register(descriptor_dims.sex_descriptor_dim, "epp")
+_register(descriptor_dims.term_descriptor_dim, "epp")
 _register(demographics_dim, "base")
 
 

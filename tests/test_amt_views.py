@@ -82,6 +82,16 @@ def silver(tmp_path_factory):
                  "uri://ed-fi.org/StateAbbreviationDescriptor#TX",
               "streetNumberName": "PO Box 9", "city": "Austin",
               "nameOfCounty": "Travis"}]},
+        {"id": "s9", "schoolId": 900, "nameOfInstitution": "Alpha College of Ed",
+         "schoolTypeDescriptor": "uri://ed-fi.org/SchoolTypeDescriptor#Regular",
+         "localEducationAgencyReference": {
+             "localEducationAgencyId": 5,
+             "link": {"href": "/ed-fi/localEducationAgencies/lea-5"}},
+         "educationOrganizationCategories": [
+             {"educationOrganizationCategoryDescriptor":
+                  "uri://ed-fi.org/EducationOrganizationCategoryDescriptor"
+                  "#Educator Preparation Provider"}],
+         "addresses": []},
     ])
     dump("localEducationAgencies", [
         {"id": "lea-5", "localEducationAgencyId": 5,
@@ -309,6 +319,71 @@ def silver(tmp_path_factory):
          "emergencyContactStatus": False, "contactPriority": 1,
          "contactRestrictions": None,
          "relationDescriptor": "uri://ed-fi.org/RelationDescriptor#Mother"},
+    ])
+    dump("grades", [
+        {"gradingPeriodReference": {
+            "gradingPeriodDescriptor":
+                "uri://ed-fi.org/GradingPeriodDescriptor#First Six Weeks",
+            "periodSequence": 1, "schoolId": 100, "schoolYear": 2023},
+         "studentSectionAssociationReference": {
+             "studentUniqueId": "STU1", "schoolId": 100,
+             "beginDate": "2023-08-15", "localCourseCode": "ALG1",
+             "schoolYear": 2023, "sectionIdentifier": "S-01",
+             "sessionName": "Fall"},
+         "letterGradeEarned": "B", "numericGradeEarned": 87.0,
+         "gradeTypeDescriptor":
+             "uri://ed-fi.org/GradeTypeDescriptor#Grading Period"},
+        {"gradingPeriodReference": {
+            "gradingPeriodDescriptor":
+                "uri://ed-fi.org/GradingPeriodDescriptor#First Six Weeks",
+            "periodSequence": 1, "schoolId": 100, "schoolYear": 2023},
+         "studentSectionAssociationReference": {
+             "studentUniqueId": "STU2", "schoolId": 100,
+             "beginDate": "2023-08-15", "localCourseCode": "ALG1",
+             "schoolYear": 2023, "sectionIdentifier": "S-01",
+             "sessionName": "Fall"},
+         "letterGradeEarned": "A", "numericGradeEarned": 0.0,  # 0 → fallback 95
+         "gradeTypeDescriptor":
+             "uri://ed-fi.org/GradeTypeDescriptor#Grading Period"},
+        {"gradingPeriodReference": {
+            "gradingPeriodDescriptor":
+                "uri://ed-fi.org/GradingPeriodDescriptor#First Six Weeks",
+            "periodSequence": 1, "schoolId": 100, "schoolYear": 2023},
+         "studentSectionAssociationReference": {
+             "studentUniqueId": "STU1", "schoolId": 100,
+             "beginDate": "2023-08-15", "localCourseCode": "ALG1",
+             "schoolYear": 2023, "sectionIdentifier": "S-01",
+             "sessionName": "Fall"},
+         "letterGradeEarned": "C", "numericGradeEarned": 75.0,
+         "gradeTypeDescriptor":
+             "uri://ed-fi.org/GradeTypeDescriptor#Exam"},  # excluded type
+    ])
+    dump("programs", [
+        {"id": "prog1", "programName": "Bilingual",
+         "programTypeDescriptor":
+             "uri://ed-fi.org/ProgramTypeDescriptor#Bilingual",
+         "educationOrganizationReference": {"educationOrganizationId": 5}},
+    ])
+    dump("programTypeDescriptors", [
+        {"programTypeDescriptorId": 41, "codeValue": "Bilingual",
+         "description": "Bilingual",
+         "namespace": "uri://ed-fi.org/ProgramTypeDescriptor"},
+    ])
+    dump("studentProgramAssociations", [
+        {"studentReference": {"studentUniqueId": "STU1"},
+         "beginDate": "2023-09-01",
+         "programReference": {
+             "programName": "Bilingual",
+             "programTypeDescriptor":
+                 "uri://ed-fi.org/ProgramTypeDescriptor#Bilingual",
+             "educationOrganizationId": 5,
+             "link": {"href": "/ed-fi/programs/prog1"}},
+         "educationOrganizationReference": {"educationOrganizationId": 5}},
+    ])
+    dump("sexDescriptors", [
+        {"sexDescriptorId": 51, "codeValue": "Female",
+         "shortDescription": "Female",
+         "namespace": "uri://ed-fi.org/SexDescriptor"},
     ])
     dump("schoolYearTypes", [
         {"schoolYear": 2023, "currentSchoolYear": True,
@@ -570,6 +645,50 @@ def test_demographics_dim_golden(spark, silver):
     assert by["Race:Asian"]["DemographicLabel"] == "Asian"
     assert by["CohortYear:2023-First grade"]["DemographicLabel"] == \
         "2023-First grade"
+
+
+def test_student_section_grade_fact_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.ews import student_section_grade_fact as f
+    rows = f.build(spark, silver, SY).collect()
+    by = {(r["StudentKey"]): r for r in rows}
+    assert set(by) == {"STU1", "STU2"}  # 'Exam' grade type filtered out
+    r = by["STU1"]
+    assert r["GradingPeriodKey"] == "7-100-20230815"
+    assert r["StudentSectionKey"] == "STU1-100-ALG1-2023-S-01-Fall-20230815"
+    assert r["SectionKey"] == "100-ALG1-2023-S-01-Fall"
+    assert r["NumericGradeEarned"] == 87.0 and r["LetterGradeEarned"] == "B"
+    assert r["GradeType"] == "Grading Period"
+    # zero numeric grade falls back to the letter translation (A → 95)
+    assert by["STU2"]["NumericGradeEarned"] == 95.0
+
+
+def test_student_program_dim_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.base import student_program_dim
+    rows = student_program_dim.build(spark, silver, SY,
+                                     run_date="2023-09-01").collect()
+    assert len(rows) == 1  # STU1 only: STU2's enrollment exited
+    r = rows[0]
+    assert r["StudentSchoolProgramKey"] == \
+        "STU1-100-Bilingual-41-5-5-20230901"
+    assert r["StudentSchoolKey"] == "STU1-100"
+    assert r["ProgramName"] == "Bilingual"
+    assert r["EducationOrganizationKey"] == "5"
+
+
+def test_epp_views_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.epp import descriptor_dims, epp_dim
+    eppd = epp_dim.build(spark, silver, SY).collect()
+    assert [(r["EducationOrganizationKey"], r["NameOfInstitution"])
+            for r in eppd] == [("900", "Alpha College of Ed")]
+    race = descriptor_dims.race_descriptor_dim.build(spark, silver, SY).collect()
+    assert {(r["RaceDescriptorKey"], r["CodeValue"]) for r in race} == \
+        {("21", "Asian"), ("22", "White")}
+    sex = descriptor_dims.sex_descriptor_dim.build(spark, silver, SY).collect()
+    assert [(r["SexDescriptorKey"], r["CodeValue"]) for r in sex] == \
+        [("51", "Female")]
+    term = descriptor_dims.term_descriptor_dim.build(spark, silver, SY).collect()
+    assert [(r["TermDescriptorKey"], r["CodeValue"]) for r in term] == \
+        [("4", "Fall Semester")]
 
 
 def test_local_education_agency_dim_golden(spark, silver):
