@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from api_to_amt_data_lake_spark.amt.base import (
+    academic_time_period_dim,
     all_student_school_dim,
     class_period_dim,
     contact_person_dim,
@@ -26,15 +27,31 @@ from api_to_amt_data_lake_spark.amt.base import (
     school_dim,
     section_dim,
     staff_section_dim,
+    student_local_education_agency_demographics_bridge,
+    student_local_education_agency_dim,
     student_program_dim,
+    student_school_demographics_bridge,
     student_school_dim,
     student_section_dim,
 )
 from api_to_amt_data_lake_spark.amt.chrab import (
     chronic_absenteeism_attendance_fact,
 )
-from api_to_amt_data_lake_spark.amt.equity import feeder_school_dim
+from api_to_amt_data_lake_spark.amt.equity import (
+    feeder_school_dim,
+    student_discipline_action_dim,
+    student_history_dim,
+    student_program_cohort_dim,
+    student_school_food_service_program_dim,
+)
 from api_to_amt_data_lake_spark.amt.epp import descriptor_dims, epp_dim
+from api_to_amt_data_lake_spark.amt.rls import (
+    rls_staff_classification_descriptor_scope_list,
+    rls_student_data_authorization,
+    rls_user_authorization,
+    rls_user_dim,
+    rls_user_student_data_authorization,
+)
 from api_to_amt_data_lake_spark.amt.ews import (
     student_early_warning_fact,
     student_section_grade_fact,
@@ -91,6 +108,19 @@ _register(descriptor_dims.race_descriptor_dim, "epp")
 _register(descriptor_dims.sex_descriptor_dim, "epp")
 _register(descriptor_dims.term_descriptor_dim, "epp")
 _register(demographics_dim, "base")
+_register(academic_time_period_dim, "base")
+_register(student_local_education_agency_dim, "base")
+_register(student_program_cohort_dim, "equity")
+_register(student_school_food_service_program_dim, "equity")
+_register(student_discipline_action_dim, "equity")
+_register(student_school_demographics_bridge, "base")
+_register(student_local_education_agency_demographics_bridge, "base")
+_register(student_history_dim, "equity")
+_register(rls_staff_classification_descriptor_scope_list, "rls")
+_register(rls_student_data_authorization, "rls")
+_register(rls_user_dim, "rls")
+_register(rls_user_authorization, "rls")
+_register(rls_user_student_data_authorization, "rls")
 
 
 def build_view(name: str, spark: SparkSession, silver_root: str,

@@ -41,6 +41,18 @@ def col_or_null(df: DataFrame, path: str, cast: str = "string"):
     return F.lit(None).cast(cast)
 
 
+def array_col(df: DataFrame, path: str, element_type: str):
+    """An array column for explode: the real column when the documents carry
+    it (inferred schema — never cast, struct casts are positional), else a
+    typed null literal so the downstream `explode` simply yields no rows.
+    """
+    from pyspark.sql import functions as F
+
+    if path in df.columns:
+        return F.col(path)
+    return F.lit(None).cast(f"array<{element_type}>")
+
+
 def read_collection(
     spark: SparkSession,
     silver_root: str,
