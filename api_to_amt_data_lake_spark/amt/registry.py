@@ -34,6 +34,10 @@ from api_to_amt_data_lake_spark.amt.base import (
     student_school_dim,
     student_section_dim,
 )
+from api_to_amt_data_lake_spark.amt.asmt import (
+    assessment_fact,
+    student_assessment_fact,
+)
 from api_to_amt_data_lake_spark.amt.chrab import (
     chronic_absenteeism_attendance_fact,
 )
@@ -44,7 +48,14 @@ from api_to_amt_data_lake_spark.amt.equity import (
     student_program_cohort_dim,
     student_school_food_service_program_dim,
 )
-from api_to_amt_data_lake_spark.amt.epp import descriptor_dims, epp_dim
+from api_to_amt_data_lake_spark.amt.epp import (
+    candidate_dim,
+    candidate_survey_dim,
+    descriptor_dims,
+    epp_dim,
+    epp_financial_aid_fact,
+    evaluation_element_rating_dim,
+)
 from api_to_amt_data_lake_spark.amt.rls import (
     rls_staff_classification_descriptor_scope_list,
     rls_student_data_authorization,
@@ -112,7 +123,7 @@ _register(academic_time_period_dim, "base")
 _register(student_local_education_agency_dim, "base")
 _register(student_program_cohort_dim, "equity")
 _register(student_school_food_service_program_dim, "equity")
-_register(student_discipline_action_dim, "equity")
+_register(student_discipline_action_dim, "equity", shared=True)
 _register(student_school_demographics_bridge, "base")
 _register(student_local_education_agency_demographics_bridge, "base")
 _register(student_history_dim, "equity")
@@ -121,6 +132,12 @@ _register(rls_student_data_authorization, "rls")
 _register(rls_user_dim, "rls")
 _register(rls_user_authorization, "rls")
 _register(rls_user_student_data_authorization, "rls")
+_register(candidate_dim, "epp")
+_register(candidate_survey_dim, "epp")
+_register(epp_financial_aid_fact, "epp")
+_register(evaluation_element_rating_dim, "epp")
+_register(assessment_fact, "asmt")
+_register(student_assessment_fact, "asmt")
 
 
 def build_view(name: str, spark: SparkSession, silver_root: str,

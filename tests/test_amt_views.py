@@ -174,7 +174,9 @@ def silver(tmp_path_factory):
     ])
     dump("students", [
         {"id": "stu1", "studentUniqueId": "STU1", "firstName": "Maria",
-         "middleName": "J", "lastSurname": "Garcia", "birthDate": "2009-05-01"},
+         "middleName": "J", "lastSurname": "Garcia", "birthDate": "2009-05-01",
+         "personReference": {"personId": "PER1",
+                             "link": {"href": "/ed-fi/people/per1"}}},
         {"id": "stu2", "studentUniqueId": "STU2", "firstName": "Liu",
          "middleName": None, "lastSurname": "Wei", "birthDate": "2009-07-04"},
     ])
@@ -291,6 +293,205 @@ def silver(tmp_path_factory):
                               "link": {"href": "/ed-fi/students/stu2"}},
          "schoolYearTypeReference": {"schoolYear": 2023},
          "calendarReference": {"calendarCode": "C1"}},
+    ])
+    dump("people", [
+        {"id": "per1", "personId": "PER1"},
+    ])
+    dump("candidates", [
+        {"id": "cand1", "candidateIdentifier": "C1", "firstName": "Maria",
+         "lastSurname": "Garcia",
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Female",
+         "hispanicLatinoEthnicity": True, "economicDisadvantaged": True,
+         "personReference": {"personId": "PER1",
+                             "link": {"href": "/ed-fi/people/per1"}},
+         "races": [
+             {"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#White"}]},
+    ])
+    dump("candidateEducatorPreparationProgramAssociations", [
+        {"id": "cepp1",
+         "candidateReference": {"candidateIdentifier": "C1"},
+         "educatorPreparationProgramReference": {
+             "programName": "Sec Math", "educationOrganizationId": 900},
+         "beginDate": "2022-08-01",
+         "reasonExitedDescriptor":
+             "uri://ed-fi.org/ReasonExitedDescriptor#Completed",
+         "cohortYears": [
+             {"termDescriptor": "uri://ed-fi.org/TermDescriptor#Fall Semester",
+              "schoolYearTypeReference": {"schoolYear": 2023}}]},
+    ])
+    dump("credentials", [
+        {"id": "cred1", "credentialIdentifier": "CR1",
+         "issuanceDate": "2023-05-01",
+         "_ext": {"tpdm": {"personReference": {
+             "personId": "PER1", "link": {"href": "/ed-fi/people/per1"}}}}},
+        {"id": "cred2", "credentialIdentifier": "CR2",
+         "issuanceDate": "2022-12-15",
+         "_ext": {"tpdm": {"personReference": {
+             "personId": "PER1", "link": {"href": "/ed-fi/people/per1"}}}}},
+        {"id": "cred3", "credentialIdentifier": "CR3",
+         "issuanceDate": "2023-04-01"},  # no person ext → filtered out
+    ])
+    dump("financialAids", [
+        {"id": "fa1",
+         "studentReference": {"studentUniqueId": "STU1",
+                              "link": {"href": "/ed-fi/students/stu1"}},
+         "beginDate": "2023-01-10", "aidConditionDescription": "Need-based",
+         "aidTypeDescriptor": "uri://ed-fi.org/AidTypeDescriptor#Grant",
+         "aidAmount": 1500.0, "pellGrantRecipient": True},
+    ])
+    dump("aidTypeDescriptors", [
+        {"aidTypeDescriptorId": 61, "codeValue": "Grant",
+         "description": "Grant", "namespace": "uri://ed-fi.org/AidTypeDescriptor"},
+    ])
+    dump("evaluationElementRatings", [
+        {"id": "eer1",
+         "evaluationObjectiveRatingReference": {
+             "personId": "PER1", "evaluationDate": "2023-04-15T00:00:00Z",
+             "evaluationObjectiveTitle": "Instruction"},
+         "evaluationElementReference": {
+             "performanceEvaluationTitle": "Clinical Eval",
+             "evaluationElementTitle": "Lesson Planning",
+             "termDescriptor": "uri://ed-fi.org/TermDescriptor#Fall Semester",
+             "schoolYear": 2023, "evaluationTitle": "Midterm"},
+         "results": [{"ratingResultTitle": "Pedagogy", "rating": 3.5}]},
+    ])
+    dump("evaluationObjectives", [
+        {"id": "evobj1", "evaluationObjectiveTitle": "Instruction"},
+    ])
+    dump("surveys", [
+        {"id": "svy1", "surveyIdentifier": "SV1", "surveyTitle": "Exit Survey"},
+    ])
+    dump("surveyQuestions", [
+        {"id": "sq1", "questionCode": "Q1",
+         "questionText": "How prepared are you?",
+         "surveyReference": {"surveyIdentifier": "SV1",
+                             "link": {"href": "/ed-fi/surveys/svy1"}},
+         "surveySectionReference": {"surveyIdentifier": "SV1",
+                                    "surveySectionTitle": "Preparation"}},
+    ])
+    dump("surveyResponses", [
+        {"id": "sr1", "surveyResponseIdentifier": "R1",
+         "responseDate": "2023-05-20",
+         "surveyReference": {"surveyIdentifier": "SV1",
+                             "link": {"href": "/ed-fi/surveys/svy1"}}},
+    ])
+    dump("surveyQuestionResponses", [
+        {"id": "sqr1",
+         "surveyQuestionReference": {
+             "questionCode": "Q1", "surveyIdentifier": "SV1",
+             "link": {"href": "/ed-fi/surveyQuestions/sq1"}},
+         "surveyResponseReference": {
+             "surveyResponseIdentifier": "R1",
+             "link": {"href": "/ed-fi/surveyResponses/sr1"}},
+         "surveyQuestionMatrixElementResponses": [
+             {"numericResponse": 4, "textResponse": "Well prepared"}]},
+    ])
+    dump("surveyResponsePersonTargetAssociations", [
+        {"surveyResponseReference": {
+            "surveyResponseIdentifier": "R1",
+            "link": {"href": "/ed-fi/surveyResponses/sr1"}},
+         "personReference": {"personId": "PER1",
+                             "link": {"href": "/ed-fi/people/per1"}}},
+    ])
+    dump("assessments", [
+        {"id": "asm1", "assessmentIdentifier": "ACT-MATH",
+         "namespace": "uri://act.org",
+         "assessmentCategoryDescriptor":
+             "uri://ed-fi.org/AssessmentCategoryDescriptor"
+             "#College entrance exam",
+         "assessmentTitle": "ACT Math", "assessmentVersion": 2023,
+         "assessedGradeLevels": [
+             {"gradeLevelDescriptor":
+                  "uri://ed-fi.org/GradeLevelDescriptor#Ninth grade"}],
+         "scores": [
+             {"assessmentReportingMethodDescriptor":
+                  "uri://ed-fi.org/AssessmentReportingMethodDescriptor"
+                  "#Scale score",
+              "maximumScore": 36, "minimumScore": 1,
+              "resultDatatypeTypeDescriptor":
+                  "uri://ed-fi.org/ResultDatatypeTypeDescriptor#Integer"}],
+         "academicSubjects": [
+             {"academicSubjectDescriptor":
+                  "uri://ed-fi.org/AcademicSubjectDescriptor#Mathematics"}]},
+    ])
+    dump("objectiveAssessments", [
+        {"id": "oa1",
+         "assessmentReference": {"assessmentIdentifier": "ACT-MATH",
+                                 "namespace": "uri://act.org"},
+         "identificationCode": "ALG", "description": "Algebra strand",
+         "percentOfAssessment": 50,
+         "scores": [
+             {"assessmentReportingMethodDescriptor":
+                  "uri://ed-fi.org/AssessmentReportingMethodDescriptor"
+                  "#Raw score",
+              "maximumScore": 18, "minimumScore": 0,
+              "resultDatatypeTypeDescriptor":
+                  "uri://ed-fi.org/ResultDatatypeTypeDescriptor#Integer"}],
+         "learningStandards": [
+             {"learningStandardReference": {
+                 "learningStandardId": "LS-ALG-1",
+                 "link": {"href": "/ed-fi/learningStandards/ls1"}}}]},
+    ])
+    dump("assessmentCategoryDescriptors", [
+        {"assessmentCategoryDescriptorId": 81,
+         "codeValue": "College entrance exam",
+         "description": "College Entrance Exam"},
+    ])
+    dump("assessmentReportingMethodDescriptors", [
+        {"assessmentReportingMethodDescriptorId": 91,
+         "codeValue": "Scale score", "description": "Scale Score"},
+        {"assessmentReportingMethodDescriptorId": 92,
+         "codeValue": "Raw score", "description": "Raw Score"},
+    ])
+    dump("resultDatatypeTypeDescriptors", [
+        {"resultDatatypeTypeDescriptorId": 95, "codeValue": "Integer",
+         "description": "Integer"},
+    ])
+    dump("performanceLevelDescriptors", [
+        {"performanceLevelDescriptorId": 97, "codeValue": "Proficient",
+         "description": "Proficient"},
+        {"performanceLevelDescriptorId": 98, "codeValue": "Basic",
+         "description": "Basic"},
+    ])
+    dump("studentAssessments", [
+        {"id": "sa1", "studentAssessmentIdentifier": "SA-1",
+         "assessmentReference": {"assessmentIdentifier": "ACT-MATH",
+                                 "namespace": "uri://act.org"},
+         "studentReference": {"studentUniqueId": "STU1"},
+         "administrationDate": "2023-10-01",
+         "whenAssessedGradeLevelDescriptor":
+             "uri://ed-fi.org/GradeLevelDescriptor#Ninth grade",
+         "scoreResults": [
+             {"assessmentReportingMethodDescriptor":
+                  "uri://ed-fi.org/AssessmentReportingMethodDescriptor"
+                  "#Scale score",
+              "result": "28",
+              "resultDatatypeTypeDescriptor":
+                  "uri://ed-fi.org/ResultDatatypeTypeDescriptor#Integer"}],
+         "performanceLevels": [
+             {"assessmentReportingMethodDescriptor":
+                  "uri://ed-fi.org/AssessmentReportingMethodDescriptor"
+                  "#Scale score",
+              "performanceLevelDescriptor":
+                  "uri://ed-fi.org/PerformanceLevelDescriptor#Proficient",
+              "performanceLevelMet": True}],
+         "studentObjectiveAssessments": [
+             {"objectiveAssessmentReference": {"identificationCode": "ALG"},
+              "scoreResults": [
+                  {"assessmentReportingMethodDescriptor":
+                       "uri://ed-fi.org/AssessmentReportingMethodDescriptor"
+                       "#Raw score",
+                   "result": "15",
+                   "resultDatatypeTypeDescriptor":
+                       "uri://ed-fi.org/ResultDatatypeTypeDescriptor"
+                       "#Integer"}],
+              "performanceLevels": [
+                  {"assessmentReportingMethodDescriptor":
+                       "uri://ed-fi.org/AssessmentReportingMethodDescriptor"
+                       "#Raw score",
+                   "performanceLevelDescriptor":
+                       "uri://ed-fi.org/PerformanceLevelDescriptor#Basic",
+                   "performanceLevelMet": True}]}]},
     ])
     dump("staffEducationOrganizationAssignmentAssociations", [
         {"id": "sea1",  # Teacher → Section scope
@@ -1076,3 +1277,147 @@ def test_rls_user_student_data_authorization_golden(spark, silver):
         ("P1", "STU1"),   # school: s1 → STU1
         ("T100", "STU1"),  # section: sec1 shared, live, enrolled
     }
+
+
+def test_candidate_dim_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.epp import candidate_dim as v
+    rows = v.build(spark, silver, SY).collect()
+    # two credentials collapse via the groupby-all-columns dedup (A3)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["CandidateKey"] == "C1"
+    assert r["FirstName"] == "Maria" and r["LastSurname"] == "Garcia"
+    assert r["SexDescriptorKey"] == "51" and r["SexDescriptor"] == "Female"
+    assert r["RaceDescriptorKey"] == "22" and r["RaceDescriptor"] == "White"
+    assert r["HispanicLatinoEthnicity"] == 1
+    assert r["EconomicDisadvantaged"] == 1
+    assert r["Cohort"] == "2023"
+    assert r["ProgramComplete"] == 1
+    assert r["StudentKey"] == "STU1"
+    assert r["ProgramName"] == "Sec Math"
+    assert r["BeginDate"] == "2022-08-01"
+    assert r["EducationOrganizationId"] == "900"
+    assert r["PersonId"] == "PER1"
+    assert r["CohortYearTermDescription"] == "Fall Semester"
+    assert r["EducationOrganizationKey"] == "900"
+
+
+def test_epp_financial_aid_fact_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.epp import epp_financial_aid_fact as v
+    rows = v.build(spark, silver, SY).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["CandidateAidKey"] == "C1-61-20230110"
+    assert r["CandidateKey"] == "C1"
+    assert r["BeginDate"] == "2023-01-10" and r["EndDate"] == ""
+    assert r["AidConditionDescription"] == "Need-based"
+    assert r["AidType"] == "Grant"
+    assert r["AidAmount"] == 1500.0
+    assert r["PellGrantRecipient"] == 1
+    # quirk parity: the *DateKey columns carry the raw ISO dates
+    assert r["BeginDateKey"] == "2023-01-10" and r["EndDateKey"] == ""
+
+
+def test_evaluation_element_rating_dim_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.epp import (
+        evaluation_element_rating_dim as v,
+    )
+    rows = v.build(spark, silver, SY).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["CandidateKey"] == "C1"
+    assert r["EvaluationDate"] == "2023-04-15"
+    assert r["EvaluationDateKey"] == "20230415"
+    assert r["PerformanceEvaluationTitle"] == "Clinical Eval"
+    assert r["EvaluationObjectiveTitle"] == "Instruction"
+    assert r["EvaluationElementTitle"] == "Lesson Planning"
+    assert r["RatingResultTitle"] == "Pedagogy"
+    assert r["EvaluationTitle"] == "Midterm"
+    assert r["TermDescriptorId"] == "4" and r["TermDescriptorKey"] == "4"
+    assert r["SchoolYear"] == "2023"
+    assert r["Rating"] == 3.5
+
+
+def test_candidate_survey_dim_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.epp import candidate_survey_dim as v
+    rows = v.build(spark, silver, SY).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["CandidateSurveyKey"] == "SV1-Q1-R1-PER1"
+    assert r["CandidateKey"] == "C1"
+    assert r["SurveyTitle"] == "Exit Survey"
+    assert r["SurveySectionTitle"] == "Preparation"
+    assert r["ResponseDateKey"] == "20230520"
+    assert r["QuestionCode"] == "Q1"
+    assert r["QuestionText"] == "How prepared are you?"
+    assert r["NumericResponse"] == "4"
+    assert r["TextResponse"] == "Well prepared"
+
+
+def test_assessment_fact_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.asmt import assessment_fact as v
+    rows = v.build(spark, silver, SY).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["AssessmentFactKey"] == \
+        "ACT-MATH-uri://act.org-71-91-3-ALG--92-LS-ALG-1"
+    assert r["AssessmentKey"] == "ACT-MATH-uri://act.org"
+    assert r["AssessmentIdentifier"] == "ACT-MATH"
+    assert r["Namespace"] == "uri://act.org"
+    assert r["Title"] == "ACT Math" and r["Version"] == "2023"
+    assert r["Category"] == "College Entrance Exam"
+    assert r["AssessedGradeLevel"] == "Grade 9"
+    assert r["AcademicSubject"] == "Math"
+    assert r["ResultDataType"] == "Integer"
+    assert r["ReportingMethod"] == "Scale Score"
+    assert r["ObjectiveAssessmentKey"] == "ACT-MATH-ALG-uri://act.org"
+    assert r["IdentificationCode"] == "ALG"
+    assert r["ParentObjectiveAssessmentKey"] == ""
+    assert r["ObjectiveAssessmentDescription"] == "Algebra strand"
+    assert r["PercentOfAssessment"] == "50"
+    assert r["MinScore"] == "1" and r["MaxScore"] == "36"
+    assert r["LearningStandard"] == "LS-ALG-1"
+
+
+def test_student_assessment_fact_golden(spark, silver):
+    from api_to_amt_data_lake_spark.amt.asmt import student_assessment_fact as v
+    rows = v.build(spark, silver, SY, run_date="2023-09-01").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["StudentAssessmentFactKey"] == \
+        "ACT-MATH-uri://act.org-SA-1-91-97-ALG-92-98-STU1-100-20230815"
+    assert r["StudentAssessmentKey"] == "ACT-MATH-uri://act.org-SA-1-STU1"
+    assert r["StudentObjectiveAssessmentKey"] == \
+        "STU1-ALG-ACT-MATH-SA-1-uri://act.org"
+    assert r["ObjectiveAssessmentKey"] == "ACT-MATH-ALG-uri://act.org"
+    assert r["AssessmentKey"] == "ACT-MATH-uri://act.org"
+    assert r["StudentKey"] == "STU1"
+    assert r["StudentSchoolKey"] == "STU1-100"
+    assert r["SchoolKey"] == "100"
+    assert r["AdministrationDate"] == "2023-10-01"
+    assert r["AdministrationDateKey"] == "20231001"
+    assert r["AssessedGradeLevel"] == "Ninth grade"
+    # objective-level values win the cascade ...
+    assert r["StudentScore"] == "15"
+    assert r["ReportingMethod"] == "Raw score"
+    assert r["PerformanceResult"] == "Basic"
+    assert r["ResultDataType"] == "Integer"
+    # ... while the StudentAssessment* quartet stays assessment-level
+    assert r["StudentAssessmentScore"] == "28"
+    assert r["StudentAssessmentReportingMethod"] == "Scale score"
+    assert r["StudentAssessmentPerformanceResult"] == "Proficient"
+    assert r["StudentAssessmentResultDataType"] == "Integer"
+
+
+def test_run_all_pipeline_smoke(spark, silver, tmp_path):
+    """SURVEY.md §5 item 3: end-to-end silver→gold run over every
+    registered view — all 41 outputs land as parquet with their contract
+    schemas (empty inputs still produce typed files)."""
+    from api_to_amt_data_lake_spark.amt import registry
+    gold = str(tmp_path / "gold")
+    out = registry.run_all(spark, silver, gold, SY, run_date="2023-09-01")
+    assert len(out) == 41
+    for name, path in out.items():
+        df = spark.read.parquet(path)
+        expected = list(registry.VIEWS[name].contract.columns)
+        assert df.columns == expected, name
