@@ -922,3 +922,110 @@ def q36_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (the only Pandas-UDF surface in the engine — Arrow-batched)."""
     d = read_table(spark, sf_dir, "documents")
     return binary_metadata(with_binary_content(d, "text", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A13 / §2.3 J10 — operators the reference never used but a complete
+# engine must expose: rollup/grouping sets, semi/anti joins, distinct
+# counts, and embedding-cosine near-dup pairs.
+# ---------------------------------------------------------------------------
+
+@register("q37_rollup_order_status", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q37_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 rollup: subtotal hierarchy status → priority → grand total.
+
+    Map-side partial aggregation applies per grouping set; one shuffle.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice", 12, 2)).cast("double").alias("total_price"),
+    )
+
+
+@register("q38_semi_anti_customers", oracle="""
+SELECT 'with_orders' AS segment_kind, c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+UNION ALL
+SELECT 'without_orders' AS segment_kind, c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""")
+def q38_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 left-semi / left-anti: the reference emulates these with left
+    join + null checks; native semi/anti joins never materialize the
+    payload of the right side (half the shuffle width).
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = [c.c_custkey == o.o_custkey]
+    with_orders = (
+        c.join(o, cond, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("with_orders").alias("segment_kind"),
+                "c_mktsegment", "n_customers")
+    )
+    without_orders = (
+        c.join(o, cond, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(F.lit("without_orders").alias("segment_kind"),
+                "c_mktsegment", "n_customers")
+    )
+    return with_orders.unionByName(without_orders)
+
+
+@register("q39_distinct_parts_per_flag", oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q39_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 multi-distinct aggregation (exact; the 100 TB fast path swaps
+    countDistinct for approx_count_distinct with no plan change)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("q40_embedding_neardup", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < 64),
+sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM sims WHERE cosine_sim >= 0.2
+""")
+def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force correctness baseline;
+    the scale path blocks by IVF bucket — q35 — or LSH band before the
+    pair join so the quadratic term stays within a bucket)."""
+    from api_to_amt_data_lake_spark.operators.similarity import cosine
+
+    e = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.2)
+    )
