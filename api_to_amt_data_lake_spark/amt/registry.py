@@ -140,6 +140,20 @@ _register(assessment_fact, "asmt")
 _register(student_assessment_fact, "asmt")
 
 
+# The reference's nine collections (`parquet/amt_parquet.py:27-36`).
+# engage and qews are empty stubs there too
+# (`parquet/amt/engage/engage_collection.py:7-8`,
+#  `parquet/amt/qews/qews_collection.py:7-8`).
+COLLECTIONS: tuple[str, ...] = (
+    "asmt", "base", "chrab", "engage", "epp", "equity", "ews", "qews", "rls")
+
+
+def views_in(collection: str) -> list[str]:
+    """View names registered under one collection (may be empty)."""
+    return [name for name, spec in VIEWS.items()
+            if spec.collection == collection]
+
+
 def build_view(name: str, spark: SparkSession, silver_root: str,
                school_year: str | int, run_date: str | None = None) -> DataFrame:
     return VIEWS[name].build(spark, silver_root, school_year, run_date)

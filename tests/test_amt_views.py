@@ -1421,3 +1421,16 @@ def test_run_all_pipeline_smoke(spark, silver, tmp_path):
         df = spark.read.parquet(path)
         expected = list(registry.VIEWS[name].contract.columns)
         assert df.columns == expected, name
+
+
+def test_collection_parity_counts():
+    """View-per-collection counts match the reference's collection files
+    (`parquet/amt/*/??*_collection.py`), including the empty engage/qews
+    stubs."""
+    from api_to_amt_data_lake_spark.amt import registry
+    counts = {c: len(registry.views_in(c)) for c in registry.COLLECTIONS}
+    assert counts == {
+        "asmt": 2, "base": 18, "chrab": 1, "engage": 0, "epp": 8,
+        "equity": 5, "ews": 2, "qews": 0, "rls": 5,
+    }
+    assert sum(counts.values()) == 41

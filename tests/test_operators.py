@@ -64,3 +64,27 @@ def test_descriptor_constant_crosswalk(spark):
     rows = sorted(out.collect(), key=lambda r: r["d_codeValue"])
     assert rows[1]["d_constantName"] == "Address.Physical"
     assert rows[0]["d_constantName"] is None  # unmatched kept (right-join parity)
+
+
+def test_apply_tombstones(spark):
+    from api_to_amt_data_lake_spark.operators.merge import apply_tombstones
+    data = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["id", "v"])
+    deletes = spark.createDataFrame([("b",), ("b",), ("x",)], ["id"])
+    rows = {r["id"]: r["v"] for r in apply_tombstones(data, deletes, ["id"]).collect()}
+    assert rows == {"a": 1, "c": 3}
+
+
+def test_upsert_latest(spark):
+    from api_to_amt_data_lake_spark.operators.merge import upsert_latest
+    base = spark.createDataFrame(
+        [("a", 1, "old-a"), ("b", 5, "old-b")],
+        ["id", "_changeVersion", "payload"])
+    updates = spark.createDataFrame(
+        [("a", 3, "new-a"),    # newer → replaces
+         ("b", 5, "dup-b"),    # tie → update side wins
+         ("c", 1, "new-c")],   # insert
+        ["id", "_changeVersion", "payload"])
+    rows = {r["id"]: (r["_changeVersion"], r["payload"])
+            for r in upsert_latest(base, updates, ["id"]).collect()}
+    assert rows == {"a": (3, "new-a"), "b": (5, "dup-b"), "c": (1, "new-c")}
