@@ -23,23 +23,25 @@ Reference quirks deliberately reproduced / documented:
   the parent element's descriptor is replaced wholesale
   (`main.py:333-343`).
 
-Scale note: the explode fans one association row into a handful of rows
-(bounded by array sizes, typically <10) — no shuffle is introduced here;
-everything stays in the scan stage until the bridge's join.
+Scale note: the naive shape here is an 8-branch UNION ALL, one explode per
+family — which re-scans (and re-parses, for multiline JSON) the source
+eight times. Instead each family array is filtered/transformed into a
+per-row array of DemographicKeys with higher-order functions (JVM-side,
+codegen-friendly), the arrays are concatenated, and a SINGLE explode emits
+the rows: one scan, zero shuffles, fan-out bounded by array sizes
+(typically <10 per association).
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from api_to_amt_data_lake_spark.functions.descriptors import (
     descriptor_code_value,
     ref_from_href,
 )
-from api_to_amt_data_lake_spark.sources.json_source import array_col, col_or_null
+from api_to_amt_data_lake_spark.sources.json_source import col_or_null
 
 # (prefix, array path, element descriptor, derived prefix, derived array,
 #  derived element descriptor) — `main.py:48-85`.
@@ -56,18 +58,67 @@ FAMILIES = (
      "studentCharacteristicDescriptor", None, None, None),
 )
 
-_KEY_COLS = ("StudentKey", "EducationOrganizationId", "_ed_org_rel",
-             "_ed_org_ref_id", "_student_ref_id")
-
-
-def _element_field(df: DataFrame, path: str, cast: str = "string"):
-    """`_el.<member>` when the inferred element struct carries it, else a
-    typed null (optional members vanish from inferred schemas entirely)."""
+def _struct_field(df: DataFrame, array_path: str, member: str) -> bool:
+    """True when the inferred element struct of `array_path` carries
+    `member` (optional members vanish from inferred schemas entirely)."""
     try:
-        df.select(path)
-        return F.col(path)
+        df.select(f"{array_path}.{member}")
+        return True
     except Exception:
-        return F.lit(None).cast(cast)
+        return False
+
+
+def _family_keys(seoa: DataFrame, prefix: str, path: str, desc: str) -> Column:
+    """Array of `{prefix}:{codeValue}` keys for one demographic family —
+    elements with null/'' code values dropped (`main.py:263-267,285-290`)."""
+    if not _struct_field(seoa, path, desc):
+        return F.lit(None).cast("array<string>")
+    kept = F.filter(
+        F.col(path),
+        lambda el: descriptor_code_value(el[desc]).isNotNull()
+        & (descriptor_code_value(el[desc]) != ""),
+    )
+    if prefix == "CohortYear":
+        has_year = _struct_field(
+            seoa, path, "schoolYearTypeReference.schoolYear")
+
+        def key(el):
+            year = (el["schoolYearTypeReference"]["schoolYear"].cast("string")
+                    if has_year else F.lit(None).cast("string"))
+            return F.concat(F.lit("CohortYear:"),
+                            F.coalesce(year, F.lit("")), F.lit("-"),
+                            descriptor_code_value(el[desc]))
+    else:
+        def key(el):
+            return F.concat(F.lit(prefix + ":"),
+                            descriptor_code_value(el[desc]))
+    return F.transform(kept, key)
+
+
+def _derived_keys(seoa: DataFrame, path: str, d_prefix: str, d_path: str,
+                  d_desc: str) -> Column:
+    """Keys from a nested second-level array (languages→uses,
+    disabilities→designations; `main.py:319-354`): flatten the per-element
+    arrays into one per-row key array."""
+    if not _struct_field(seoa, path, d_path):
+        return F.lit(None).cast("array<string>")
+    return F.flatten(F.transform(
+        F.col(path),
+        # A parent element with a null nested array must contribute an
+        # empty array (not null — flatten(null element) nulls the row).
+        lambda el: F.coalesce(
+            F.transform(
+                F.filter(
+                    el[d_path],
+                    lambda d: descriptor_code_value(d[d_desc]).isNotNull()
+                    & (descriptor_code_value(d[d_desc]) != ""),
+                ),
+                lambda d: F.concat(F.lit(d_prefix + ":"),
+                                   descriptor_code_value(d[d_desc])),
+            ),
+            F.array().cast("array<string>"),
+        ),
+    ))
 
 
 def demographic_rows(seoa: DataFrame) -> DataFrame:
@@ -75,50 +126,36 @@ def demographic_rows(seoa: DataFrame) -> DataFrame:
 
     Columns: StudentKey, EducationOrganizationId, _ed_org_rel,
     _ed_org_ref_id, _student_ref_id, DemographicKey.
+
+    Single-scan plan: per-family key arrays built with
+    `filter`/`transform`/`flatten`, concatenated, exploded once.
     """
-    base = [
+    key_arrays: list[Column] = []
+    for prefix, path, desc, d_prefix, d_path, d_desc in FAMILIES:
+        if path not in seoa.columns:
+            continue
+        key_arrays.append(_family_keys(seoa, prefix, path, desc))
+        if d_path is not None:
+            key_arrays.append(
+                _derived_keys(seoa, path, d_prefix, d_path, d_desc))
+    if not key_arrays:
+        all_keys = F.lit(None).cast("array<string>")
+    else:
+        all_keys = F.concat(*[
+            F.coalesce(a, F.array().cast("array<string>"))
+            for a in key_arrays
+        ])
+    return seoa.select(
         F.col("studentReference.studentUniqueId").cast("string")
         .alias("StudentKey"),
         F.col("educationOrganizationReference.educationOrganizationId")
         .cast("string").alias("EducationOrganizationId"),
         col_or_null(seoa, "educationOrganizationReference.link.rel")
         .alias("_ed_org_rel"),
-        ref_from_href(col_or_null(seoa, "educationOrganizationReference.link.href"))
+        ref_from_href(col_or_null(seoa,
+                                  "educationOrganizationReference.link.href"))
         .alias("_ed_org_ref_id"),
         ref_from_href(col_or_null(seoa, "studentReference.link.href"))
         .alias("_student_ref_id"),
-    ]
-    parts: list[DataFrame] = []
-    for prefix, path, desc, d_prefix, d_path, d_desc in FAMILIES:
-        el_type = f"struct<{desc}:string>"
-        exploded = seoa.select(
-            *base, F.explode(array_col(seoa, path, el_type)).alias("_el"))
-        code = descriptor_code_value(_element_field(exploded, f"_el.{desc}"))
-        if prefix == "CohortYear":
-            year = _element_field(
-                exploded, "_el.schoolYearTypeReference.schoolYear", "bigint"
-            ).cast("string")
-            key = F.concat(F.lit("CohortYear:"), F.coalesce(year, F.lit("")),
-                           F.lit("-"), code)
-        else:
-            key = F.concat(F.lit(prefix + ":"), code)
-        parts.append(
-            exploded.filter(code.isNotNull() & (code != ""))
-            .select(*_KEY_COLS, key.alias("DemographicKey"))
-        )
-        if d_path is not None:
-            derived = exploded.select(
-                *_KEY_COLS,
-                F.explode(_element_field(
-                    exploded, f"_el.{d_path}",
-                    f"array<struct<{d_desc}:string>>")).alias("_d"),
-            )
-            d_code = descriptor_code_value(
-                _element_field(derived, f"_d.{d_desc}"))
-            parts.append(
-                derived.filter(d_code.isNotNull() & (d_code != ""))
-                .select(*_KEY_COLS,
-                        F.concat(F.lit(d_prefix + ":"), d_code)
-                        .alias("DemographicKey"))
-            )
-    return reduce(DataFrame.unionByName, parts)
+        F.explode(all_keys).alias("DemographicKey"),
+    )

@@ -61,7 +61,12 @@ _CATS = ["AttendanceEvent.Present", "AttendanceEvent.Absence"]
 def _event_counts(events: DataFrame, school_col: str, student_col: str,
                   year_col) -> DataFrame:
     """Crosstab Present/Absence counts per (student, school, eventDate),
-    carrying the session school-year key along (max over identical rows)."""
+    carrying the session school-year key along (max over identical rows).
+
+    The category list is fixed (`_CATS`), so the reference's crosstab
+    (A9) collapses to conditional counts inside ONE partial-aggregating
+    groupBy — one shuffle, vs pivot + year-groupBy + re-join (three).
+    """
     parsed = with_descriptor_constant(
         events.select(
             F.col(student_col).cast("string").alias("_student"),
@@ -72,15 +77,14 @@ def _event_counts(events: DataFrame, school_col: str, student_col: str,
         ),
         "attendanceEventCategoryDescriptor",
     )
-    counts = crosstab_count(
-        parsed, ["_student", "_school", "_date"],
-        "attendanceEventCategoryDescriptor_constantName", _CATS,
-        rename={"AttendanceEvent.Present": "_present",
-                "AttendanceEvent.Absence": "_absence"},
+    cat = F.col("attendanceEventCategoryDescriptor_constantName")
+    return parsed.groupBy("_student", "_school", "_date").agg(
+        F.count(F.when(cat == "AttendanceEvent.Present", True))
+        .alias("_present"),
+        F.count(F.when(cat == "AttendanceEvent.Absence", True))
+        .alias("_absence"),
+        F.max("_ev_year").alias("_ev_year"),
     )
-    years = parsed.groupBy("_student", "_school", "_date").agg(
-        F.max("_ev_year").alias("_ev_year"))
-    return counts.join(years, ["_student", "_school", "_date"])
 
 
 def build(spark: SparkSession, silver_root: str, school_year: str | int,

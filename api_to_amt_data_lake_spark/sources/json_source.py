@@ -53,6 +53,15 @@ def array_col(df: DataFrame, path: str, element_type: str):
     return F.lit(None).cast(f"array<{element_type}>")
 
 
+# DataFrame memo, keyed by (session, file list, mtimes, schema, firstOnly).
+# A 41-view run touches the big endpoints (studentEducationOrganization-
+# Associations, studentSchoolAssociations, students) from ~10 builders
+# each; without the memo every builder pays its own schema-inference job
+# (a full parse of the multiline JSON). The mtime component invalidates
+# the entry when a test rewrites its silver fixture in place.
+_READ_MEMO: dict[tuple, DataFrame] = {}
+
+
 def read_collection(
     spark: SparkSession,
     silver_root: str,
@@ -76,7 +85,18 @@ def read_collection(
     if not files:
         return None
     targets = files[:1] if first_file_only else files
+    key = (
+        id(spark.sparkContext),
+        tuple(targets),
+        tuple(int(os.path.getmtime(f) * 1000) for f in targets),
+        schema.json() if schema is not None else None,
+    )
+    memo = _READ_MEMO.get(key)
+    if memo is not None:
+        return memo
     reader = spark.read.option("multiLine", "true")
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.json(targets)
+    df = reader.json(targets)
+    _READ_MEMO[key] = df
+    return df
