@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis) for the expression library.
+
+Each property batches its generated examples into ONE Spark job
+(createDataFrame → collect) and compares elementwise against a pure-Python
+model of the reference semantics (`pandasWrapper.py` /
+`descriptor_mapping.py` string ops) — so a run is a handful of Spark jobs,
+not one per example.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from api_to_amt_data_lake_spark.functions.dates import date_key
+from api_to_amt_data_lake_spark.functions.descriptors import (
+    descriptor_code_value,
+    descriptor_name,
+    ref_from_href,
+)
+from api_to_amt_data_lake_spark.functions.keys import sk_concat, sk_concat_strict
+from api_to_amt_data_lake_spark.functions.nulls import (
+    empty_to_null,
+    null_to_empty,
+    replace_null_empty,
+)
+
+SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# Printable-ish strings without surrogates; '#', '/', '-' included so the
+# parsing functions hit their separators often.
+text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",),
+                           exclude_characters="\x00"),
+    max_size=40,
+)
+opt_text = st.one_of(st.none(), text)
+
+
+def _run_unary(spark, values, expr_fn):
+    """Evaluate expr_fn(col) over one batch; return list of results."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)],
+        T.StructType([
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]),
+    )
+    rows = df.select("i", expr_fn(F.col("v")).alias("r")).collect()
+    return [r.r for r in sorted(rows, key=lambda r: r.i)]
+
+
+class TestDescriptorParsing:
+    """F1-F3: pure string splits, python str.split is the model."""
+
+    @SETTINGS
+    @given(st.lists(text, min_size=1, max_size=60))
+    def test_code_value_matches_split(self, spark, vals):
+        got = _run_unary(spark, vals, descriptor_code_value)
+        want = [v.split("#")[-1] for v in vals]
+        assert got == want
+
+    @SETTINGS
+    @given(st.lists(text, min_size=1, max_size=60))
+    def test_descriptor_name_matches_split(self, spark, vals):
+        got = _run_unary(spark, vals, descriptor_name)
+        # reference: everything before the last '#', then last '/' segment
+        want = ["#".join(v.split("#")[:-1] or [v]).split("/")[-1] for v in vals]
+        assert got == want
+
+    @SETTINGS
+    @given(st.lists(text, min_size=1, max_size=60))
+    def test_ref_from_href_matches_split(self, spark, vals):
+        got = _run_unary(spark, vals, ref_from_href)
+        want = [v.split("/")[-1] for v in vals]
+        assert got == want
+
+
+class TestDateKey:
+    """F7 `to_datetime_key`: str(value).replace('-','')[:8]."""
+
+    @SETTINGS
+    @given(st.lists(st.one_of(
+        st.dates().map(lambda d: d.isoformat()),
+        text,
+    ), min_size=1, max_size=60))
+    def test_matches_python_model(self, spark, vals):
+        got = _run_unary(spark, vals, date_key)
+        want = [v.replace("-", "")[:8] for v in vals]
+        assert got == want
+
+    @SETTINGS
+    @given(st.lists(st.dates(), min_size=1, max_size=60))
+    def test_lexicographic_equals_chronological(self, spark, dates):
+        keys = _run_unary(spark, [d.isoformat() for d in dates], date_key)
+        pairs = sorted(zip(keys, dates))
+        assert [d for _, d in pairs] == sorted(dates)
+
+
+class TestKeyConcat:
+    """F5: sk_concat (null→'') vs sk_concat_strict (null propagates)."""
+
+    @SETTINGS
+    @given(st.lists(st.tuples(opt_text, opt_text), min_size=1, max_size=60))
+    def test_concat_models(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            T.StructType([
+                T.StructField("i", T.IntegerType()),
+                T.StructField("a", T.StringType()),
+                T.StructField("b", T.StringType()),
+            ]),
+        )
+        rows = df.select(
+            "i",
+            sk_concat("a", "b").alias("loose"),
+            sk_concat_strict("a", "b").alias("strict"),
+        ).collect()
+        rows.sort(key=lambda r: r.i)
+        for r, (a, b) in zip(rows, pairs):
+            assert r.loose == f"{a or ''}-{b or ''}"
+            if a is None or b is None:
+                assert r.strict is None
+            else:
+                assert r.strict == f"{a}-{b}"
+
+
+class TestNullDialect:
+    """F11: ''/null collapse helpers against their python models."""
+
+    @SETTINGS
+    @given(st.lists(opt_text, min_size=1, max_size=60))
+    def test_roundtrip_and_fill(self, spark, vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)],
+            T.StructType([
+                T.StructField("i", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+            ]),
+        )
+        rows = df.select(
+            "i",
+            null_to_empty("v").alias("ne"),
+            empty_to_null("v").alias("en"),
+            replace_null_empty("v", "X").alias("rf"),
+        ).collect()
+        rows.sort(key=lambda r: r.i)
+        for r, v in zip(rows, vals):
+            assert r.ne == (v if v is not None else "")
+            assert r.en == (v if v else None)
+            assert r.rf == (v if v not in (None, "") else "X")
