@@ -1029,3 +1029,43 @@ def q40_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.2)
     )
+
+
+@register("q41_sessionize", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+              - (epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP)) // 1000000) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM flagged
+)
+SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_num
+""")
+def q41_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): batch binding of the
+    stateful streaming operator (streaming/sessionize.py shares the
+    semantics via applyInPandasWithState). Lag/running-sum windows —
+    deterministic under the total (ts, event_id) order."""
+    from api_to_amt_data_lake_spark.streaming.sessionize import sessionize_batch
+
+    e = read_table(spark, sf_dir, "events")
+    return sessionize_batch(e).select(
+        "user_id",
+        F.col("session_num").cast("bigint").alias("session_num"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        "n_events",
+    )

@@ -40,6 +40,7 @@ HEADLINE = [
     "q33_simhash",
     "q34_cosine_topk",
     "q36_binary_metadata",
+    "q41_sessionize",
 ]
 
 

@@ -40,3 +40,73 @@ def test_stream_matches_batch(spark, tmp_path, sf_dir):
     max_start = want.agg(F.max("window_start")).collect()[0][0]
     cutoff = [r["window_start"] for r in held_back.collect()]
     assert all((max_start - ws).total_seconds() <= 3 * 3600 for ws in cutoff)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions closed by a later
+    event OR by the event-time timeout must match the batch binding; the
+    still-open tail session must be withheld."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from api_to_amt_data_lake_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    t0 = datetime(2024, 3, 1, 8, 0, 0)
+    m = timedelta(minutes=1)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    # file 1: user 1 session A (2 ev) then gap >30m; user 2 session D (2 ev)
+    batch1 = [
+        (1, t0, 1), (1, t0 + 10 * m, 2),
+        (1, t0 + 120 * m, 3), (1, t0 + 125 * m, 4),
+        (2, t0 + 30 * m, 5), (2, t0 + 40 * m, 6),
+    ]
+    # file 2: user 1 session C; user 2 session E; sentinel advances the
+    # watermark ~100h so every session above times out and flushes.
+    batch2 = [
+        (1, t0 + 360 * m, 7),
+        (2, t0 + 300 * m, 8),
+        (99, t0 + 6000 * m, 9),
+    ]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sessionize_stream(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "sess_out"))
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "sess_out")).collect()
+    }
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    want_all = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(all_events).collect()
+    }
+    open_tail = {w for w in want_all if w[0] == 99}  # sentinel stays open
+    assert got == want_all - open_tail
+    assert len(got) == 5
