@@ -1,0 +1,113 @@
+"""Backward as-of join — an operator the reference lacks (its only
+non-equi shape is interval containment, SURVEY.md §2.3 J7) but that any
+event/feature pipeline at scale needs: "for each left event, the most
+recent right observation at or before it".
+
+The naive formulation (equi-join on key, filter right_ts <= left_ts, then
+max-per-left-row) explodes to |left| x |right-per-key| intermediate rows —
+quadratic in the per-key event count. This implementation is linear: union
+both sides into one stream, sort within each key by (ts, side) — right
+rows ahead of left rows at equal timestamps, matching ASOF `>=` semantics
+— and carry the right-side values forward with
+``last(..., ignorenulls=True)`` over an unbounded-preceding window. One
+shuffle on the key, one per-key sort, no fanout; per-key skew is bounded
+by the same sort a sort-merge join would need anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "_asof_ts"
+_SIDE = "_asof_side"
+_MATCH = "_asof_match_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "left",
+    tolerance_seconds: int | None = None,
+    matched_ts_col: str | None = None,
+) -> DataFrame:
+    """For each `left` row, attach the `right` row with the greatest
+    ``right_ts <= left_ts`` sharing the `on` keys (ties at equal timestamps
+    match, as in ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    - `on`: equi-key column names present in BOTH frames.
+    - Non-key `right` columns must not collide with `left` column names.
+    - `right` must be unique per (`on`, `right_ts`) — pre-aggregate
+      otherwise; with duplicates the carried value is tie-broken
+      arbitrarily.
+    - `how`: 'left' keeps unmatched left rows (right values null);
+      'inner' drops them.
+    - `tolerance_seconds`: nulls out matches older than
+      ``left_ts - tolerance`` (and drops the row under 'inner').
+    - `matched_ts_col`: optionally expose the matched right timestamp.
+    """
+    on = list(on)
+    key_set = set(on)
+    payload = [c for c in left.columns if c not in key_set]
+    rvals = [c for c in right.columns if c not in key_set and c != right_ts]
+    clash = set(rvals) & set(payload)
+    if clash:
+        raise ValueError(f"right value columns collide with left: {sorted(clash)}")
+
+    def null_like(df: DataFrame, name: str) -> Column:
+        return F.lit(None).cast(df.schema[name].dataType).alias(name)
+
+    l2 = left.select(
+        *on,
+        *payload,
+        *[null_like(right, c) for c in rvals],
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+    )
+    r2 = right.select(
+        *on,
+        *[null_like(left, c) for c in payload],
+        *rvals,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(_TS, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2).select(
+        *on,
+        *payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rvals],
+        F.last(F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True)
+        .over(w)
+        .alias(_MATCH),
+        F.col(_SIDE),
+    )
+    out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+    if tolerance_seconds is not None:
+        in_tol = F.col(_MATCH).cast("long") >= (
+            F.col(left_ts).cast("long") - F.lit(tolerance_seconds)
+        )
+        out = out.select(
+            *on,
+            *payload,
+            *[F.when(in_tol, F.col(c)).alias(c) for c in rvals],
+            F.when(in_tol, F.col(_MATCH)).alias(_MATCH),
+        )
+    if how == "inner":
+        out = out.filter(F.col(_MATCH).isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+
+    if matched_ts_col is not None:
+        return out.withColumnRenamed(_MATCH, matched_ts_col)
+    return out.drop(_MATCH)

@@ -51,3 +51,38 @@ def interval_join(
         range_c = range_c & (left[point] <= end_c)
     cond = range_c if cond is None else (cond & range_c)
     return left.join(right, cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot `left` key over `n_salt`
+    shuffle partitions and replicate the matching `right` rows once per
+    salt value.
+
+    When one join key holds a disproportionate share of the big side's
+    rows (one school with half the enrollments, one user with half the
+    events), a plain shuffle join lands that entire key on a single task.
+    Salting re-keys left rows with ``(key, hash(row) % n_salt)`` —
+    deterministic, derived from the row's own columns — and explodes the
+    right side across all salt values, so the hot key's probe work is
+    split across `n_salt` tasks at the cost of an `n_salt`-times larger
+    build side for matched keys. Results are identical to the plain join
+    (conformance q45 checks this against an unsalted SQL oracle).
+
+    Prefer AQE's automatic skew-join splitting when the skewed side is
+    the probe of a sort-merge join; use this when the skew survives AQE
+    (e.g. broadcast-hash plans or aggregation-feeding joins).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    l2 = left.withColumn("_salt", salt)
+    r2 = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>"))
+    )
+    cond = (l2[left_key] == r2[right_key]) & (l2["_salt"] == r2["_salt"])
+    return l2.join(r2, cond, how).drop("_salt")

@@ -1,0 +1,48 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` draws from a per-partition RNG, so results change with
+partitioning and retries — useless for reproducible dataset curation or
+for cross-engine conformance checks. These operators derive the keep/drop
+decision from the row's own ID via a multiplicative hash (Knuth's 2^32
+golden-ratio constant), so the same row is kept in every run, on every
+engine, at any partitioning, and membership is a pure sargable filter —
+no shuffle, fully pushed into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH_32 = 2654435761  # 2^32 / golden ratio, Knuth TAOCP vol 3 §6.4
+_M32 = 1 << 32
+
+
+def hash_bucket(id_col: Column | str, modulus: int = _M32) -> Column:
+    """Deterministic bucket in [0, modulus) from an integer ID column."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c * F.lit(KNUTH_32)) % F.lit(modulus)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows.
+
+    `fractions` maps stratum values to keep-rates (e.g. language mixing
+    weights: {'en': 0.5, 'de': 0.1}); strata not listed keep
+    `default_fraction`. The filter compares the row's hash bucket to the
+    stratum's integer threshold — exactly reproducible in ANSI SQL
+    (conformance q44), and at 100 TB it is a scan-level filter: no
+    shuffle, no state, trivially parallel.
+    """
+    thresh: Column = F.lit(int(default_fraction * _M32))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(stratum_col) == value, F.lit(int(frac * _M32))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(id_col) < thresh)

@@ -38,7 +38,9 @@ from api_to_amt_data_lake_spark.operators.dedup import (
     minhash_signatures,
     simhash16,
 )
-from api_to_amt_data_lake_spark.operators.joins import interval_join
+from api_to_amt_data_lake_spark.operators.asof import asof_join
+from api_to_amt_data_lake_spark.operators.joins import interval_join, salted_join
+from api_to_amt_data_lake_spark.operators.sampling import stratified_sample
 from api_to_amt_data_lake_spark.operators.multimodal import (
     binary_metadata,
     with_binary_content,
@@ -1069,3 +1071,135 @@ def q41_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_end"),
         "n_events",
     )
+
+
+@register("q42_asof_join", oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.user_id, c.event_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  p.purchase_value,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""")
+def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each click is matched to
+    the user's most recent purchase at-or-before it. Linear union +
+    carry-forward plan — no per-key fanout; oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(clicks, purchases, on=["user_id"],
+                       matched_ts_col="_purchase_ts")
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_value",
+        F.date_format("_purchase_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("purchase_ts"),
+    )
+
+
+@register("q43_cube", oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with a grouping_id distinguishing
+    subtotal levels from genuine nulls (SURVEY.md §2.4 A13 family; rollup
+    is q37). Spark computes all 4 grouping sets in one pass — partial
+    aggregation happens map-side before the single shuffle."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp_id", "sum_qty", "n")
+    )
+
+
+@register("q44_stratified_sample", oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+  CASE lang
+    WHEN 'en' THEN CAST(0.5 * 4294967296 AS BIGINT)
+    WHEN 'de' THEN CAST(0.2 * 4294967296 AS BIGINT)
+    ELSE CAST(0.05 * 4294967296 AS BIGINT)
+  END
+""")
+def q44_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py): language
+    mixing weights en=0.5 / de=0.2 / rest=0.05 applied as a pure hash
+    filter on doc_id — reproducible across engines, partitionings, and
+    retries, and evaluated at scan level (no shuffle)."""
+    d = read_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", "doc_id", {"en": 0.5, "de": 0.2}, default_fraction=0.05
+    ).select("doc_id", "lang", "source")
+
+
+@register("q45_salted_join", oracle="""
+SELECT o.o_orderpriority,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+           * CAST(1 - l.l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""")
+def q45_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/joins.py::salted_join):
+    lineitem salted over 8 buckets, orders replicated per salt; revenue
+    per order priority must equal the plain-join oracle exactly."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    j = salted_join(l, o, "l_orderkey", "o_orderkey", n_salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(_dec("l_extendedprice") * _dec(1 - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register("q46_hll_distinct", oracle="""
+SELECT event_type, CAST(1 AS INT) AS within_1pct
+FROM events GROUP BY event_type
+""")
+def q46_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (SURVEY.md §2.4 A13 'approx
+    distinct'): the sketch estimate (rsd=0.01) is checked against the
+    exact distinct count computed in the same query; the oracle asserts
+    the accuracy contract (within 1% per event type). At 100 TB the
+    sketch replaces the exact two-shuffle distinct with a fixed-size
+    mergeable state per group."""
+    e = read_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact"))
+        <= 0.01 * F.col("exact")
+    ).cast("int")
+    return agg.select("event_type", within.alias("within_1pct"))

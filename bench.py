@@ -41,6 +41,8 @@ HEADLINE = [
     "q34_cosine_topk",
     "q36_binary_metadata",
     "q41_sessionize",
+    "q42_asof_join",
+    "q44_stratified_sample",
 ]
 
 

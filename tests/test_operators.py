@@ -88,3 +88,74 @@ def test_upsert_latest(spark):
     rows = {r["id"]: (r["_changeVersion"], r["payload"])
             for r in upsert_latest(base, updates, ["id"]).collect()}
     assert rows == {"a": (3, "new-a"), "b": (5, "dup-b"), "c": (1, "new-c")}
+
+
+def test_asof_join_basic_and_ties(spark):
+    from datetime import datetime
+
+    from api_to_amt_data_lake_spark.operators import asof_join
+
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(8), "a"), (1, t(10), "b"), (1, t(12), "c"), (2, t(9), "d")],
+        ["uid", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, t(9), 10.0), (1, t(10), 20.0), (2, t(11), 30.0)],
+        ["uid", "ts", "px"])
+    out = {r["tag"]: r for r in asof_join(
+        left, right, on=["uid"], matched_ts_col="mts").collect()}
+    assert out["a"]["px"] is None and out["a"]["mts"] is None
+    # tie at 10:00 matches (ASOF >= semantics)
+    assert out["b"]["px"] == 20.0 and out["b"]["mts"] == t(10)
+    assert out["c"]["px"] == 20.0
+    assert out["d"]["px"] is None  # right row is later than left
+
+
+def test_asof_join_tolerance_and_inner(spark):
+    from datetime import datetime
+
+    from api_to_amt_data_lake_spark.operators import asof_join
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(8), "early"), (1, t(12), "late")], ["uid", "ts", "tag"])
+    right = spark.createDataFrame([(1, t(7), 1.0)], ["uid", "ts", "px"])
+    out = {r["tag"]: r for r in asof_join(
+        left, right, on=["uid"], tolerance_seconds=2 * 3600).collect()}
+    assert out["early"]["px"] == 1.0      # 1h gap, within tolerance
+    assert out["late"]["px"] is None      # 5h gap, nulled out
+    inner = asof_join(left, right, on=["uid"], how="inner",
+                      tolerance_seconds=2 * 3600)
+    assert [r["tag"] for r in inner.collect()] == ["early"]
+
+
+def test_salted_join_matches_plain(spark):
+    from api_to_amt_data_lake_spark.operators import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in (1, 1, 1, 1, 2) for i in range(5)], ["k", "i"])
+    right = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["rk", "v"])
+    got = salted_join(left, right, "k", "rk", n_salt=4)
+    want = left.join(right, left.k == right.rk)
+    assert got.count() == want.count() == 25
+    assert ({(r["k"], r["i"], r["v"]) for r in got.collect()}
+            == {(r["k"], r["i"], r["v"]) for r in want.collect()})
+
+
+def test_stratified_sample_deterministic(spark):
+    from api_to_amt_data_lake_spark.operators import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(1000)],
+        ["doc_id", "lang"])
+    s1 = stratified_sample(df, "lang", "doc_id", {"en": 0.5}, 0.1)
+    s2 = stratified_sample(df.repartition(7), "lang", "doc_id",
+                           {"en": 0.5}, 0.1)
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids2 = {r["doc_id"] for r in s2.collect()}
+    assert ids1 == ids2  # partitioning-independent membership
+    by_lang = {r["lang"]: r["n"] for r in
+               s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 500 candidates per stratum; keep-rates ~0.5 / ~0.1
+    assert 200 < by_lang.get("en", 0) < 300
+    assert 20 < by_lang.get("de", 0) < 80
