@@ -109,3 +109,31 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
         "video frame sampling requires ffmpeg bindings; contract: "
         "(id, content) -> (id, frame_idx, frame_png: binary) one row per sampled frame"
     )
+
+
+def resize_image(df: DataFrame, width: int, height: int,
+                 content_col: str = "content") -> DataFrame:
+    """STUB — image resize (no PIL/libvips in this container).
+
+    Real implementation: mapInPandas over (id, pixels) batches emitting
+    (id, pixels: binary) at the target size; co-partitioned with decode so
+    decode→resize fuses into one Python worker pass (no shuffle between).
+    """
+    raise NotImplementedError(
+        "image resize requires a codec library; contract: "
+        f"(id, pixels) -> (id, pixels at {width}x{height})"
+    )
+
+
+def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """STUB — audio decode (no soundfile/ffmpeg in this container).
+
+    Real implementation: mapInPandas over (id, content) batches decoding to
+    (id, sample_rate, n_samples, pcm: binary); long files should be
+    row-split into fixed-duration chunks *before* decode so one batch's
+    decoded PCM fits executor memory.
+    """
+    raise NotImplementedError(
+        "audio decode requires ffmpeg/soundfile; contract: "
+        "(id, content) -> (id, sample_rate, n_samples, pcm)"
+    )

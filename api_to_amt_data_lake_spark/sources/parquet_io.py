@@ -45,3 +45,29 @@ def write_view(df: DataFrame, gold_root: str, view_name: str,
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
     return path
+
+
+def write_view_bucketed(df: DataFrame, table_name: str,
+                        bucket_cols: list[str], n_buckets: int = 32,
+                        sort_cols: list[str] | None = None,
+                        location: str | None = None) -> None:
+    """Write a gold view hash-bucketed (and optionally sorted) on its join
+    key, registered as a catalog table.
+
+    This is the 100 TB answer to the reference's view-on-view composition
+    (SURVEY.md §2.3 J11: `student_history_dim` joins 6 gold views, all on
+    the student key): two views bucketed on the same key with the same
+    bucket count join with ZERO exchange — each task reads matching
+    buckets directly — and with `sort_cols` set the sort is free too.
+    The shuffle is paid once at write time instead of once per consuming
+    join.
+    """
+    writer = (
+        df.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if location:
+        writer = writer.option("path", location)
+    writer.saveAsTable(table_name)

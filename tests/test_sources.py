@@ -97,3 +97,37 @@ def test_watermark_roundtrip(tmp_path):
 
 def test_read_collection_missing_returns_none(spark, tmp_path):
     assert read_collection(spark, str(tmp_path), 2023, "nothing") is None
+
+
+def test_bucketed_views_join_without_shuffle(spark, tmp_path):
+    """Two gold views bucketed on the same key must join with no Exchange
+    in the physical plan (the write-time shuffle replaces every consuming
+    join's shuffle — SURVEY.md §2.3 J11 at scale)."""
+    from api_to_amt_data_lake_spark.sources.parquet_io import (
+        write_view_bucketed,
+    )
+
+    left = spark.range(0, 1000).selectExpr(
+        "id AS student_key", "id % 7 AS grade")
+    right = spark.range(0, 1000).selectExpr(
+        "id AS student_key", "id % 3 AS absences")
+    write_view_bucketed(left, "bkt_left", ["student_key"], n_buckets=4,
+                        sort_cols=["student_key"],
+                        location=str(tmp_path / "bkt_left"))
+    write_view_bucketed(right, "bkt_right", ["student_key"], n_buckets=4,
+                        sort_cols=["student_key"],
+                        location=str(tmp_path / "bkt_right"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_left").join(
+                spark.table("bkt_right"), "student_key")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

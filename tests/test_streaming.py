@@ -110,3 +110,49 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     open_tail = {w for w in want_all if w[0] == 99}  # sentinel stays open
     assert got == want_all - open_tail
     assert len(got) == 5
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate keys inside the horizon are
+    dropped; each distinct key is emitted exactly once."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from api_to_amt_data_lake_spark.streaming.dedup import dedup_stream
+
+    t0 = datetime(2024, 3, 1, 8, 0, 0)
+    m = timedelta(minutes=1)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload", T.StringType()),
+    ])
+    rows = [
+        (1, t0, "first"), (1, t0 + 5 * m, "dup-close"),
+        (2, t0 + 2 * m, "first"),
+        (1, t0 + 20 * m, "dup-still-inside"),
+        (3, t0 + 30 * m, "first"),
+    ]
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = (
+        dedup_stream(stream, ["k"], watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "dd_out"))
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.k, r.payload)
+        for r in spark.read.parquet(str(tmp_path / "dd_out")).collect()
+    )
+    assert got == [(1, "first"), (2, "first"), (3, "first")]
