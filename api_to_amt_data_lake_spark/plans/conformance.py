@@ -1203,3 +1203,24 @@ def q46_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= 0.01 * F.col("exact")
     ).cast("int")
     return agg.select("event_type", within.alias("within_1pct"))
+
+
+@register("q47_percentiles", oracle="""
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag
+""")
+def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SURVEY.md §2.4 A13
+    family): Spark's `percentile` and DuckDB's `quantile_cont` share the
+    linear-interpolation definition, so values match after 4dp rounding.
+    At 100 TB swap for `approx_percentile` (t-digest sketch, mergeable
+    fixed-size state) — exact percentile must collect each group's values."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    )
