@@ -156,3 +156,65 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "dd_out")).collect()
     )
     assert got == [(1, "first"), (2, "first"), (3, "first")]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream time-bounded join: purchases within 30 min after a
+    click, per user; results must equal the equivalent batch join."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from api_to_amt_data_lake_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    t0 = datetime(2024, 3, 1, 8, 0, 0)
+    m = timedelta(minutes=1)
+    cs = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("click_ts", T.TimestampType()),
+        T.StructField("click_id", T.LongType()),
+    ])
+    ps = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    clicks = [
+        (1, t0, 1), (1, t0 + 60 * m, 2), (2, t0 + 5 * m, 3),
+    ]
+    purchases = [
+        (1, t0 + 10 * m, 9.5),     # matches click 1 (10m after)
+        (1, t0 + 75 * m, 20.0),    # matches click 2 (15m after)
+        (2, t0 + 50 * m, 7.0),     # 45m after click 3 -> no match
+    ]
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir(), pdir.mkdir()
+    spark.createDataFrame(clicks, cs).coalesce(1).write.parquet(
+        str(cdir / "f1"))
+    spark.createDataFrame(purchases, ps).coalesce(1).write.parquet(
+        str(pdir / "f1"))
+
+    cstream = spark.readStream.schema(cs).parquet(str(cdir / "*"))
+    pstream = spark.readStream.schema(ps).parquet(str(pdir / "*"))
+    joined = stream_interval_join(
+        cstream, pstream, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        lower_seconds=0, upper_seconds=1800,
+    ).select("l.user_id", "click_id", "amount")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "ssj_out"))
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.user_id, r.click_id, r.amount)
+        for r in spark.read.parquet(str(tmp_path / "ssj_out")).collect()
+    )
+    assert got == [(1, 1, 9.5), (1, 2, 20.0)]
