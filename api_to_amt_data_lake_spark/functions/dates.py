@@ -56,3 +56,20 @@ def quarter_name(c: Column | str) -> Column:
 def run_date_key(run_date: str) -> Column:
     """The injected 'today' as a yyyymmdd literal key (replaces F10)."""
     return F.lit(run_date.replace("-", "")[:8])
+
+
+def date_key_between(c: Column | str, lo: str, hi: str) -> Column:
+    """Sargable form of ``date_key(c) BETWEEN lo AND hi`` (lo/hi are
+    yyyymmdd keys) for date/timestamp columns.
+
+    Because lexicographic order on date keys equals chronological order,
+    the string-key range is equivalent to a native range on the underlying
+    column — which Catalyst folds to literals and pushes into the parquet
+    scan, where the formatted-string predicate cannot be pushed. Use this
+    at filter sites; keep `date_key` for join keys and output columns.
+    """
+    start = F.to_timestamp(F.lit(lo), "yyyyMMdd")
+    end_exclusive = F.date_add(F.to_date(F.lit(hi), "yyyyMMdd"), 1) \
+        .cast("timestamp")
+    col = _col(c)
+    return (col >= start) & (col < end_exclusive)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from api_to_amt_data_lake_spark.functions.dates import (
     date_key,
+    date_key_between,
     month_name,
     quarter_name,
 )
@@ -419,9 +420,8 @@ def q16_datekey_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/F7: the reference's yyyymmdd string date-key range predicate
     (lexicographic == chronological, `pandasWrapper.py:143-144`)."""
     l = read_table(spark, sf_dir, "lineitem")
-    key = date_key("l_shipdate")
     return (
-        l.filter(key.between("19960101", "19961231"))
+        l.filter(date_key_between("l_shipdate", "19960101", "19961231"))
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
