@@ -1224,3 +1224,272 @@ def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 — set ops, grouping sets, window frames, regex/n-gram text,
+# incremental merge (SURVEY.md §2.6 O6, §2.4 A13, §2.5, §2.1 S2/S4)
+# ---------------------------------------------------------------------------
+
+@register("q48_intersect_except", oracle="""
+SELECT 'both' AS tag, o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+UNION ALL
+SELECT 'only95' AS tag, o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+""")
+def q48_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (SURVEY.md §2.6 O6 — absent from the
+    reference, which would emulate them with joins + drop_duplicates).
+    Both are distinct-input set ops, so each side dedups map-side before
+    the single hash shuffle; at scale they plan as shuffled hash joins."""
+    o = read_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    c95 = o.filter(yr == 1995).select("o_custkey").distinct()
+    c96 = o.filter(yr == 1996).select("o_custkey").distinct()
+    both = c95.intersect(c96).select(F.lit("both").alias("tag"), "o_custkey")
+    only95 = c95.exceptAll(c96).select(
+        F.lit("only95").alias("tag"), "o_custkey")
+    return both.unionByName(only95)
+
+
+@register("q49_grouping_sets", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""")
+def q49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY.md §2.4 A13) via the Spark 4
+    DataFrame API — one pass, partial aggregation per set, `grouping_id`
+    disambiguates the null-keyed superaggregate rows from real nulls."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [[F.col("o_orderstatus"), F.col("o_orderpriority")],
+             [F.col("o_orderstatus")], []],
+            F.col("o_orderstatus"), F.col("o_orderpriority"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+@register("q50_topk_per_group", oracle="""
+SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""")
+def q50_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number (SURVEY.md §2.5/§2.6 — the
+    reference's max-per-group J9 generalized to k>1). Deterministic under
+    the (price desc, key) total order. At scale Spark rewrites rank<k
+    filters into per-partition top-k (WindowGroupLimit) so no partition
+    materializes more than k rows pre-shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_orderstatus", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register("q51_lead_lag_gaps", oracle="""
+SELECT o_custkey, o_orderkey,
+  date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE),
+            CAST(o_orderdate AS DATE)) AS gap_days,
+  date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(LEAD(o_orderdate) OVER w AS DATE)) AS next_gap_days
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def q51_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-customer order history (SURVEY.md §2.5): days
+    since the previous and until the next order. The customer filter is
+    pushed to the scan; one shuffle on o_custkey serves both functions
+    (same window spec)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).alias("gap_days"),
+        F.datediff(F.lead(d).over(w), d).alias("next_gap_days"),
+    )
+
+
+@register("q52_regex_extract", oracle="""
+SELECT regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY first_word
+""")
+def q52_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract as a scan-side scalar (SURVEY.md §2.7 F1-F3 family
+    generalized to full regex). Stays in whole-stage codegen — no UDF."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.regexp_extract("text", r"^([a-z]+)", 1)
+                  .alias("first_word"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"))
+    )
+
+
+@register("q53_ngram_shingles", oracle="""
+WITH tri AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+    i -> string_split(text, ' ')[i] || ' ' ||
+         string_split(text, ' ')[i+1] || ' ' ||
+         string_split(text, ' ')[i+2])) AS shingle
+  FROM documents
+)
+SELECT shingle, COUNT(*) AS n
+FROM tri GROUP BY shingle HAVING COUNT(*) >= 5
+""")
+def q53_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram shingling + frequency (training-data-pipeline text
+    op; the shingle generator feeds MinHash q32). Array transform +
+    explode is all JVM-side; the count aggregates map-side before one
+    shuffle on the shingle."""
+    d = read_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)) \
+        .otherwise(F.array().cast("array<int>"))
+    tri = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(words, i), F.element_at(words, i + 1),
+        F.element_at(words, i + 2)))
+    return (
+        d.select(F.explode(tri).alias("shingle"))
+        .groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register("q54_upsert_latest", oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price, 1 AS v, 0 AS src
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, o_orderstatus,
+    CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS price, 2 AS v, 1 AS src
+  FROM orders WHERE o_orderkey % 3 = 0
+), merged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY v DESC, src DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(price) AS DOUBLE) AS total
+FROM merged WHERE rn = 1 GROUP BY o_orderstatus
+""")
+def q54_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert: newest change version wins per natural key
+    (SURVEY.md §2.1 S4/§2.9 — the change-version loop the reference lands
+    but never consumes). Exercises operators.merge.upsert_latest, which
+    dedups via max-struct aggregation (map-side partial) instead of a
+    window sort."""
+    from api_to_amt_data_lake_spark.operators.merge import upsert_latest
+
+    o = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = o.select("o_orderkey", "o_orderstatus",
+                    price.alias("price"), F.lit(1).alias("_changeVersion"))
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus",
+        (price * 2).alias("price"), F.lit(2).alias("_changeVersion"))
+    merged = upsert_latest(base, upd, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("total"),
+    )
+
+
+@register("q55_tombstones", oracle="""
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+""")
+def q55_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone application (SURVEY.md §2.1 S2 `/deletes` feed): left
+    anti join drops deleted keys. The deletes side dedups then broadcasts
+    when small — the hourly-increment common case."""
+    from api_to_amt_data_lake_spark.operators.merge import apply_tombstones
+
+    o = read_table(spark, sf_dir, "orders")
+    deletes = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    return apply_tombstones(o, deletes, ["o_orderkey"]) \
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("q56_histogram", oracle="""
+SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+  COUNT(*) AS n,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders GROUP BY bucket
+""")
+def q56_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (profiling op for pipeline data
+    audits). Bucket arithmetic is IEEE-exact in both engines; min/max
+    aggregate map-side so the shuffle carries ≤10 rows per partition."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)) \
+        .cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
+@register("q57_range_frame", oracle="""
+SELECT o_custkey, o_orderkey, day,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY day
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+FROM (
+  SELECT o_custkey, o_orderkey,
+    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day,
+    o_totalprice
+  FROM orders WHERE o_custkey < 50
+)
+""")
+def q57_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, SURVEY.md §2.5): 30-day
+    rolling spend per customer. Unlike ROWS frames the bound is on the
+    ordering value, so ties share a frame — deterministic without a
+    tie-break column."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1990-01-01").cast("date"))
+    base = o.select("o_custkey", "o_orderkey", day.alias("day"),
+                    "o_totalprice")
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    return base.select(
+        "o_custkey", "o_orderkey", "day",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("rolling_30d"),
+    )
