@@ -1493,3 +1493,23 @@ def q57_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
         .cast("double").alias("rolling_30d"),
     )
+
+
+@register("q58_global_topk", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""")
+def q58_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (SURVEY.md §2.6 O6). Spark plans this as
+    TakeOrderedAndProject: each partition keeps its local top-10, the
+    driver merges k·partitions rows — no global sort, no full shuffle,
+    the shape that survives any scale. Tie-break on o_orderkey makes the
+    result a deterministic set (hash compare is order-insensitive)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
