@@ -1513,3 +1513,45 @@ def q58_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@register("q59_stream_sessionize")  # no oracle: stateful streaming op,
+# not SQL-expressible — the driver records the weaker rows-only check;
+# batch-vs-stream parity is asserted in tests/test_streaming.py and the
+# batch binding is fully oracle-checked as q41.
+def q59_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization executed through Structured Streaming
+    (applyInPandasWithState, event-time timeout): the events table is
+    replayed as a file stream with an availableNow trigger into a memory
+    sink, and the emitted (closed) sessions are summarized. State is
+    O(active users); emission is append-only — the bounded-state shape a
+    100 TB event stream needs."""
+    import os
+
+    from api_to_amt_data_lake_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(path).schema
+    # The file stream source requires a directory; glob-filter the events
+    # file out of the shared testdata dir.
+    raw = (spark.readStream.schema(batch_schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict((f.name, f.dataType.simpleString()) for f in batch_schema.fields
+            ).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks require TIMESTAMP_LTZ; tz-less parquet timestamps load
+    # as NTZ, so re-anchor in the (UTC-pinned) session zone.
+    events = raw.select("user_id",
+                        F.col("ts").cast("timestamp").alias("ts"))
+    sessions = sessionize_stream(events, watermark="30 minutes")
+    q = (sessions.writeStream.format("memory")
+         .queryName("q59_sessions").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout=300)
+    return spark.table("q59_sessions").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )

@@ -36,6 +36,12 @@ def get_spark(app_name: str = "api_to_amt_data_lake_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime row-level filtering for large shuffle joins: build a
+        # bloom filter from the selective side and push it into the probe
+        # side's scan. A no-op on broadcast joins (locally everything
+        # broadcasts); on a 100 TB fact-to-fact join it prunes the probe
+        # scan before the shuffle, which is where most of the bytes die.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     active = SparkSession.getActiveSession()

@@ -71,3 +71,25 @@ def write_view_bucketed(df: DataFrame, table_name: str,
     if location:
         writer = writer.option("path", location)
     writer.saveAsTable(table_name)
+
+
+def write_view_clustered(df: DataFrame, path: str, cluster_cols: list[str],
+                         n_files: int | None = None) -> str:
+    """Write a gold view range-clustered on `cluster_cols`: rows are
+    range-partitioned then sorted within each file, so every output file
+    covers a disjoint key range.
+
+    This is the file-level data-skipping story for non-partition-key
+    predicates at 100 TB: parquet min/max footer stats become tight under
+    the sort, and a pushed range/equality filter on the cluster column
+    prunes whole files (and row groups) at scan planning time — the same
+    effect as Delta/Iceberg Z-ordering for the single-column case, on
+    plain parquet. Partition-by-school-year handles the coarse pruning;
+    this handles the fine-grained key (student key, date key) inside each
+    partition.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    part = df.repartitionByRange(n_files, *cols) if n_files \
+        else df.repartitionByRange(*cols)
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+    return path

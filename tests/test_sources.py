@@ -4,6 +4,9 @@ watermark, streaming events."""
 from __future__ import annotations
 
 import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
 
 from api_to_amt_data_lake_spark.sources.json_source import read_collection
 from api_to_amt_data_lake_spark.sources.rest import (
@@ -131,3 +134,33 @@ def test_bucketed_views_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_clustered_write_files_are_range_disjoint(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from api_to_amt_data_lake_spark.sources.parquet_io import (
+        write_view_clustered,
+    )
+
+    df = spark.range(0, 10_000).withColumn(
+        "student_key", (F.col("id") * 2654435761 % 10_007).cast("long"))
+    path = str(tmp_path / "clustered")
+    write_view_clustered(df.select("student_key", "id"), path,
+                         ["student_key"], n_files=8)
+
+    ranges = []
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.read_metadata(str(f))
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "student_key"
+            assert col.statistics is not None
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"file ranges overlap: {ranges}"
