@@ -29,6 +29,22 @@ def token_count(c: Column | str) -> Column:
     return F.size(tokens(c))
 
 
+# GPT-2-style pre-tokenizer pattern: contractions, space-prefixed letter
+# runs, digit runs, other-symbol runs, residual whitespace. Deliberately
+# restricted to constructs with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB/oracle): no lookahead, no unicode categories.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """Token count under a BPE-ish pre-tokenization (the piece count a
+    GPT-2-family tokenizer would split further into subwords). A single
+    JVM-side regexp_count — the scalable estimator for per-document token
+    budgets; a real BPE vocab lookup would be an Arrow-batched Pandas UDF
+    over these pieces."""
+    return F.regexp_count(_col(c), F.lit(BPE_PATTERN)).cast("long")
+
+
 def occurrence_count(c: Column | str, marker: str) -> Column:
     """How many times `marker` occurs — the replace-and-measure trick,
     deterministic and identical in any SQL dialect."""

@@ -1555,3 +1555,28 @@ def q59_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@register("q60_bpe_token_count", oracle=r"""
+SELECT d.source,
+  CAST(SUM(len(regexp_extract_all(d.text,
+    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+  ))) AS BIGINT) AS bpe_tokens,
+  CAST(SUM(len(string_split(trim(d.text), ' '))) AS BIGINT) AS ws_tokens
+FROM documents d GROUP BY d.source
+""")
+def q60_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting two ways (training-data-pipeline text op): BPE-ish
+    pre-tokenizer piece count (regexp_count, JVM-side) next to the plain
+    whitespace count. The regex is restricted to the Java/RE2 common
+    subset so the DuckDB oracle matches bit-for-bit."""
+    from api_to_amt_data_lake_spark.operators.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+        F.sum(token_count("text").cast("long")).alias("ws_tokens"),
+    )

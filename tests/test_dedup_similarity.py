@@ -124,3 +124,17 @@ def test_binary_metadata_and_fake_features(spark):
     feats = {r["id"]: r["feature"] for r in fake_feature_extract(blobs).collect()}
     assert len(feats[1]) == 8 and feats[1] == feats[2] != feats[4]
     assert all(0.0 <= x <= 1.0 for x in feats[1])
+
+
+def test_bpe_token_count_pieces(spark):
+    from api_to_amt_data_lake_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "it's rain-proof, 100% dry!"), (2, "hello"), (3, "")],
+        ["id", "t"])
+    got = {r["id"]: r["n"]
+           for r in df.select("id", bpe_token_count("t").alias("n")).collect()}
+    # "it" "'s" " rain" "-" "proof" "," " 100" "%" " dry" "!" -> 10
+    assert got[1] == 10
+    assert got[2] == 1
+    assert got[3] == 0
