@@ -37,7 +37,8 @@ def apply_tombstones(df: DataFrame, deletes: DataFrame,
 
 
 def upsert_latest(base: DataFrame, updates: DataFrame, keys: Sequence[str],
-                  version_col: str = "_changeVersion") -> DataFrame:
+                  version_col: str = "_changeVersion",
+                  allow_missing_columns: bool = False) -> DataFrame:
     """Merge an incremental batch into a snapshot: newest version wins.
 
     Rows present in both keep the one with the greater `version_col`
@@ -46,7 +47,8 @@ def upsert_latest(base: DataFrame, updates: DataFrame, keys: Sequence[str],
     INSERT` for append-style sources, expressed on plain DataFrames.
     """
     tagged = base.withColumn("_src", F.lit(0)).unionByName(
-        updates.withColumn("_src", F.lit(1)))
+        updates.withColumn("_src", F.lit(1)),
+        allowMissingColumns=allow_missing_columns)
     latest = tagged.groupBy(*keys).agg(
         F.max(F.struct(F.col(version_col), F.col("_src"))).alias("_w"))
     return (

@@ -164,3 +164,49 @@ def test_clustered_write_files_are_range_disjoint(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next, f"file ranges overlap: {ranges}"
+
+
+def test_incremental_snapshot_equals_full_rebuild(spark, tmp_path):
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        read_snapshot,
+        refresh_snapshot,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "id string, v long, name string")
+
+    # Increment 1: three documents.
+    inc1 = docs([("a", 1, "alpha"), ("b", 1, "bravo"), ("c", 1, "charlie")])
+    refresh_snapshot(spark, inc1, None, str(tmp_path), 2023, "students",
+                     key_col="id", version_col="v")
+
+    # Increment 2: updates b (newer), re-sends a (stale copy must lose),
+    # adds d; deletes feed tombstones c.
+    inc2 = docs([("b", 2, "BRAVO2"), ("a", 0, "stale"), ("d", 2, "delta")])
+    dels = spark.createDataFrame([("c",)], "id string")
+    out = refresh_snapshot(spark, inc2, dels, str(tmp_path), 2023, "students",
+                           key_col="id", version_col="v")
+
+    got = {r["id"]: (r["v"], r["name"]) for r in out.collect()}
+    assert got == {"a": (1, "alpha"), "b": (2, "BRAVO2"), "d": (2, "delta")}
+
+    # The persisted current snapshot matches what refresh returned.
+    snap = read_snapshot(spark, str(tmp_path), 2023, "students")
+    assert {tuple(r) for r in snap.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_incremental_snapshot_schema_drift(spark, tmp_path):
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        refresh_snapshot,
+    )
+
+    inc1 = spark.createDataFrame([("a", 1, "x")], "id string, v long, old string")
+    refresh_snapshot(spark, inc1, None, str(tmp_path), 2023, "ep",
+                     key_col="id", version_col="v")
+    # Second increment carries a column the snapshot has never seen and
+    # lacks one it has.
+    inc2 = spark.createDataFrame([("b", 2, "y")], "id string, v long, new string")
+    out = refresh_snapshot(spark, inc2, None, str(tmp_path), 2023, "ep",
+                           key_col="id", version_col="v")
+    rows = {r["id"]: (r["old"], r["new"]) for r in out.collect()}
+    assert rows == {"a": ("x", None), "b": (None, "y")}
