@@ -160,21 +160,53 @@ def build_view(name: str, spark: SparkSession, silver_root: str,
 
 
 def run_all(spark: SparkSession, silver_root: str, gold_root: str,
-            school_year: str | int, run_date: str | None = None) -> dict[str, str]:
+            school_year: str | int, run_date: str | None = None,
+            parallelism: int | None = None) -> dict[str, str]:
     """Build and write every registered view; shared upstreams cached.
 
     Returns {view_name: gold_path}. Unlike the reference's strictly
     sequential loop, each view is an independent lazy plan — Spark
     schedules the writes' stages across all executor cores.
+
+    View-on-view reuse (J11) works through the CacheManager: dependents
+    rebuild the upstream's logical plan, and Spark substitutes the cached
+    InMemoryRelation on analyzed-plan equality. That makes ordering
+    matter: shared views are cached AND materialized (their gold write)
+    first, so dependents hit a completed cache instead of racing to
+    compute it.
+
+    `parallelism` > 1 submits the remaining views' write jobs from a
+    thread pool. A single view rarely saturates the cluster (small dims
+    plan a handful of tasks; every job has scheduling/commit dead time),
+    so overlapping independent writes raises utilization — the gold
+    phase in the reference is strictly serial (`amt_parquet.py:27-36`).
     """
     out: dict[str, str] = {}
     cached: list[DataFrame] = []
-    for spec in VIEWS.values():
-        df = spec.build(spark, silver_root, school_year, run_date)
-        if spec.shared:
-            df = df.cache()
-            cached.append(df)
+
+    shared_specs = [s for s in VIEWS.values() if s.shared]
+    rest_specs = [s for s in VIEWS.values() if not s.shared]
+
+    for spec in shared_specs:
+        df = spec.build(spark, silver_root, school_year, run_date).cache()
+        cached.append(df)
         out[spec.name] = write_view(df, gold_root, spec.name, school_year)
+
+    if parallelism and parallelism > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(spec: ViewSpec) -> tuple[str, str]:
+            df = spec.build(spark, silver_root, school_year, run_date)
+            return spec.name, write_view(df, gold_root, spec.name, school_year)
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            for name, path in pool.map(one, rest_specs):
+                out[name] = path
+    else:
+        for spec in rest_specs:
+            df = spec.build(spark, silver_root, school_year, run_date)
+            out[spec.name] = write_view(df, gold_root, spec.name, school_year)
+
     for df in cached:
         df.unpersist()
     return out

@@ -1434,3 +1434,23 @@ def test_collection_parity_counts():
         "equity": 5, "ews": 2, "qews": 0, "rls": 5,
     }
     assert sum(counts.values()) == 41
+
+
+def test_run_all_parallel_matches_sequential(spark, silver, tmp_path):
+    """Parallel gold-phase submission (thread pool over independent view
+    writes) must produce exactly the outputs of the sequential loop."""
+    from api_to_amt_data_lake_spark.amt import registry
+    seq_gold = str(tmp_path / "gold_seq")
+    par_gold = str(tmp_path / "gold_par")
+    seq = registry.run_all(spark, silver, seq_gold, SY, run_date="2023-09-01")
+    par = registry.run_all(spark, silver, par_gold, SY, run_date="2023-09-01",
+                           parallelism=8)
+    assert set(seq) == set(par)
+    for name in seq:
+        a = spark.read.parquet(seq[name])
+        b = spark.read.parquet(par[name])
+        assert a.columns == b.columns, name
+        key = lambda row: tuple("\0" if v is None else str(v) for v in row)
+        ra = sorted(map(tuple, a.collect()), key=key)
+        rb = sorted(map(tuple, b.collect()), key=key)
+        assert ra == rb, name
