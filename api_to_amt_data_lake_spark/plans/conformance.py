@@ -1580,3 +1580,85 @@ def q60_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bpe_token_count("text")).alias("bpe_tokens"),
         F.sum(token_count("text").cast("long")).alias("ws_tokens"),
     )
+
+
+@register("q61_funnel", oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL SELECT 'view>click', (SELECT COUNT(*) FROM c)
+UNION ALL SELECT 'view>click>purchase', (SELECT COUNT(*) FROM p)
+""")
+def q61_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase) over the event
+    stream. Three stage aggregations, each shuffling on user_id — the
+    same key every stage, so at scale the exchanges line up and AQE
+    coalesces; no window sort over the full event table is needed."""
+    e = read_table(spark, sf_dir, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (e.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (e.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    row = [
+        v.agg(F.lit("view").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit("view>click").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+        p.agg(F.lit("view>click>purchase").alias("stage"),
+              F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = row[0]
+    for r in row[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register("q62_retention_cohorts", oracle="""
+WITH firsts AS (
+  SELECT user_id,
+    CAST(date_diff('day', DATE '2024-01-01',
+                   CAST(MIN(ts) AS DATE)) // 7 AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+  CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(e.ts AS DATE)) // 7 AS BIGINT) - f.cohort_week
+    AS week_offset,
+  COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def q62_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week,
+    counted distinct per week offset. First-seen agg + join share the
+    user_id partitioning; the distinct-count shuffles once on the
+    (cohort, offset) pair."""
+    e = read_table(spark, sf_dir, "events")
+    day0 = F.lit("2024-01-01").cast("date")
+    firsts = e.groupBy("user_id").agg(
+        F.floor(F.datediff(F.min("ts").cast("date"), day0) / 7)
+        .cast("bigint").alias("cohort_week"))
+    week = F.floor(F.datediff(F.col("ts").cast("date"), day0) / 7) \
+        .cast("bigint")
+    return (
+        e.join(firsts, "user_id")
+        .groupBy("cohort_week",
+                 (week - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
