@@ -130,8 +130,12 @@ def synth_silver(root: Path, n_students: int) -> None:
 
 
 def main() -> None:
+    # Usage: scale_smoke.py [n_students] [out_dir] [parallelism]
+    # parallelism > 1 times one registry.run_all with concurrent writes
+    # instead of the per-view loop (per-view timings are then unavailable).
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     out = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/tmp/scale_smoke")
+    parallelism = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     silver = out / "silver"
     gold = out / "gold"
     if not (silver / str(SY)).exists():
@@ -143,6 +147,15 @@ def main() -> None:
     from api_to_amt_data_lake_spark.amt import registry
     from api_to_amt_data_lake_spark.session import get_spark
     spark = get_spark("scale_smoke")
+
+    if parallelism > 1:
+        t0 = time.time()
+        registry.run_all(spark, str(silver), str(gold), SY,
+                         run_date="2023-10-01", parallelism=parallelism)
+        total = time.time() - t0
+        print(json.dumps({"n_students": n, "total_sec": round(total, 1),
+                          "parallelism": parallelism, "views": {}}))
+        return
 
     times: dict[str, float] = {}
     total = 0.0
