@@ -137,3 +137,47 @@ def ivf_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the centroid
+    trainer for `ivf_topk` (real IVF indexes train centroids, they don't
+    sample arbitrary rows).
+
+    Deterministic init: the k lowest-id vectors. Each iteration is fully
+    distributed — assignment broadcasts the k centroids over one corpus
+    pass (`ivf_assign`), and the element-wise mean runs as
+    posexplode → groupBy(bucket, pos) → avg, which partial-aggregates
+    map-side so the shuffle carries at most k×dim rows. The driver only
+    holds the loop counter, never the data; this is the same
+    driver-iterates / executors-compute shape MLlib uses.
+
+    Output: (bucket, centroid vec) with `id_col`/`vec_col` names so it
+    plugs straight into `ivf_topk(..., centroids=...)`.
+    """
+    w = Window.orderBy(F.col(id_col).asc())
+    cent = (
+        corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias(id_col),
+            _as_double(F.col(vec_col)).alias(vec_col),
+        )
+    )
+    for _ in range(iters):
+        assign = ivf_assign(corpus, cent, id_col, vec_col)
+        means = (
+            corpus.join(assign, id_col)
+            .select("bucket", F.posexplode(_as_double(F.col(vec_col))))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select(
+                F.col("bucket").alias(id_col),
+                F.transform("_pm", lambda s: s.getField("m")).alias(vec_col),
+            )
+        )
+        cent = means
+    return cent

@@ -1662,3 +1662,23 @@ def q62_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (week - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@register("q63_kmeans_ivf")  # no oracle: iterative algorithm (driver-side
+# loop over distributed assignment/mean passes) — rows-only check; the
+# component pieces are oracle-checked via q35 (IVF search) and unit-tested
+# for cluster separation in tests/test_dedup_similarity.py.
+def q63_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train IVF centroids with distributed Lloyd's k-means (3 iterations,
+    deterministic lowest-id init) and report the bucket occupancy
+    histogram. Each iteration broadcasts k centroids and aggregates
+    element-wise means map-side; the driver never holds vectors."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(e, "vec_id", "embedding", k=8, iters=3)
+    assign = ivf_assign(e, cent, "vec_id", "embedding")
+    return assign.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))

@@ -138,3 +138,23 @@ def test_bpe_token_count_pieces(spark):
     assert got[1] == 10
     assert got[2] == 1
     assert got[3] == 0
+
+
+def test_kmeans_fit_separates_clear_clusters(spark):
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    # Two tight, well-separated clusters in 2-D.
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)] + \
+           [(10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = kmeans_fit(df, "vec_id", "embedding", k=2, iters=4)
+    assert cent.count() == 2
+
+    assign = ivf_assign(df, cent, "vec_id", "embedding")
+    got = {r["vec_id"]: r["bucket"] for r in assign.collect()}
+    low = {got[i] for i in range(5)}
+    high = {got[10 + i] for i in range(5)}
+    assert len(low) == 1 and len(high) == 1 and low != high
