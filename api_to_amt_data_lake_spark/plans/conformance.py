@@ -1373,15 +1373,21 @@ def q53_ngram_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode is all JVM-side; the count aggregates map-side before one
     shuffle on the shingle."""
     d = read_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n = F.size(words)
+    # Staged select + explode_outer (same shape as minhash_signatures):
+    # if the split() fed element_at directly, project collapse would
+    # inline one split per element access — O(words²) per document.
+    # The Generate barrier keeps `ws` materialized once per row.
+    ws = d.select(F.split("text", " ").alias("ws"))
+    n = F.size("ws")
     idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)) \
         .otherwise(F.array().cast("array<int>"))
-    tri = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.element_at(words, i), F.element_at(words, i + 1),
-        F.element_at(words, i + 2)))
+    tri = ws.select(F.explode_outer(
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", F.element_at(F.col("ws"), i),
+            F.element_at(F.col("ws"), i + 1),
+            F.element_at(F.col("ws"), i + 2)))).alias("shingle"))
     return (
-        d.select(F.explode(tri).alias("shingle"))
+        tri.filter(F.col("shingle").isNotNull())
         .groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )

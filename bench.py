@@ -43,6 +43,11 @@ HEADLINE = [
     "q41_sessionize",
     "q42_asof_join",
     "q44_stratified_sample",
+    "q48_intersect_except",
+    "q49_grouping_sets",
+    "q53_ngram_shingles",
+    "q61_funnel",
+    "q62_retention_cohorts",
 ]
 
 
