@@ -103,21 +103,48 @@ def ivf_assign(
     )
 
 
+def ivf_probe_buckets(
+    queries: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """The `nprobe` nearest centroid buckets per query vector (rank by
+    squared euclidean, centroid-id tiebreak). One row per (query, bucket).
+    Centroids broadcast; the rank window partitions by query id — k rows
+    per query, never a large sort."""
+    cent = F.broadcast(centroids.select(
+        F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_vec")
+    ))
+    scored = queries.select(F.col(id_col), F.col(vec_col)).crossJoin(cent).select(
+        F.col(id_col),
+        F.col("_cent_id").alias("bucket"),
+        F.round(sq_euclidean(F.col(vec_col), F.col("_cent_vec")), 6).alias("_d"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(),
+                                           F.col("bucket").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nprobe)
+        .select(id_col, "bucket")
+    )
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-    id_col: str, vec_col: str, k: int,
+    id_col: str, vec_col: str, k: int, nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: probe only the query's bucket (nprobe=1).
+    """IVF search: probe the query's `nprobe` nearest buckets.
 
     Output: query_id, match_id, cosine_sim, rank — approximate (recall < 1
-    by design); the scale win is the bucket equi-join replacing the cross
-    join.
+    by design, rising with nprobe; nprobe = #centroids degenerates to the
+    exact brute-force search). The scale win is the bucket equi-join
+    replacing the cross join: cost scales with nprobe/k of the corpus.
     """
     assign = ivf_assign(corpus, centroids, id_col, vec_col)
     corpus_b = corpus.join(assign, id_col).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"), "bucket"
     )
-    queries_b = queries.join(assign, id_col).select(
+    probes = ivf_probe_buckets(queries, centroids, id_col, vec_col, nprobe)
+    queries_b = queries.join(probes, id_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
     )
     sims = (

@@ -158,3 +158,24 @@ def test_kmeans_fit_separates_clear_clusters(spark):
     low = {got[i] for i in range(5)}
     high = {got[10 + i] for i in range(5)}
     assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_ivf_nprobe_full_recovers_brute_force(spark):
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    e = _embs(spark)
+    q = e.filter(F.col("vec_id").isin(0, 1, 3))
+    cent = e.filter(F.col("vec_id").isin(0, 2, 4))
+    exact = {(r["query_id"], r["rank"]): r["match_id"]
+             for r in cosine_topk(q, e, "vec_id", "embedding", k=2).collect()}
+    full = {(r["query_id"], r["rank"]): r["match_id"]
+            for r in ivf_topk(q, e, cent, "vec_id", "embedding", k=2,
+                              nprobe=3).collect()}
+    assert full == exact
+    # nprobe=2 must return at least as many candidates per query as nprobe=1.
+    n1 = ivf_topk(q, e, cent, "vec_id", "embedding", k=5, nprobe=1).count()
+    n2 = ivf_topk(q, e, cent, "vec_id", "embedding", k=5, nprobe=2).count()
+    assert n2 >= n1
