@@ -1688,3 +1688,53 @@ def q63_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = kmeans_fit(e, "vec_id", "embedding", k=8, iters=3)
     assign = ivf_assign(e, cent, "vec_id", "embedding")
     return assign.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register("q64_curation_pipeline", oracle="""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), scored AS (
+  SELECT d.doc_id, d.source,
+    len(string_split(trim(d.text), ' ')) AS n_tokens,
+    least(len(string_split(trim(d.text), ' ')) / 100.0, 1.0)
+      * (1.0 - (length(d.text)
+                - length(regexp_replace(d.text, '[.,;:!?]', '', 'g')))
+         / greatest(CAST(length(d.text) AS DOUBLE), 1.0)) AS quality
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  round(AVG(quality), 6) AS avg_quality
+FROM scored WHERE quality >= 0.3 GROUP BY source
+""")
+def q64_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass composing the training-data operators:
+    exact-dedup keeper selection (semi join against min-id per content
+    hash), quality scoring, a quality floor, and per-source token
+    budgeting. One scan feeds both the hash-groupBy and the scoring
+    projection; the keeper semi join shuffles on doc_id only."""
+    from api_to_amt_data_lake_spark.operators.dedup import exact_dedup_groups
+    from api_to_amt_data_lake_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    keepers = exact_dedup_groups(d, "doc_id", "text") \
+        .select(F.col("keeper_id").alias("doc_id"))
+    kept = d.join(keepers, "doc_id", "left_semi")
+    scored = kept.select(
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    return (
+        scored.filter(F.col("quality") >= 0.3)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
