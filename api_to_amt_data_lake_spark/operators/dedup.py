@@ -143,8 +143,18 @@ def jaccard_pairs(
         f"slice(_ord, 1, greatest(1, size(_ord) - "
         f"cast(ceil({threshold} * size(_ord)) as int) + 1))"
     )
-    pref = arr.select("_id", "_blk", "_n", F.explode(prefix).alias("_tok"))
+    pref = arr.select("_id", "_blk", "_n",
+                      F.posexplode(prefix).alias("_pos", "_tok"))
     t = F.lit(float(threshold))
+    # PPJoin positional filter: if the shared token sits at 0-based prefix
+    # position p, at most n - p tokens (it included) can still overlap, so
+    # a surviving pair needs min(nA - pA, nB - pB) >= ceil(t/(1+t)*(nA+nB))
+    # — the overlap any Jaccard >= t pair must reach. Pure pruning: the
+    # bound is implied by the threshold, so no true pair is lost.
+    overlap_ub = F.least(F.col("a._n") - F.col("a._pos"),
+                         F.col("b._n") - F.col("b._pos"))
+    overlap_req = F.ceil(
+        (t / (F.lit(1.0) + t)) * (F.col("a._n") + F.col("b._n")))
     cand = (
         pref.alias("a")
         .join(pref.alias("b"),
@@ -152,7 +162,8 @@ def jaccard_pairs(
               & (F.col("a._tok") == F.col("b._tok"))
               & (F.col("a._id") < F.col("b._id"))
               & (F.col("b._n").cast("double") >= t * F.col("a._n"))
-              & (F.col("a._n").cast("double") >= t * F.col("b._n")))
+              & (F.col("a._n").cast("double") >= t * F.col("b._n"))
+              & (overlap_ub >= overlap_req))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
