@@ -1738,3 +1738,35 @@ def q64_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
     )
+
+
+@register("q65_fuzzy_name_match", oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+""")
+def q65_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching within a blocking key (entity
+    resolution for messy catalogs). The length-difference bound is a free
+    pre-filter (|len diff| > d implies levenshtein > d), evaluated before
+    the O(len²) DP; blocking on brand bounds the pair space the same way
+    the Jaccard block key does (q31). levenshtein is built in both
+    engines — bit-identical integers."""
+    p = read_table(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("key_a"),
+                 F.col("p_name").alias("_na"),
+                 F.col("p_brand").alias("_ba"))
+    b = p.select(F.col("p_partkey").alias("key_b"),
+                 F.col("p_name").alias("_nb"),
+                 F.col("p_brand").alias("_bb"))
+    dist = F.levenshtein(F.col("_na"), F.col("_nb"))
+    return (
+        a.join(b, (F.col("_ba") == F.col("_bb"))
+               & (F.col("key_a") < F.col("key_b"))
+               & (F.abs(F.length("_na") - F.length("_nb")) <= 2))
+        .filter(dist <= 2)
+        .select("key_a", "key_b", dist.cast("bigint").alias("edit_dist"))
+    )
