@@ -1770,3 +1770,43 @@ def q65_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("key_a", "key_b", dist.cast("bigint").alias("edit_dist"))
     )
+
+
+@register("q66_native_session_window", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM flagged
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_num
+""")
+def q66_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window aggregation (gap-merged event-time
+    windows, usable in batch and streaming identically). Semantics differ
+    from q41's whole-second lag/cumsum in two ways the oracle mirrors:
+    boundaries compare exact microsecond timestamps, and a gap exactly
+    equal to 30 min starts a NEW session (window end is exclusive)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+        )
+    )
