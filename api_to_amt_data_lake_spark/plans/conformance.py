@@ -1810,3 +1810,44 @@ def q66_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register("q67_profile_columns", oracle="""
+SELECT 'o_orderstatus' AS col_name,
+  COUNT(*) - COUNT(o_orderstatus) AS n_nulls,
+  COUNT(DISTINCT o_orderstatus) AS n_distinct,
+  CAST(MIN(o_orderstatus) AS VARCHAR) AS min_val,
+  CAST(MAX(o_orderstatus) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+  COUNT(DISTINCT o_orderpriority),
+  CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+""")
+def q67_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (nulls / distincts / bounds) for pipeline data
+    audits — computed in ONE scan: every per-column statistic is an
+    aggregate of the same pass, then the wide row unpivots via stack().
+    The naive form (one scan per column, as the oracle is written) costs
+    3× the IO here and N× on a wide 100 TB table."""
+    o = read_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)")
