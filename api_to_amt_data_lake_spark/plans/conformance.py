@@ -1851,3 +1851,57 @@ def q67_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, n_nulls, n_distinct, min_val, max_val)")
+
+
+@register("q68_unpivot_measures", oracle="""
+SELECT l_returnflag, 'l_quantity' AS measure,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'l_extendedprice',
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'l_discount',
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+FROM lineitem GROUP BY l_returnflag
+""")
+def q68_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping with the native unpivot (melt) operator, then
+    one grouped aggregation over the long form — a single scan where the
+    oracle's union-of-groupbys form scans three times. Unpivot is
+    projection-only (no shuffle); the one shuffle is the final group."""
+    l = read_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(F.sum(F.col("val").cast("decimal(18,2)"))
+             .cast("double").alias("total"))
+    )
+
+
+@register("q69_approx_quantile_contract", oracle="""
+SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_1pct
+FROM lineitem GROUP BY l_returnflag
+""")
+def q69_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for the sketch-based quantile (the 100 TB path —
+    approx_percentile keeps fixed-size mergeable state where exact
+    percentile collects whole groups): the p50 estimate must land within
+    1% of the exact value per group. The oracle pins `true`, so the hash
+    check fails iff the contract is violated (same pattern as the q46 HLL
+    bound)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        (
+            F.abs(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                - F.expr("percentile(l_extendedprice, 0.5)")
+            ) <= 0.01 * F.expr("percentile(l_extendedprice, 0.5)")
+        ).alias("within_1pct")
+    )
