@@ -1557,6 +1557,8 @@ def q59_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .queryName("q59_sessions").outputMode("append")
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout=300)
+    if q.isActive:  # timeout safety: never leave a stream running
+        q.stop()
     return spark.table("q59_sessions").groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),

@@ -218,3 +218,38 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "ssj_out")).collect()
     )
     assert got == [(1, 1, 9.5), (1, 2, 20.0)]
+
+
+def test_stream_upsert_gold_multi_batch(spark, tmp_path):
+    """Documents replayed as a 2-file stream (one file per micro-batch)
+    must leave the same current snapshot a single batch upsert would:
+    newest version per key wins across batch boundaries."""
+    import json as _json
+
+    from api_to_amt_data_lake_spark.sources.incremental import read_snapshot
+    from api_to_amt_data_lake_spark.streaming.sink import stream_upsert_gold
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch1 = [{"id": "a", "v": 1, "name": "alpha"},
+              {"id": "b", "v": 1, "name": "bravo"}]
+    batch2 = [{"id": "a", "v": 2, "name": "ALPHA2"},
+              {"id": "c", "v": 2, "name": "charlie"}]
+    (src / "part1.json").write_text("\n".join(map(_json.dumps, batch1)))
+    (src / "part2.json").write_text("\n".join(map(_json.dumps, batch2)))
+
+    schema = "id string, v long, name string"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = stream_upsert_gold(
+        stream, str(tmp_path / "snap"), 2023, "docs",
+        key_col="id", version_col="v",
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+    if q.isActive:
+        q.stop()
+
+    snap = read_snapshot(spark, str(tmp_path / "snap"), 2023, "docs")
+    got = {r["id"]: (r["v"], r["name"]) for r in snap.collect()}
+    assert got == {"a": (2, "ALPHA2"), "b": (1, "bravo"),
+                   "c": (2, "charlie")}
