@@ -216,3 +216,50 @@ def simhash16(df: DataFrame, id_col: str, content_col: str,
     for i in range(16):
         bits = bits + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return agg.select(F.col(id_col), bits.cast("int").alias(out_name))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into components: (id, cluster_id) where
+    cluster_id is the minimum id reachable in the pair graph — the step a
+    dedup pipeline runs after LSH/Jaccard pair generation to keep one
+    document per duplicate CLUSTER rather than per pair.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (dup clusters are shallow — near-cliques converge in
+    2). The driver holds only the loop counter and the changed-row count;
+    `localCheckpoint` truncates the growing plan lineage each round (on a
+    cluster, use a checkpoint dir instead). Deterministic — min over
+    labels, no ordering sensitivity.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select("id", F.least(F.col("label"),
+                                  F.coalesce("_nl", F.col("label")))
+                    .alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

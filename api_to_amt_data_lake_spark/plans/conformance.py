@@ -1907,3 +1907,88 @@ def q69_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) <= 0.01 * F.expr("percentile(l_extendedprice, 0.5)")
         ).alias("within_1pct")
     )
+
+
+_Q70_ORACLE = """
+WITH RECURSIVE sym AS (
+  SELECT id_a AS a, id_b AS b FROM (WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len(w) - 1),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM ws WHERE len(w) >= 3
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), sig AS (
+  SELECT doc_id,
+    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
+    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
+    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
+    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, sig_2 || sig_3 FROM sig
+  UNION ALL SELECT doc_id, 2, sig_4 || sig_5 FROM sig
+  UNION ALL SELECT doc_id, 3, sig_6 || sig_7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+  UNION ALL
+  SELECT id_b, id_a FROM (WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len(w) - 1),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM ws WHERE len(w) >= 3
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), sig AS (
+  SELECT doc_id,
+    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
+    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
+    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
+    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, sig_2 || sig_3 FROM sig
+  UNION ALL SELECT doc_id, 2, sig_4 || sig_5 FROM sig
+  UNION ALL SELECT doc_id, 3, sig_6 || sig_7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+), nodes AS (
+  SELECT DISTINCT a AS id FROM sym
+), cc(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT s.b, cc.label FROM cc JOIN sym s ON s.a = cc.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id
+"""
+
+
+@register("q70_dedup_clusters", oracle=_Q70_ORACLE)
+def q70_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash/LSH pair
+    graph (q32), labeling every clustered doc with the min doc_id of its
+    component — the keep-one-per-cluster step a dedup pipeline actually
+    needs (pairs alone over-delete transitive groups). Iterative
+    min-label propagation on DataFrames; the DuckDB oracle is the same
+    fixpoint as a recursive CTE."""
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id")

@@ -179,3 +179,16 @@ def test_ivf_nprobe_full_recovers_brute_force(spark):
     n1 = ivf_topk(q, e, cent, "vec_id", "embedding", k=5, nprobe=1).count()
     n2 = ivf_topk(q, e, cent, "vec_id", "embedding", k=5, nprobe=2).count()
     assert n2 >= n1
+
+
+def test_connected_components_chain_and_clique(spark):
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # Component 1: chain 1-2-3-4 (diameter 3); component 2: pair 10-11.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
