@@ -154,3 +154,37 @@ class TestNullDialect:
             assert r.ne == (v if v is not None else "")
             assert r.en == (v if v else None)
             assert r.rf == (v if v not in (None, "") else "X")
+
+
+class TestConnectedComponents:
+    @SETTINGS
+    @given(st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda e: e[0] != e[1]),
+        min_size=1, max_size=12))
+    def test_matches_union_find(self, spark, edges):
+        from api_to_amt_data_lake_spark.operators.dedup import (
+            connected_components,
+        )
+
+        # Reference: plain union-find with min-id root labeling.
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long")
+        got = {r["id"]: r["cluster_id"]
+               for r in connected_components(df).collect()}
+        assert got == expected
