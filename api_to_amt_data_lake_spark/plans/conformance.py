@@ -1992,3 +1992,27 @@ def q70_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "cluster_id")
+
+
+@register("q71_locf_gap_fill", oracle="""
+SELECT event_id, user_id,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS last_purchase_value
+FROM events WHERE user_id < 50
+""")
+def q71_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap filling (IGNORE NULLS window
+    last): every event carries the user's most recent purchase value —
+    the sparse-to-dense fill a feature pipeline runs before training.
+    One shuffle on user_id; the running frame never re-sorts."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id", "user_id",
+        F.last(purchase_val, ignorenulls=True).over(w)
+        .alias("last_purchase_value"),
+    )
