@@ -85,20 +85,30 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band are
-    candidate near-dups. Output: (id_a, id_b) distinct, id_a < id_b."""
+    """Explode a minhash signature into (id, band_idx, band_val) rows —
+    the LSH blocking key. Shared by `lsh_candidate_pairs` (band self-join)
+    and the composed banded-Jaccard path (`jaccard_pairs` with the band as
+    the block key), so both block on identical band values."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(F.struct(F.lit(b).alias("band_idx"),
                                   F.concat(*parts).alias("band_val")))
-    banded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_val")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band are
+    candidate near-dups. Output: (id_a, id_b) distinct, id_a < id_b."""
+    banded = lsh_bands(sig, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -115,13 +125,21 @@ def lsh_candidate_pairs(
 
 def jaccard_pairs(
     df: DataFrame, id_col: str, content_col: str, block_col: str,
-    threshold: float = 0.0,
+    threshold: float = 0.0, dedupe_sets: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard over pairs sharing a blocking key.
 
     (id_a, id_b, jaccard rounded to 6dp). Blocking bounds the quadratic
-    blow-up; at scale the block key should be an LSH band (compose with
-    `lsh_candidate_pairs`), source, or length bucket.
+    blow-up. At 100 TB the block key must be high-cardinality and uniform:
+    an LSH band value (build with `minhash_signatures` → `lsh_bands`, join
+    back to the docs, pass the band as `block_col` with
+    `dedupe_sets=True` since each doc then carries one row per band) — NOT
+    a low-cardinality attribute like source, whose biggest value would
+    own one partition of the self-join.
+
+    dedupe_sets: set True when `df` has multiple rows per id (one per
+    block value); the exact-verify side then dedupes to one token set per
+    id before the candidate join.
     """
     # Prefix-filtered posting join (AllPairs/PPJoin family): a pair with
     # Jaccard >= t must share a token within each side's first
@@ -168,6 +186,8 @@ def jaccard_pairs(
         .distinct()
     )
     sets = arr.select("_id", "_arr")
+    if dedupe_sets:
+        sets = sets.dropDuplicates(["_id"])
     inter = F.size(F.array_intersect(F.col("_aa"), F.col("_ab")))
     jac = F.round(
         inter.cast("double")

@@ -33,6 +33,7 @@ from api_to_amt_data_lake_spark.functions.descriptors import (
 from api_to_amt_data_lake_spark.functions.keys import sk_concat
 from api_to_amt_data_lake_spark.operators.aggregates import string_agg_ordered
 from api_to_amt_data_lake_spark.operators.dedup import (
+    lsh_bands,
     exact_dedup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -752,21 +753,65 @@ def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q31_jaccard_pairs", oracle="""
-WITH toks AS (
-  SELECT doc_id, source, list_distinct(string_split(trim(text), ' ')) AS ts
+WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len(w) - 1),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM ws WHERE len(w) >= 3
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), sig AS (
+  SELECT doc_id,
+    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
+    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
+    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
+    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, sig_2 || sig_3 FROM sig
+  UNION ALL SELECT doc_id, 2, sig_4 || sig_5 FROM sig
+  UNION ALL SELECT doc_id, 3, sig_6 || sig_7 FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    AND a.doc_id < b.doc_id
+), toks AS (
+  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS ts
   FROM documents
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT c.id_a, c.id_b,
   round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
         / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
-FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM cand c
+JOIN toks a ON a.doc_id = c.id_a
+JOIN toks b ON b.doc_id = c.id_b
 WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
         / len(list_distinct(list_concat(a.ts, b.ts))), 6) > 0.8
 """)
 def q31_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (token-set) Jaccard near-dup pairs, blocked by source."""
+    """Exact token-set Jaccard near-dup pairs, LSH-band blocked.
+
+    The composed 100 TB design: MinHash(8 perms) → 4 LSH bands as the
+    blocking key → prefix-filtered exact-Jaccard verify within blocks.
+    The self-join key (band_idx, band_val, prefix token) is
+    high-cardinality and uniform — unlike the r2 registration's `source`
+    block, whose biggest source would own one partition at scale."""
     d = read_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", "source", threshold=0.8)
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    banded = lsh_bands(sig, "doc_id", num_hashes=8, bands=4)
+    blocked = d.select("doc_id", "text").join(
+        banded.select(
+            "doc_id",
+            F.concat_ws("|", F.col("band_idx").cast("string"),
+                        "band_val").alias("band_key")),
+        "doc_id",
+    )
+    return jaccard_pairs(blocked, "doc_id", "text", "band_key",
+                         threshold=0.8, dedupe_sets=True)
 
 
 @register("q32_minhash_lsh", oracle="""
@@ -1982,6 +2027,7 @@ def q04_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation on DataFrames; the DuckDB oracle is the same
     fixpoint as a recursive CTE."""
     from api_to_amt_data_lake_spark.operators.dedup import (
+    lsh_bands,
         connected_components,
         lsh_candidate_pairs,
         minhash_signatures,
