@@ -239,39 +239,69 @@ def simhash16(df: DataFrame, id_col: str, content_col: str,
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 20,
+                         checkpoint_dir: str | None = None,
+                         strict: bool = True) -> DataFrame:
     """Cluster near-dup pairs into components: (id, cluster_id) where
     cluster_id is the minimum id reachable in the pair graph — the step a
     dedup pipeline runs after LSH/Jaccard pair generation to keep one
     document per duplicate CLUSTER rather than per pair.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels; converges in O(component
-    diameter) rounds (dup clusters are shallow — near-cliques converge in
-    2). The driver holds only the loop counter and the changed-row count;
-    `localCheckpoint` truncates the growing plan lineage each round (on a
-    cluster, use a checkpoint dir instead). Deterministic — min over
-    labels, no ordering sensitivity.
+    Min-label propagation with per-round pointer jumping: each round every
+    node takes the min of (its label, its neighbors' labels), then chases
+    one pointer hop (label := label-of-label). The extra self-join makes
+    label depth halve each round, so convergence is O(log diameter)
+    rounds, not O(diameter) — a 1M-node chain needs ~20 rounds, not 1M.
+    The driver holds only the loop counter and the changed-row count.
+
+    Lineage: the edge set is materialized ONCE up front and labels are
+    re-materialized per round — `checkpoint_dir` selects reliable
+    `checkpoint()` files (use on a real cluster: survives executor loss,
+    frees shuffle lineage); the default `localCheckpoint()` pins blocks to
+    executors and is only safe single-node.
+
+    Convergence is verified, not assumed: if the fixpoint is not reached
+    within max_iter rounds the labels would be silently wrong (a split
+    component), so strict=True raises; strict=False warns and returns the
+    partial labels (useful for bounded-latency best-effort runs).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    labels = (
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None \
+            else df.localCheckpoint()
+
+    sym = _pin(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
+    labels = _pin(
         sym.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym["a"] == labels["id"])
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("label").alias("_nl"))
         )
-        new_labels = (
+        stepped = (
             labels.join(prop, "id", "left")
             .select("id", F.least(F.col("label"),
                                   F.coalesce("_nl", F.col("label")))
                     .alias("label"))
-            .localCheckpoint()
+        )
+        # Pointer jump: labels always point at real node ids (mins of ids
+        # seen), so label-of-label exists; chasing it halves chain depth.
+        jump = stepped.select(F.col("id").alias("_jid"),
+                              F.col("label").alias("_jlabel"))
+        new_labels = _pin(
+            stepped.join(jump, stepped["label"] == jump["_jid"], "left")
+            .select("id", F.least(F.col("label"),
+                                  F.coalesce("_jlabel", F.col("label")))
+                    .alias("label"))
         )
         changed = (
             new_labels.alias("n")
@@ -282,4 +312,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (f"connected_components did not converge within {max_iter} "
+               f"rounds ({changed} labels still changing) — component "
+               f"diameter exceeds 2^{max_iter}; raise max_iter")
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

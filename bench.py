@@ -26,6 +26,10 @@ from api_to_amt_data_lake_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q01_pricing_summary",
+    "q04_dedup_clusters",
+    "q12_curation_pipeline",
+    "q35_ivf_ann",
+    "q40_embedding_neardup",
     "q02_revenue_by_nation",
     "q07_interval_containment",
     "q09_max_per_group_join_back",
@@ -54,6 +58,18 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Single-runner lock: a second concurrent local[32] JVM contends for
+    # every core and inflates timings ~10x, silently poisoning the
+    # recorded bench. Block (don't fail) so driver runs queue instead.
+    lock_path = REPO / ".bench.lock"
+    lock_file = open(lock_path, "w")
+    try:
+        import fcntl
+        fcntl.flock(lock_file, fcntl.LOCK_EX)
+    except ImportError:  # non-POSIX: run unguarded
+        pass
+
     spark = get_spark("bench")
 
     # Warm-up: one full untimed pass. Each query's first execution pays

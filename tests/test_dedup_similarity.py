@@ -192,3 +192,60 @@ def test_connected_components_chain_and_clique(spark):
     got = {r["id"]: r["cluster_id"]
            for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_large_diameter(spark):
+    """A 60-node path (diameter 59) must converge well inside the default
+    20-round budget — pointer jumping gives O(log diameter) rounds, so a
+    plain per-round neighbor propagation (which would need 59 rounds and
+    silently return split labels) fails this test."""
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(edges, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_connected_components_nonconvergence_surfaces(spark):
+    """Exhausting max_iter without a fixpoint raises under strict (the
+    default) and warns + returns partial labels under strict=False —
+    never a silent wrong answer."""
+    import warnings
+
+    import pytest
+
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        partial = connected_components(edges, max_iter=1, strict=False)
+        n = partial.count()
+    assert n == 41
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_connected_components_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage pinning to reliable checkpoint
+    files (the cluster-safe mode) and must produce identical labels."""
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(
+               edges, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    import os
+    assert os.listdir(tmp_path / "ckpt")

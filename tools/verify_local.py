@@ -47,6 +47,16 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from api_to_amt_data_lake_spark.session import get_spark
 
+    # Share bench.py's single-runner lock: a concurrent local[32] JVM
+    # (e.g. a stray bench while verifying) inflates timings ~10x and can
+    # starve either run. Block until the other runner finishes.
+    lock_file = open(REPO / ".bench.lock", "w")
+    try:
+        import fcntl
+        fcntl.flock(lock_file, fcntl.LOCK_EX)
+    except ImportError:
+        pass
+
     spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
