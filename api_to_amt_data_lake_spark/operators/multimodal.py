@@ -1,23 +1,32 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The container has no codec libraries, so the *decode* steps are stubs
-(clearly marked). What is real — and tested — is the Spark-side plumbing a
-100 TB multimodal pipeline needs:
+Everything that does not require a compression codec is REAL and
+pure-Python (`struct` + numpy over Arrow batches):
 
-- schema convention: `content: binary` + `content_type: string` + metadata
-  struct,
-- Arrow-batched `mapInPandas` for per-item byte processing (hashing,
-  sizing, header sniffing) — batch-shaped, never per-row Python,
-- deterministic fake feature extractor so downstream plumbing (embedding
-  join, ANN) is exercisable without codecs.
+- header parsing for PNG / JPEG / GIF / BMP (width, height, channels) and
+  RIFF-WAV (sample rate, channels, bit depth, sample count),
+- pixel decode for uncompressed 24/32-bit BMP and PCM decode for WAV,
+- nearest-neighbor resize over decoded pixel buffers,
+- video frame *sampling* by demuxing the AVI (RIFF) container — frame
+  extraction is a chunk walk, no codec; the sampled frames stay encoded.
+
+Only entropy-coded *pixel* decode (JPEG/PNG/H.264 bitstreams) needs a
+codec library absent from this container; those paths raise a clearly
+worded ValueError naming the contract.
+
+Scale shape: every step is Arrow-batched `mapInPandas` over
+(id, content) — batch-at-a-time Python, no shuffle, runs at scan speed;
+decode→resize compose into one Python worker pass.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,50 +99,328 @@ def fake_feature_extract(df: DataFrame) -> DataFrame:
     return df.select("id", "content").mapInPandas(batches, FAKE_FEATURE_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Pure-Python header parsers (no codec — fixed-offset / marker-walk reads).
+# Each returns a plain tuple so it is unit-testable without Spark.
+# --------------------------------------------------------------------------
+
+_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int, int] | None:
+    """(format, width, height, channels) from magic bytes, or None.
+
+    PNG: IHDR at fixed offset 16. GIF: logical screen descriptor. BMP:
+    BITMAPINFOHEADER (height may be negative = top-down). JPEG: marker
+    walk to the first SOFn segment (entropy-coded data is never touched).
+    """
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\x0a" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(b[25] if len(b) > 25 else 2, 3)
+        return ("png", w, h, channels)
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h, 3)
+    if len(b) >= 30 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        return ("bmp", w, abs(h), max(1, bpp // 8))
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        off = 2
+        while off + 9 < len(b):
+            if b[off] != 0xFF:
+                off += 1
+                continue
+            marker = b[off + 1]
+            if marker in _SOF_MARKERS:
+                h, w = struct.unpack(">HH", b[off + 5:off + 9])
+                return ("jpeg", w, h, b[off + 9])
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                off += 2
+                continue
+            seg_len = struct.unpack(">H", b[off + 2:off + 4])[0]
+            off += 2 + seg_len
+    return None
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, n_samples) from a RIFF-WAV
+    chunk walk, or None. n_samples = data bytes / block_align."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    off, rate, ch, bits, data_len = 12, None, None, None, None
+    while off + 8 <= len(b):
+        tag = b[off:off + 4]
+        size = struct.unpack("<I", b[off + 4:off + 8])[0]
+        if tag == b"fmt " and off + 24 <= len(b):
+            ch, rate = struct.unpack("<HI", b[off + 10:off + 16])
+            bits = struct.unpack("<H", b[off + 22:off + 24])[0]
+        elif tag == b"data":
+            data_len = size
+        off += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data_len is None:
+        return None
+    block = max(1, ch * (bits // 8))
+    return (rate, ch, bits, data_len // block)
+
+
+IMAGE_HEADER_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+])
+
+
+def image_header_metadata(df: DataFrame) -> DataFrame:
+    """Real image metadata via header parse — (id, format, width, height,
+    channels); unknown formats yield nulls. Arrow-batched, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_image_header(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "format": [p[0] if p else None for p in parsed],
+                "width": pd.array([p[1] if p else None for p in parsed],
+                                  dtype="Int32"),
+                "height": pd.array([p[2] if p else None for p in parsed],
+                                   dtype="Int32"),
+                "channels": pd.array([p[3] if p else None for p in parsed],
+                                     dtype="Int32"),
+            })
+
+    return df.select("id", "content").mapInPandas(batches, IMAGE_HEADER_SCHEMA)
+
+
+AUDIO_HEADER_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("audio_channels", T.IntegerType()),
+    T.StructField("bits_per_sample", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+])
+
+
+def audio_header_metadata(df: DataFrame) -> DataFrame:
+    """Real WAV metadata via RIFF chunk walk — nulls for non-WAV blobs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [parse_wav_header(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "sample_rate": pd.array([p[0] if p else None for p in parsed],
+                                        dtype="Int32"),
+                "audio_channels": pd.array(
+                    [p[1] if p else None for p in parsed], dtype="Int32"),
+                "bits_per_sample": pd.array(
+                    [p[2] if p else None for p in parsed], dtype="Int32"),
+                "n_samples": pd.array([p[3] if p else None for p in parsed],
+                                      dtype="Int64"),
+            })
+
+    return df.select("id", "content").mapInPandas(batches, AUDIO_HEADER_SCHEMA)
+
+
+DECODED_IMAGE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("pixels", T.BinaryType()),
+])
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24/32-bit BMP → (w, h, channels, RGB row-major bytes).
+
+    BMP rows are bottom-up and padded to 4 bytes, samples are BGR; the
+    output is top-down RGB — the layout every ML preprocessing stack
+    expects. Raises ValueError on compressed/paletted BMPs.
+    """
+    if b[:2] != b"BM":
+        raise ValueError(
+            "not a BMP blob — entropy-coded formats (JPEG/PNG) need a codec "
+            "library; contract: (id, content) -> "
+            "(id, width, height, channels, pixels)")
+    pix_off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp, compression = struct.unpack("<HI", b[28:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"only uncompressed 24/32-bit BMP decodes without a codec "
+            f"(got bpp={bpp}, compression={compression}); JPEG/PNG pixel "
+            f"decode requires a codec library: contract (id, content) -> "
+            f"(id, width, height, channels, pixels)")
+    nch = bpp // 8
+    top_down = h < 0
+    h = abs(h)
+    row_stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=row_stride * h, offset=pix_off
+    ).reshape(h, row_stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows[:, :, 2::-1] if nch >= 3 else rows  # BGR(A) -> RGB
+    return (w, h, min(nch, 3), np.ascontiguousarray(rgb).tobytes())
+
+
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """STUB — image decode (PIL/libvips not installed in this container).
+    """Decode uncompressed BMP blobs to raw RGB pixel buffers —
+    (id, width, height, channels, pixels: binary), Arrow-batched.
 
-    Real implementation: mapInPandas over (id, content) batches decoding to
-    (id, width, height, channels, pixels: binary); partition-size-aware so
-    a batch of decoded frames fits executor memory.
+    Entropy-coded formats (JPEG/PNG) raise ValueError naming the
+    contract; swap `_decode_bmp` for a codec call on a cluster with
+    image libraries installed — the batch shape, schema, and partitioning
+    stay identical.
     """
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this environment; "
-        "the plumbing contract is (id, content) -> (id, width, height, channels, pixels)"
-    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_decode_bmp(bytes(b)) for b in pdf[content_col]]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "width": pd.array([d[0] for d in decoded], dtype="Int32"),
+                "height": pd.array([d[1] for d in decoded], dtype="Int32"),
+                "channels": pd.array([d[2] for d in decoded], dtype="Int32"),
+                "pixels": [d[3] for d in decoded],
+            })
+
+    return df.select("id", F.col(content_col).alias(content_col)) \
+        .mapInPandas(batches, DECODED_IMAGE_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling (no av/ffmpeg in this container)."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg bindings; contract: "
-        "(id, content) -> (id, frame_idx, frame_png: binary) one row per sampled frame"
-    )
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize over decoded pixel buffers — real numpy
+    index arithmetic, no codec. Input rows follow DECODED_IMAGE_SCHEMA;
+    output is the same schema at the target size. Chain directly after
+    `decode_image`: both are mapInPandas projections, so Spark fuses them
+    into one Python worker pass with no shuffle between."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                ch = int(row["channels"])
+                src = np.frombuffer(
+                    bytes(row["pixels"]), dtype=np.uint8
+                ).reshape(int(row["height"]), int(row["width"]), ch)
+                ys = (np.arange(height) * row["height"] // height).astype(int)
+                xs = (np.arange(width) * row["width"] // width).astype(int)
+                out.append(np.ascontiguousarray(src[ys][:, xs]).tobytes())
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "width": pd.array([width] * len(pdf), dtype="Int32"),
+                "height": pd.array([height] * len(pdf), dtype="Int32"),
+                "channels": pdf["channels"].astype("Int32"),
+                "pixels": out,
+            })
+
+    return df.mapInPandas(batches, DECODED_IMAGE_SCHEMA)
 
 
-def resize_image(df: DataFrame, width: int, height: int,
-                 content_col: str = "content") -> DataFrame:
-    """STUB — image resize (no PIL/libvips in this container).
-
-    Real implementation: mapInPandas over (id, pixels) batches emitting
-    (id, pixels: binary) at the target size; co-partitioned with decode so
-    decode→resize fuses into one Python worker pass (no shuffle between).
-    """
-    raise NotImplementedError(
-        "image resize requires a codec library; contract: "
-        f"(id, pixels) -> (id, pixels at {width}x{height})"
-    )
+DECODED_AUDIO_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("pcm", T.BinaryType()),
+])
 
 
 def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """STUB — audio decode (no soundfile/ffmpeg in this container).
-
-    Real implementation: mapInPandas over (id, content) batches decoding to
-    (id, sample_rate, n_samples, pcm: binary); long files should be
-    row-split into fixed-duration chunks *before* decode so one batch's
-    decoded PCM fits executor memory.
+    """Decode RIFF-WAV PCM to mono float32 little-endian sample buffers —
+    (id, sample_rate, n_samples, pcm) — pure struct/numpy, Arrow-batched.
+    16-bit PCM is scaled to [-1, 1); multi-channel input is averaged to
+    mono (what a feature extractor consumes). Compressed audio raises
+    ValueError. Long files should be row-split into fixed-duration chunks
+    *before* decode so one batch's PCM fits executor memory.
     """
-    raise NotImplementedError(
-        "audio decode requires ffmpeg/soundfile; contract: "
-        "(id, content) -> (id, sample_rate, n_samples, pcm)"
-    )
+
+    def _one(b: bytes) -> tuple[int, int, bytes]:
+        hdr = parse_wav_header(b)
+        if hdr is None:
+            raise ValueError(
+                "not a RIFF-WAV blob; compressed audio needs ffmpeg — "
+                "contract: (id, content) -> (id, sample_rate, n_samples, pcm)")
+        rate, ch, bits, n = hdr
+        if bits != 16:
+            raise ValueError(f"only 16-bit PCM decodes here (got {bits})")
+        off = b.index(b"data") + 8
+        samples = np.frombuffer(b, dtype="<i2", count=n * ch, offset=off)
+        mono = samples.reshape(-1, ch).mean(axis=1) / 32768.0
+        return (rate, n, mono.astype("<f4").tobytes())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_one(bytes(b)) for b in pdf[content_col]]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "sample_rate": pd.array([d[0] for d in decoded], dtype="Int32"),
+                "n_samples": pd.array([d[1] for d in decoded], dtype="Int64"),
+                "pcm": [d[2] for d in decoded],
+            })
+
+    return df.select("id", F.col(content_col).alias(content_col)) \
+        .mapInPandas(batches, DECODED_AUDIO_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def _avi_frames(b: bytes):
+    """Yield encoded frame payloads from an AVI (RIFF) container.
+
+    Demuxing is a pure chunk walk: find the 'movi' LIST and yield every
+    '##db'/'##dc' (video) chunk's bytes. The frames stay encoded (e.g.
+    MJPEG) — extraction needs no codec.
+    """
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError(
+            "not an AVI container; other containers need ffmpeg — contract: "
+            "(id, content) -> (id, frame_idx, frame) one row per sampled frame")
+    movi = b.find(b"movi")
+    if movi < 0:
+        return
+    off = movi + 4
+    while off + 8 <= len(b):
+        tag = b[off:off + 4]
+        size = struct.unpack("<I", b[off + 4:off + 8])[0]
+        if tag[2:4] in (b"db", b"dc"):
+            yield b[off + 8:off + 8 + size]
+        off += 8 + size + (size & 1)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30,
+                        content_col: str = "content") -> DataFrame:
+    """Sample every Nth video frame by demuxing the AVI container —
+    (id, frame_idx, frame: binary), one row per kept frame, frames still
+    encoded. Arrow-batched fan-out (mapInPandas may emit more rows than it
+    receives, so the explode happens inside the Python worker — no
+    driver involvement, no shuffle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for vid_id, blob in zip(pdf["id"], pdf[content_col]):
+                for i, frame in enumerate(_avi_frames(bytes(blob))):
+                    if i % every_n == 0:
+                        ids.append(vid_id)
+                        idxs.append(i)
+                        frames.append(frame)
+            yield pd.DataFrame({
+                "id": pd.array(ids, dtype="Int64"),
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "frame": frames,
+            })
+
+    return df.select("id", F.col(content_col).alias(content_col)) \
+        .mapInPandas(batches, VIDEO_FRAME_SCHEMA)

@@ -462,14 +462,14 @@ def q17_descriptor_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q18_href_parse", oracle="""
+@register("q72_href_parse", oracle="""
 SELECT COUNT(*) AS n_rows,
   COUNT(CASE WHEN list_extract(string_split(
     'https://api.example.org/data/v3/ed-fi/customers/' || CAST(c_custkey AS VARCHAR),
     '/'), -1) = CAST(c_custkey AS VARCHAR) THEN 1 END) AS n_roundtrip
 FROM customer
 """)
-def q18_href_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q72_href_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: href → last path segment (`pandasWrapper.py:188-195`)."""
     c = read_table(spark, sf_dir, "customer")
     href = F.concat(F.lit("https://api.example.org/data/v3/ed-fi/customers/"),
@@ -2062,6 +2062,100 @@ def q13_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(purchase_val, ignorenulls=True).over(w)
         .alias("last_purchase_value"),
     )
+
+
+@register("q18_multimodal_decode", oracle="""
+SELECT doc_id,
+  'png' AS img_format,
+  16 + doc_id % 240 AS img_width,
+  16 + (doc_id * 7) % 240 AS img_height,
+  CAST(8000 * (1 + doc_id % 4) AS INTEGER) AS wav_rate,
+  CAST(1 + doc_id % 2 AS INTEGER) AS wav_channels,
+  50 + doc_id % 100 AS wav_samples,
+  CAST(doc_id % 256 AS DOUBLE) AS bmp_mean
+FROM documents WHERE doc_id < 200
+""")
+def q18_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal decode, end to end: Spark SQL expressions BUILD
+    valid PNG / RIFF-WAV / 24-bit-BMP bytes per row (width, sample rate,
+    pixel color all arithmetic functions of doc_id), one Arrow-batched
+    mapInPandas pass PARSES them back with the pure-struct decoders
+    (`operators/multimodal.py`: parse_image_header, parse_wav_header,
+    _decode_bmp + numpy pixel mean), and the oracle checks the recovered
+    values arithmetically. A builder/parser bug on either side breaks the
+    hash match; the parsers are independently pinned against struct-built
+    fixtures in tests/test_multimodal_decode.py."""
+    import numpy as np  # local: only the Python workers need it
+    import pandas as pd
+
+    from api_to_amt_data_lake_spark.operators.multimodal import (
+        _decode_bmp,
+        parse_image_header,
+        parse_wav_header,
+    )
+
+    d = read_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 200).select("doc_id")
+
+    def be32(c):  # big-endian u32 hex
+        return F.lpad(F.hex(c), 8, "0")
+
+    def le(c, nbytes):  # little-endian hex of an int column
+        h = F.lpad(F.hex(c), 2 * nbytes, "0")
+        return F.concat(*[F.substring(h, 2 * i + 1, 2)
+                          for i in range(nbytes - 1, -1, -1)])
+
+    w = F.lit(16) + F.col("doc_id") % 240
+    h = F.lit(16) + (F.col("doc_id") * 7) % 240
+    png = F.unhex(F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        be32(w), be32(h), F.lit("0802000000" "00000000")))
+
+    rate = F.lit(8000) * (F.lit(1) + F.col("doc_id") % 4)
+    ch = F.lit(1) + F.col("doc_id") % 2
+    nsamp = F.lit(50) + F.col("doc_id") % 100
+    dsize = nsamp * ch * 2
+    wav = F.unhex(F.concat(
+        F.lit("52494646"), le(F.lit(36) + dsize, 4), F.lit("57415645"),
+        F.lit("666D7420"), le(F.lit(16), 4), le(F.lit(1), 2), le(ch, 2),
+        le(rate, 4), le(rate * ch * 2, 4), le(ch * 2, 2), le(F.lit(16), 2),
+        F.lit("64617461"), le(dsize, 4)))
+
+    chex = F.lpad(F.hex(F.col("doc_id") % 256), 2, "0")
+    row_hex = F.concat(F.repeat(chex, 6), F.lit("0000"))  # 2px BGR + pad
+    bmp = F.unhex(F.concat(
+        F.lit("424D"), le(F.lit(70), 4), F.lit("00000000"), le(F.lit(54), 4),
+        le(F.lit(40), 4), le(F.lit(2), 4), le(F.lit(2), 4), le(F.lit(1), 2),
+        le(F.lit(24), 2), le(F.lit(0), 4), le(F.lit(16), 4),
+        le(F.lit(0), 4), le(F.lit(0), 4), le(F.lit(0), 4), le(F.lit(0), 4),
+        row_hex, row_hex))
+
+    built = d.select("doc_id", png.alias("png"), wav.alias("wav"),
+                     bmp.alias("bmp"))
+
+    out_schema = ("doc_id long, img_format string, img_width int, "
+                  "img_height int, wav_rate int, wav_channels int, "
+                  "wav_samples long, bmp_mean double")
+
+    def decode(batches):
+        for pdf in batches:
+            img = [parse_image_header(bytes(b)) for b in pdf["png"]]
+            aud = [parse_wav_header(bytes(b)) for b in pdf["wav"]]
+            pix = [_decode_bmp(bytes(b)) for b in pdf["bmp"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "img_format": [i[0] for i in img],
+                "img_width": [i[1] for i in img],
+                "img_height": [i[2] for i in img],
+                "wav_rate": [a[0] for a in aud],
+                "wav_channels": [a[1] for a in aud],
+                "wav_samples": [a[3] for a in aud],
+                "bmp_mean": [
+                    float(np.frombuffer(p[3], dtype=np.uint8).mean())
+                    for p in pix],
+            })
+
+    return built.mapInPandas(decode, out_schema)
 
 
 # ---------------------------------------------------------------------------

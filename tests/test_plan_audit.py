@@ -16,8 +16,9 @@ import pytest
 
 from api_to_amt_data_lake_spark.plans import conformance
 
-# q36 is the multimodal mapInPandas path — Python is the point there.
-PYTHON_OK = {"q36_binary_metadata"}
+# The multimodal mapInPandas paths — Arrow-batched Python is the point
+# there (byte hashing in q36, real header/pixel decode in q18).
+PYTHON_OK = {"q36_binary_metadata", "q18_multimodal_decode"}
 
 SF_DIR = "/root/testdata/sf0.001"
 
