@@ -187,26 +187,42 @@ def run_all(spark: SparkSession, silver_root: str, gold_root: str,
     shared_specs = [s for s in VIEWS.values() if s.shared]
     rest_specs = [s for s in VIEWS.values() if not s.shared]
 
-    for spec in shared_specs:
-        df = spec.build(spark, silver_root, school_year, run_date).cache()
-        cached.append(df)
-        out[spec.name] = write_view(df, gold_root, spec.name, school_year)
-
-    if parallelism and parallelism > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        def one(spec: ViewSpec) -> tuple[str, str]:
-            df = spec.build(spark, silver_root, school_year, run_date)
-            return spec.name, write_view(df, gold_root, spec.name, school_year)
-
-        with ThreadPoolExecutor(max_workers=parallelism) as pool:
-            for name, path in pool.map(one, rest_specs):
-                out[name] = path
-    else:
-        for spec in rest_specs:
-            df = spec.build(spark, silver_root, school_year, run_date)
+    # The unpersist lives in finally: a failed view write must not leak
+    # the shared upstreams in the session cache. Per-view failures are
+    # collected (not fail-fast) so one bad view neither discards the
+    # paths of writes that already succeeded nor hides sibling errors.
+    errors: dict[str, Exception] = {}
+    try:
+        for spec in shared_specs:
+            df = spec.build(spark, silver_root, school_year, run_date).cache()
+            cached.append(df)
             out[spec.name] = write_view(df, gold_root, spec.name, school_year)
 
-    for df in cached:
-        df.unpersist()
+        def one(spec: ViewSpec) -> None:
+            try:
+                df = spec.build(spark, silver_root, school_year, run_date)
+                out[spec.name] = write_view(df, gold_root, spec.name,
+                                            school_year)
+            except Exception as exc:  # noqa: BLE001 — reported together
+                errors[spec.name] = exc
+
+        if parallelism and parallelism > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                list(pool.map(one, rest_specs))
+        else:
+            for spec in rest_specs:
+                one(spec)
+    finally:
+        for df in cached:
+            df.unpersist()
+    if errors:
+        detail = "; ".join(f"{n}: {e}" for n, e in sorted(errors.items()))
+        err = RuntimeError(
+            f"{len(errors)} view(s) failed ({len(out)} succeeded — paths "
+            f"kept in the exception's .partial attribute): {detail}",
+        )
+        err.partial = dict(out)
+        raise err from next(iter(errors.values()))
     return out

@@ -173,24 +173,31 @@ def kmeans_fit(
     trainer for `ivf_topk` (real IVF indexes train centroids, they don't
     sample arbitrary rows).
 
-    Deterministic init: the k lowest-id vectors. Each iteration is fully
-    distributed — assignment broadcasts the k centroids over one corpus
-    pass (`ivf_assign`), and the element-wise mean runs as
+    Deterministic init: the k DISTINCT vectors with the lowest ids —
+    dedup first so duplicate seed vectors cannot collapse two buckets
+    into one; the seed's min id is the bucket label (no global-order
+    window, so no single-partition WindowExec anywhere). Each iteration
+    is fully distributed — assignment broadcasts the k centroids over one
+    corpus pass (`ivf_assign`), and the element-wise mean runs as
     posexplode → groupBy(bucket, pos) → avg, which partial-aggregates
     map-side so the shuffle carries at most k×dim rows. The driver only
     holds the loop counter, never the data; this is the same
     driver-iterates / executors-compute shape MLlib uses.
 
+    Exactly k centroids always come back (given k distinct input
+    vectors): a bucket that loses every member in some iteration keeps
+    its previous centroid instead of being dropped by the groupBy, so
+    `ivf_topk` never silently searches fewer buckets than requested.
+
     Output: (bucket, centroid vec) with `id_col`/`vec_col` names so it
-    plugs straight into `ivf_topk(..., centroids=...)`.
+    plugs straight into `ivf_topk(..., centroids=...)`. Bucket labels are
+    seed ids (stable, deterministic), not 0..k-1.
     """
-    w = Window.orderBy(F.col(id_col).asc())
     cent = (
-        corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k)
-        .select(
-            (F.row_number().over(w) - 1).cast("long").alias(id_col),
-            _as_double(F.col(vec_col)).alias(vec_col),
-        )
+        corpus.select(id_col, _as_double(F.col(vec_col)).alias(vec_col))
+        .groupBy(vec_col).agg(F.min(id_col).alias(id_col))
+        .orderBy(F.col(id_col).asc()).limit(k)
+        .select(id_col, vec_col)
     )
     for _ in range(iters):
         assign = ivf_assign(corpus, cent, id_col, vec_col)
@@ -206,5 +213,16 @@ def kmeans_fit(
                 F.transform("_pm", lambda s: s.getField("m")).alias(vec_col),
             )
         )
-        cent = means
+        # Carry an empty bucket's previous centroid forward: the groupBy
+        # drops buckets with no members, and returning < k centroids
+        # would quietly shrink every downstream nprobe search.
+        cent = (
+            cent.alias("p")
+            .join(means.alias("m"), id_col, "left")
+            .select(
+                F.col(f"p.{id_col}").alias(id_col),
+                F.coalesce(F.col(f"m.{vec_col}"),
+                           F.col(f"p.{vec_col}")).alias(vec_col),
+            )
+        )
     return cent

@@ -93,7 +93,12 @@ def refresh_snapshot(
     """
     base = read_snapshot(spark, snapshot_root, school_year, endpoint)
     if base is None:
-        merged = increment.dropDuplicates([key_col])
+        # First refresh = upsert into an empty base, NOT dropDuplicates:
+        # an increment carrying several versions of one key must keep the
+        # newest (the same contract every later refresh enforces), not an
+        # arbitrary row.
+        merged = upsert_latest(increment.limit(0), increment, [key_col],
+                               version_col=version_col)
     else:
         merged = upsert_latest(base, increment, [key_col],
                                version_col=version_col,

@@ -5,9 +5,13 @@ snapshot store (sources/incremental.py): each micro-batch folds into a
 versioned parquet snapshot with newest-version-wins semantics, so a
 stream of document updates maintains the same "current" table the batch
 change-version pull produces. foreachBatch is the exactly-once idiom the
-built-in file sink cannot provide for MERGE-style writes — the batch id
-is recorded per snapshot version, and a replayed batch (restart after a
-crash between write and commit) simply re-derives the same version.
+built-in file sink cannot provide for MERGE-style writes. Two layers of
+replay safety: the last applied batch id is recorded in a marker file
+next to the snapshot, so a replayed batch (restart after the marker
+committed) is SKIPPED outright; if the crash hit between the snapshot
+write and the marker write, the replay re-merges — which the
+newest-version-wins upsert makes content-idempotent (same current rows,
+one extra version directory that pruning removes).
 
 At 100 TB the same function body targets Delta/Iceberg `MERGE INTO`;
 the plain-parquet snapshot keeps this container dependency-free while
@@ -16,9 +20,53 @@ exercising the identical plan shape (upsert's one shuffle on the key).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 
 from api_to_amt_data_lake_spark.sources.incremental import refresh_snapshot
+
+
+def _marker_path(snapshot_root: str, school_year: str | int,
+                 endpoint: str) -> str:
+    return os.path.join(str(snapshot_root), str(school_year), endpoint,
+                        "_last_batch")
+
+
+def last_applied_batch(snapshot_root: str, school_year: str | int,
+                       endpoint: str) -> int:
+    """Highest micro-batch id folded into the snapshot, -1 before any."""
+    try:
+        with open(_marker_path(snapshot_root, school_year, endpoint)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def fold_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
+               snapshot_root: str, school_year: str | int, endpoint: str,
+               key_col: str, version_col: str) -> bool:
+    """Fold one micro-batch into the snapshot; returns False when the
+    batch id was already applied (replay) and the fold was skipped.
+
+    Micro-batch ids are monotonically increasing and applied in order,
+    so `batch_id <= last recorded` identifies a replay. The marker is
+    written atomically (tmp + rename) AFTER the snapshot version
+    commits; a crash between the two re-merges on replay, which the
+    newest-version-wins upsert makes content-idempotent.
+    """
+    if batch_id <= last_applied_batch(snapshot_root, school_year, endpoint):
+        return False
+    refresh_snapshot(
+        spark, batch_df, None, snapshot_root, school_year, endpoint,
+        key_col=key_col, version_col=version_col,
+    )
+    marker = _marker_path(snapshot_root, school_year, endpoint)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, marker)
+    return True
 
 
 def stream_upsert_gold(
@@ -43,10 +91,8 @@ def stream_upsert_gold(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        refresh_snapshot(
-            spark, batch_df, None, snapshot_root, school_year, endpoint,
-            key_col=key_col, version_col=version_col,
-        )
+        fold_batch(spark, batch_df, batch_id, snapshot_root, school_year,
+                   endpoint, key_col=key_col, version_col=version_col)
 
     writer = (
         stream_df.writeStream.foreachBatch(fold)

@@ -1454,3 +1454,30 @@ def test_run_all_parallel_matches_sequential(spark, silver, tmp_path):
         ra = sorted(map(tuple, a.collect()), key=key)
         rb = sorted(map(tuple, b.collect()), key=key)
         assert ra == rb, name
+
+
+def test_run_all_aggregates_failures_and_unpersists(spark, silver, tmp_path):
+    """One failing view must not discard successful writes, hide sibling
+    errors, or leak the shared upstream caches: run_all collects per-view
+    exceptions, raises one summary carrying the successful paths in
+    .partial, and unpersists in finally."""
+    import pytest
+
+    from api_to_amt_data_lake_spark.amt import registry
+
+    def boom(spark_, silver_root, school_year, run_date=None):
+        raise ValueError("injected view failure")
+
+    broken = registry.ViewSpec(
+        name="zz_broken_view", collection="base",
+        contract=next(iter(registry.VIEWS.values())).contract, build=boom)
+    registry.VIEWS["zz_broken_view"] = broken
+    try:
+        with pytest.raises(RuntimeError, match="zz_broken_view") as ei:
+            registry.run_all(spark, silver, str(tmp_path / "gold"), SY,
+                             run_date="2023-09-01", parallelism=8)
+        assert len(ei.value.partial) == 41  # every real view still landed
+        # finally-block ran: nothing left cached in the session.
+        assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    finally:
+        del registry.VIEWS["zz_broken_view"]

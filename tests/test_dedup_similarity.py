@@ -160,6 +160,20 @@ def test_kmeans_fit_separates_clear_clusters(spark):
     assert len(low) == 1 and len(high) == 1 and low != high
 
 
+def test_kmeans_fit_always_returns_k_centroids(spark):
+    """Duplicate low-id vectors must not collapse two buckets into one,
+    and a bucket that empties mid-iteration keeps its previous centroid —
+    exactly k centroids come back whenever k distinct vectors exist."""
+    from api_to_amt_data_lake_spark.operators.similarity import kmeans_fit
+
+    rows = [(i, [0.0, 0.0]) for i in range(5)] + [(9, [9.0, 9.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = kmeans_fit(df, "vec_id", "embedding", k=2, iters=3)
+    got = {r["vec_id"]: r["embedding"] for r in cent.collect()}
+    assert len(got) == 2
+    assert sorted(got.values()) == [[0.0, 0.0], [9.0, 9.0]]
+
+
 def test_ivf_nprobe_full_recovers_brute_force(spark):
     from api_to_amt_data_lake_spark.operators.similarity import (
         cosine_topk,

@@ -195,6 +195,24 @@ def test_incremental_snapshot_equals_full_rebuild(spark, tmp_path):
     assert {tuple(r) for r in snap.collect()} == {tuple(r) for r in out.collect()}
 
 
+def test_first_refresh_keeps_newest_version_in_batch(spark, tmp_path):
+    """A first increment carrying several versions of one key must keep
+    the newest — the same newest-wins contract later refreshes enforce —
+    not an arbitrary dropDuplicates survivor."""
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        refresh_snapshot,
+    )
+
+    inc = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 3, "newest"), ("a", 2, "mid"),
+         ("b", 1, "only")],
+        "id string, v long, name string")
+    out = refresh_snapshot(spark, inc, None, str(tmp_path), 2023, "ep1",
+                           key_col="id", version_col="v")
+    got = {r["id"]: (r["v"], r["name"]) for r in out.collect()}
+    assert got == {"a": (3, "newest"), "b": (1, "only")}
+
+
 def test_incremental_snapshot_schema_drift(spark, tmp_path):
     from api_to_amt_data_lake_spark.sources.incremental import (
         refresh_snapshot,

@@ -253,3 +253,39 @@ def test_stream_upsert_gold_multi_batch(spark, tmp_path):
     got = {r["id"]: (r["v"], r["name"]) for r in snap.collect()}
     assert got == {"a": (2, "ALPHA2"), "b": (1, "bravo"),
                    "c": (2, "charlie")}
+
+
+def test_fold_batch_skips_replayed_batch_ids(spark, tmp_path):
+    """A replayed micro-batch (same batch id) is skipped via the recorded
+    marker — no new snapshot version; a genuinely new batch id folds."""
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        current_version,
+        read_snapshot,
+    )
+    from api_to_amt_data_lake_spark.streaming.sink import (
+        fold_batch,
+        last_applied_batch,
+    )
+
+    root = str(tmp_path / "snap")
+    b0 = spark.createDataFrame([("a", 1, "alpha")],
+                               "id string, v long, name string")
+    assert fold_batch(spark, b0, 0, root, 2023, "ep",
+                      key_col="id", version_col="v") is True
+    v_after = current_version(root, 2023, "ep")
+    assert last_applied_batch(root, 2023, "ep") == 0
+
+    # Replay of batch 0: skipped, version unchanged.
+    assert fold_batch(spark, b0, 0, root, 2023, "ep",
+                      key_col="id", version_col="v") is False
+    assert current_version(root, 2023, "ep") == v_after
+
+    # New batch id folds and advances the marker.
+    b1 = spark.createDataFrame([("a", 2, "ALPHA2")],
+                               "id string, v long, name string")
+    assert fold_batch(spark, b1, 1, root, 2023, "ep",
+                      key_col="id", version_col="v") is True
+    assert last_applied_batch(root, 2023, "ep") == 1
+    got = {r["id"]: r["name"]
+           for r in read_snapshot(spark, root, 2023, "ep").collect()}
+    assert got == {"a": "ALPHA2"}
