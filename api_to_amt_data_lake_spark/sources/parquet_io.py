@@ -47,6 +47,19 @@ def write_view(df: DataFrame, gold_root: str, view_name: str,
     return path
 
 
+def write_view_csv(df: DataFrame, gold_root: str, view_name: str,
+                   school_year: str | int | None = None) -> str:
+    """S9: CSV debug sink (ref `parquet/Common/pandasWrapper.py:36-44`
+    toCsv) — same layout as `write_view` under `{view_name}_csv`, with a
+    header row. Inspection/debug only: CSV drops types and nested
+    structure, so parquet remains the canonical gold format.
+    """
+    path = (os.path.join(gold_root, str(school_year), f"{view_name}_csv")
+            if school_year else os.path.join(gold_root, f"{view_name}_csv"))
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return path
+
+
 def write_view_bucketed(df: DataFrame, table_name: str,
                         bucket_cols: list[str], n_buckets: int = 32,
                         sort_cols: list[str] | None = None,

@@ -104,8 +104,18 @@ def land_collection(
 def land_all(
     cfg: OdsConfig, endpoints: list[str], silver_root: str,
     school_year: str | int, with_deletes: bool = True, session=None,
+    validate_api: bool = True,
 ) -> dict[str, int]:
-    """EP1: fetch every endpoint (+ deletes) concurrently."""
+    """EP1: fetch every endpoint (+ deletes) concurrently.
+
+    `validate_api` checks the ODS data-model version first and refuses
+    unsupported models (ref `api/api.py:26-78` validate_supported_api).
+    """
+    if validate_api and not validate_supported_api(cfg, session=session):
+        version = data_model_version(cfg, "Ed-Fi", session=session)
+        raise RuntimeError(
+            f"unsupported Ed-Fi data model version {version!r}; supported: "
+            f"{', '.join(SUPPORTED_DATA_MODEL_VERSIONS)}")
     token = fetch_token(cfg, session=session)
     results: dict[str, int] = {}
     with ThreadPoolExecutor(max_workers=cfg.max_workers) as pool:
@@ -124,6 +134,55 @@ def land_all(
         for fut, name in futures.items():
             results[name] = fut.result()
     return results
+
+
+# --- Data-model version gate (ref api/api.py:26-78) ------------------------
+
+SUPPORTED_DATA_MODEL_VERSIONS = ("3.3", "4.0")
+
+
+def _metadata_root(cfg: OdsConfig) -> str:
+    """The ODS root metadata document URL: the data URL minus its
+    `/data/v3[/ed-fi]` suffix (the root serves `{"dataModels": [...]}`)."""
+    url = cfg.base_url.rstrip("/")
+    for suffix in ("/ed-fi", "/data/v3"):
+        if url.endswith(suffix):
+            url = url[: -len(suffix)]
+    return url
+
+
+def fetch_data_models(cfg: OdsConfig, session=None) -> list[dict]:
+    """The ODS root's `dataModels` advertisement (name/version per model)."""
+    import requests  # deferred
+
+    sess = session or requests
+    resp = sess.get(_metadata_root(cfg), timeout=60)
+    resp.raise_for_status()
+    return resp.json().get("dataModels", [])
+
+
+def data_model_version(cfg: OdsConfig, name: str = "Ed-Fi",
+                       session=None) -> str | None:
+    for model in fetch_data_models(cfg, session=session):
+        if str(model.get("name", "")).lower() == name.lower():
+            return model.get("version")
+    return None
+
+
+def validate_supported_api(cfg: OdsConfig, session=None) -> bool:
+    """True iff the ODS advertises an Ed-Fi data model on a supported
+    major.minor (3.3 / 4.0) — the same gate the reference applies before
+    paging (`api/api.py:73-78`): unknown models may rename collections,
+    so refusing beats silently landing the wrong shapes."""
+    version = data_model_version(cfg, "Ed-Fi", session=session)
+    return bool(version) and version.startswith(SUPPORTED_DATA_MODEL_VERSIONS)
+
+
+def is_tpdm_supported(cfg: OdsConfig, session=None) -> bool:
+    """True when the ODS advertises the TPDM extension model (gates the
+    epp/ collection like the reference's `is_tpdm_supported`)."""
+    return any(str(m.get("name", "")).lower() == "tpdm"
+               for m in fetch_data_models(cfg, session=session))
 
 
 # --- S4: change-version watermark -----------------------------------------

@@ -228,3 +228,58 @@ def test_incremental_snapshot_schema_drift(spark, tmp_path):
                            key_col="id", version_col="v")
     rows = {r["id"]: (r["old"], r["new"]) for r in out.collect()}
     assert rows == {"a": ("x", None), "b": (None, "y")}
+
+
+class FakeMetadataSession(FakeSession):
+    """FakeSession that also serves the ODS root metadata document."""
+
+    def __init__(self, docs, data_models):
+        super().__init__(docs)
+        self.data_models = data_models
+
+    def get(self, url, params=None, headers=None, timeout=None):
+        if params is None and headers is None:  # root metadata fetch
+            self.calls.append((url, {}))
+            return FakeResponse({"dataModels": self.data_models})
+        return super().get(url, params=params, headers=headers,
+                           timeout=timeout)
+
+
+def test_api_version_gate():
+    """S-gate: land_all refuses ODS instances advertising an unsupported
+    Ed-Fi data model (ref api/api.py:26-78) and proceeds on 3.3/4.0."""
+    import pytest
+
+    from api_to_amt_data_lake_spark.sources.rest import (
+        is_tpdm_supported,
+        land_all,
+        validate_supported_api,
+    )
+
+    ok = FakeMetadataSession([], [{"name": "Ed-Fi", "version": "4.0.0"},
+                                  {"name": "TPDM", "version": "1.1.0"}])
+    assert validate_supported_api(CFG, session=ok)
+    assert is_tpdm_supported(CFG, session=ok)
+    # metadata root = data URL minus /data/v3/ed-fi
+    assert ok.calls[0][0] == "https://ods.example"
+
+    old = FakeMetadataSession([], [{"name": "Ed-Fi", "version": "5.2.0"}])
+    assert not validate_supported_api(CFG, session=old)
+    assert not is_tpdm_supported(CFG, session=old)
+    with pytest.raises(RuntimeError, match="unsupported.*5.2.0"):
+        land_all(CFG, ["students"], "/tmp/x", 2023, session=old)
+
+    supported = FakeMetadataSession([{"id": 1}],
+                                    [{"name": "Ed-Fi", "version": "3.3.1-b"}])
+    assert validate_supported_api(CFG, session=supported)
+
+
+def test_csv_debug_sink(spark, tmp_path):
+    """S9: the CSV debug sink round-trips a small frame with headers."""
+    from api_to_amt_data_lake_spark.sources.parquet_io import write_view_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    path = write_view_csv(df, str(tmp_path), "debug_view", 2023)
+    assert path.endswith("2023/debug_view_csv")
+    back = spark.read.option("header", True).csv(path)
+    assert {(int(r["k"]), r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
