@@ -104,11 +104,37 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+    sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band are
-    candidate near-dups. Output: (id_a, id_b) distinct, id_a < id_b."""
+    candidate near-dups. Output: (id_a, id_b) distinct, id_a < id_b.
+
+    n_salt handles the hot-bucket case — boilerplate-heavy corpora put a
+    large fraction of documents into ONE band value (identical headers /
+    licence blocks), and a plain self-join lands that whole bucket on a
+    single task. With n_salt set, the join routes through `salted_join`:
+    the left side spreads each band bucket over n_salt shuffle
+    partitions and the right side replicates per salt, so the hot
+    bucket's quadratic probe work runs on n_salt tasks in parallel.
+    Results are identical (tests assert salted == plain on a
+    boilerplate-heavy fixture). Prefer AQE skew splitting for plain
+    sort-merge joins; salt when one bucket dwarfs the AQE partition
+    threshold or the plan isn't SMJ.
+    """
     banded = lsh_bands(sig, id_col, num_hashes, bands)
+    if n_salt:
+        from api_to_amt_data_lake_spark.operators.joins import salted_join
+
+        key = F.concat_ws("|", F.col("band_idx").cast("string"), "band_val")
+        a = banded.select(F.col(id_col).alias("id_a"), key.alias("_bk"))
+        b = banded.select(F.col(id_col).alias("id_b"), key.alias("_bk"))
+        return (
+            salted_join(a, b, "_bk", "_bk", n_salt=n_salt)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

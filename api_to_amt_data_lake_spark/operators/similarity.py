@@ -10,8 +10,14 @@
   bucket-partitioned corpus; buckets are the natural partitioning key for
   the corpus table.
 
-No Python UDFs: 64-dim folds stay inside codegen. For very wide vectors a
-Pandas-UDF matmul path would win; that variant belongs behind the same API.
+No Python UDFs in the fold path: 64-dim folds stay inside codegen. For
+very wide vectors (≥ ~256 dims) the interpreted per-element fold loses to
+one numpy GEMM per Arrow batch — `cosine_topk(..., impl="matmul")` is
+that variant behind the same API: the (small, bounded) query matrix is
+broadcast to the Python workers, each corpus batch is scored with a
+single float64 matmul, and only each batch's top-k survive to the global
+rank — so the shuffled candidate set is O(partitions × Q × k), never
+O(Q × N).
 """
 
 from __future__ import annotations
@@ -50,13 +56,22 @@ def sq_euclidean(a: Column, b: Column) -> Column:
 
 def cosine_topk(
     queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, k: int,
+    impl: str = "fold",
 ) -> DataFrame:
     """Brute-force: for every query row, the k most cosine-similar corpus
     rows (excluding itself). Output: query_id, match_id, cosine_sim, rank.
 
     The query side is broadcast (probes are few); the corpus is scanned
     once with no shuffle — rank is a window over query_id (small).
+
+    impl="fold" (default) keeps the dot product in JVM codegen — right
+    for the ≤ ~128-dim range. impl="matmul" scores each Arrow batch with
+    one numpy float64 GEMM — the wide-vector path (≥ ~256 dims), where
+    one BLAS call per batch beats dim-many interpreted fold steps.
+    Both return identical rows (parity-tested).
     """
+    if impl == "matmul":
+        return _cosine_topk_matmul(queries, corpus, id_col, vec_col, k)
     q = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ))
@@ -75,6 +90,62 @@ def cosine_topk(
     )
     return (
         sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _cosine_topk_matmul(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, k: int,
+) -> DataFrame:
+    """Wide-vector top-k: numpy GEMM per Arrow batch + per-batch top-k.
+
+    The query side is collected and broadcast explicitly (same bounded
+    "probes are few" contract under which the fold path broadcasts it);
+    the corpus streams through mapInPandas with NO shuffle — each batch
+    emits at most Q×k candidates (total order: sim desc, match id asc,
+    so per-batch pruning is exact), and the global window only ranks the
+    per-partition survivors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qv")).toPandas()
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in q_pdf["_qv"]])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qb = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    def batches(it):
+        ids, mat = qb.value
+        for pdf in it:
+            c_ids = pdf["_id"].to_numpy()
+            c_mat = np.vstack([np.asarray(v, dtype=np.float64)
+                               for v in pdf["_vec"]])
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = np.round(mat @ c_mat.T, 6)  # Q x N, one GEMM
+            out_q, out_m, out_s = [], [], []
+            for qi in range(len(ids)):
+                row = sims[qi]
+                keep = c_ids != ids[qi]  # exclude self
+                cand_ids, cand_sims = c_ids[keep], row[keep]
+                # exact per-batch top-k under (sim desc, match_id asc)
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.extend([ids[qi]] * len(order))
+                out_m.extend(cand_ids[order])
+                out_s.extend(cand_sims[order])
+            yield pd.DataFrame({"query_id": out_q, "match_id": out_m,
+                                "cosine_sim": out_s})
+
+    cand = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(
+        batches, "query_id long, match_id long, cosine_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

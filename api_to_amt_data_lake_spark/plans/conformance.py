@@ -2064,6 +2064,43 @@ def q13_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q73_cosine_topk_wide", oracle=f"""
+WITH v AS (
+  SELECT vec_id, flatten(list_transform(range(8), i -> embedding::DOUBLE[]))
+    AS v
+  FROM embeddings
+),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM (SELECT * FROM v WHERE vec_id < 3) a
+  JOIN v b ON a.vec_id != b.vec_id
+)
+SELECT query_id, match_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+""")
+def q73_cosine_topk_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-vector (512-dim) cosine top-k via the numpy-GEMM mapInPandas
+    path (`operators/similarity.py::_cosine_topk_matmul`): vectors are
+    widened 8× by repetition (cosine is scale/repetition-invariant, so
+    the oracle stays exact), each Arrow batch is scored with one float64
+    matmul, and only per-batch top-k survive to the global rank. The
+    interpreted per-element fold loses ~dim× at this width; the GEMM
+    path is the ≥256-dim scale answer promised by the fold docstring."""
+    e = read_table(spark, sf_dir, "embeddings")
+    wide = e.select(
+        "vec_id",
+        F.flatten(F.array_repeat(
+            F.col("embedding").cast("array<double>"), 8)).alias("embedding"))
+    q = wide.filter(F.col("vec_id") < 3)
+    return cosine_topk(q, wide, "vec_id", "embedding", k=5, impl="matmul") \
+        .select("query_id", "match_id", "cosine_sim",
+                F.col("rank").cast("int").alias("rank"))
+
+
 @register("q18_multimodal_decode", oracle="""
 SELECT doc_id,
   'png' AS img_format,

@@ -15,6 +15,8 @@ full directory, which is the behavior a 100 TB lake actually needs
 from __future__ import annotations
 
 import os
+import weakref
+from collections import OrderedDict
 from glob import glob
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,13 +55,34 @@ def array_col(df: DataFrame, path: str, element_type: str):
     return F.lit(None).cast(f"array<{element_type}>")
 
 
-# DataFrame memo, keyed by (session, file list, mtimes, schema, firstOnly).
-# A 41-view run touches the big endpoints (studentEducationOrganization-
-# Associations, studentSchoolAssociations, students) from ~10 builders
-# each; without the memo every builder pays its own schema-inference job
-# (a full parse of the multiline JSON). The mtime component invalidates
-# the entry when a test rewrites its silver fixture in place.
-_READ_MEMO: dict[tuple, DataFrame] = {}
+# DataFrame memo, keyed by (context id, file list, mtimes, schema,
+# firstOnly). A 41-view run touches the big endpoints
+# (studentEducationOrganizationAssociations, studentSchoolAssociations,
+# students) from ~10 builders each; without the memo every builder pays
+# its own schema-inference job (a full parse of the multiline JSON). The
+# mtime component invalidates the entry when a test rewrites its silver
+# fixture in place.
+#
+# Bounded two ways so a long-lived process cannot grow it without limit:
+# entries of stopped/collected SparkContexts are purged on every access,
+# and the rest is LRU-capped (_MEMO_CAP re-reads are cheap; an unbounded
+# dict pinning dead DataFrames is not).
+_READ_MEMO: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_MEMO_CAP = 128
+_CTX_REFS: dict[int, "weakref.ref"] = {}
+
+
+def _purge_memo() -> None:
+    """Drop memo entries whose SparkContext is stopped or collected."""
+    dead = set()
+    for cid, ref in list(_CTX_REFS.items()):
+        sc = ref()
+        if sc is None or getattr(sc, "_jsc", None) is None:
+            dead.add(cid)
+            del _CTX_REFS[cid]
+    if dead:
+        for k in [k for k in _READ_MEMO if k[0] in dead]:
+            del _READ_MEMO[k]
 
 
 def read_collection(
@@ -91,12 +114,18 @@ def read_collection(
         tuple(int(os.path.getmtime(f) * 1000) for f in targets),
         schema.json() if schema is not None else None,
     )
+    _CTX_REFS.setdefault(id(spark.sparkContext),
+                         weakref.ref(spark.sparkContext))
+    _purge_memo()
     memo = _READ_MEMO.get(key)
     if memo is not None:
+        _READ_MEMO.move_to_end(key)
         return memo
     reader = spark.read.option("multiLine", "true")
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.json(targets)
     _READ_MEMO[key] = df
+    while len(_READ_MEMO) > _MEMO_CAP:
+        _READ_MEMO.popitem(last=False)
     return df

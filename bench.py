@@ -52,6 +52,7 @@ HEADLINE = [
     "q53_ngram_shingles",
     "q61_funnel",
     "q62_retention_cohorts",
+    "q73_cosine_topk_wide",
 ]
 
 

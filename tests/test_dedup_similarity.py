@@ -263,3 +263,54 @@ def test_connected_components_checkpoint_dir(spark, tmp_path):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
     import os
     assert os.listdir(tmp_path / "ckpt")
+
+
+def test_cosine_topk_matmul_parity_with_fold(spark):
+    """The wide-vector GEMM path must return exactly the fold path's rows
+    (same ids, ranks, and 6dp sims) — same API, different physical plan."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(384)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4)
+
+    def snap(out):
+        return sorted((r["query_id"], r["rank"], r["match_id"],
+                       r["cosine_sim"]) for r in out.collect())
+
+    fold = snap(cosine_topk(q, df, "vec_id", "embedding", k=5))
+    mat = snap(cosine_topk(q, df, "vec_id", "embedding", k=5, impl="matmul"))
+    assert fold == mat
+
+
+def test_lsh_salted_hot_bucket(spark):
+    """Boilerplate-heavy corpora collapse many docs into one LSH band
+    bucket; the salted variant must (a) return exactly the plain join's
+    pairs and (b) shuffle on (band, salt) so the hot bucket's probe work
+    spreads over n_salt tasks instead of one."""
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    boiler = "all rights reserved licence header standard text body here"
+    rows = [(i, boiler) for i in range(30)] + \
+           [(100 + i, f"unique document number {i} with its own words {i*7}")
+            for i in range(10)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(d, "doc_id", "text")
+
+    plain = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(sig, "doc_id").collect()}
+    salted_df = lsh_candidate_pairs(sig, "doc_id", n_salt=4)
+    salted = {(r["id_a"], r["id_b"]) for r in salted_df.collect()}
+    assert salted == plain
+    assert len(plain) >= 30 * 29 // 2  # the hot bucket is really hot
+
+    # The shuffle key must include the salt: hot-bucket rows no longer
+    # hash-partition to a single task.
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan.split("Exchange hashpartitioning", 1)[1]

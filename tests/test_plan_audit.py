@@ -16,9 +16,11 @@ import pytest
 
 from api_to_amt_data_lake_spark.plans import conformance
 
-# The multimodal mapInPandas paths — Arrow-batched Python is the point
-# there (byte hashing in q36, real header/pixel decode in q18).
-PYTHON_OK = {"q36_binary_metadata", "q18_multimodal_decode"}
+# The mapInPandas paths — Arrow-batched Python is the point there (byte
+# hashing in q36, real header/pixel decode in q18, wide-vector numpy
+# GEMM in q73).
+PYTHON_OK = {"q36_binary_metadata", "q18_multimodal_decode",
+             "q73_cosine_topk_wide"}
 
 SF_DIR = "/root/testdata/sf0.001"
 

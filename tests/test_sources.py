@@ -283,3 +283,37 @@ def test_csv_debug_sink(spark, tmp_path):
     assert path.endswith("2023/debug_view_csv")
     back = spark.read.option("header", True).csv(path)
     assert {(int(r["k"]), r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_read_memo_bounded_and_purged(spark, tmp_path):
+    """_READ_MEMO cannot grow without bound: entries from stopped
+    SparkContexts are purged on access, and live entries are LRU-capped."""
+    from api_to_amt_data_lake_spark.sources import json_source as js
+
+    silver = tmp_path / "2023" / "students"
+    silver.mkdir(parents=True)
+    (silver / "students_page00000.json").write_text('[{"id": "a"}]')
+
+    js._READ_MEMO.clear()
+    js._CTX_REFS.clear()
+    assert read_collection(spark, str(tmp_path), 2023, "students") is not None
+    assert len(js._READ_MEMO) == 1
+
+    # Simulate a stopped context holding stale entries.
+    class StoppedCtx:
+        _jsc = None
+
+    stopped = StoppedCtx()
+    js._CTX_REFS[id(stopped)] = __import__("weakref").ref(stopped)
+    js._READ_MEMO[(id(stopped), ("f.json",), (0,), None)] = "stale"
+    assert read_collection(spark, str(tmp_path), 2023, "students") is not None
+    assert not any(k[0] == id(stopped) for k in js._READ_MEMO)
+
+    # LRU cap: flood with fake live-session keys; size stays bounded.
+    live_id = id(spark.sparkContext)
+    for i in range(js._MEMO_CAP + 40):
+        js._READ_MEMO[(live_id, (f"fake{i}.json",), (i,), None)] = "x"
+        while len(js._READ_MEMO) > js._MEMO_CAP:
+            js._READ_MEMO.popitem(last=False)
+    assert read_collection(spark, str(tmp_path), 2023, "students") is not None
+    assert len(js._READ_MEMO) <= js._MEMO_CAP
