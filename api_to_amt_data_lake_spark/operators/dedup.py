@@ -323,19 +323,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # seen), so label-of-label exists; chasing it halves chain depth.
         jump = stepped.select(F.col("id").alias("_jid"),
                               F.col("label").alias("_jlabel"))
-        new_labels = _pin(
+        jumped = (
             stepped.join(jump, stepped["label"] == jump["_jid"], "left")
             .select("id", F.least(F.col("label"),
                                   F.coalesce("_jlabel", F.col("label")))
                     .alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # The convergence flag rides along in the SAME materialization
+        # (one extra narrow column), so checking it is a scan of the
+        # pinned rows, not another join+shuffle per round.
+        new_labels = _pin(
+            jumped.join(labels.select("id", F.col("label").alias("_old")),
+                        "id")
+            .select("id", "label",
+                    (F.col("label") != F.col("_old")).alias("_chg"))
         )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     if changed != 0:
