@@ -2195,6 +2195,114 @@ def q18_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built.mapInPandas(decode, out_schema)
 
 
+@register("q74_video_frame_sample", oracle="""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+idx AS (SELECT unnest(range(6)) AS frame_idx)
+SELECT d.doc_id, CAST(i.frame_idx AS INTEGER) AS frame_idx,
+  10 + (d.doc_id + i.frame_idx) % 20 AS frame_len,
+  CAST((d.doc_id + i.frame_idx) % 256 AS INTEGER) AS frame_byte
+FROM docs d CROSS JOIN idx i
+WHERE i.frame_idx % 2 = 0
+""")
+def q74_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, end to end: Spark SQL expressions BUILD a
+    valid AVI (RIFF) container per row — six '00dc' video chunks whose
+    payload length and fill byte are arithmetic functions of
+    (doc_id, frame_idx), word-aligned per the RIFF spec — and the real
+    demuxer (`operators/multimodal.py::sample_video_frames`) walks the
+    movi LIST inside one Arrow-batched mapInPandas pass, keeping every
+    2nd frame. The oracle recomputes the expected (frame_idx, length,
+    fill byte) rows arithmetically; a builder or demuxer bug on either
+    side breaks the hash match."""
+    import pandas as pd  # local: Python workers only
+
+    from api_to_amt_data_lake_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    d = read_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 100).select("doc_id")
+
+    def le32(c):
+        h = F.lpad(F.hex(c), 8, "0")
+        return F.concat(*[F.substring(h, 2 * i + 1, 2) for i in (3, 2, 1, 0)])
+
+    # Frame i: payload of (10 + (doc_id+i) % 20) copies of byte
+    # (doc_id+i) % 256, '00dc' chunk header, odd sizes padded per RIFF.
+    chunk_hexes = []
+    for i in range(6):
+        flen = F.lit(10) + (F.col("doc_id") + i) % 20
+        fbyte = F.lpad(F.hex((F.col("doc_id") + i) % 256), 2, "0")
+        payload = F.repeat(fbyte, flen)
+        pad = F.when(flen % 2 == 1, F.lit("00")).otherwise(F.lit(""))
+        chunk_hexes.append(
+            F.concat(F.lit("30306463"), le32(flen), payload, pad))
+    movi_body = F.concat(F.lit("6D6F7669"), *chunk_hexes)  # 'movi' + chunks
+    movi_size = F.length(movi_body) / 2
+    avi = F.unhex(F.concat(
+        F.lit("52494646"), le32((movi_size + 12).cast("int")),
+        F.lit("41564920"),                       # 'AVI '
+        F.lit("4C495354"), le32(movi_size.cast("int")),  # 'LIST' size
+        movi_body))
+
+    blobs = d.select(F.col("doc_id").alias("id"), avi.alias("content"))
+    frames = sample_video_frames(blobs, every_n=2)
+    return frames.select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        F.length("frame").alias("frame_len"),
+        F.conv(F.hex(F.substring("frame", 1, 1)), 16, 10)
+        .cast("int").alias("frame_byte"),
+    )
+
+
+@register("q75_feature_ann", oracle=f"""
+WITH feat AS (
+  SELECT doc_id AS vec_id,
+    list_transform(range(8), i ->
+      CAST(CAST(CAST(list_sum(list_transform(range(1, 9),
+        j -> CAST(strpos('0123456789abcdef',
+                 substr(sha256(text), CAST(8 * i + j AS INTEGER), 1)) - 1
+               AS BIGINT) * CAST(pow(16, 8 - j) AS BIGINT))) AS BIGINT)
+        / 4294967296.0 AS REAL) AS DOUBLE)) AS v
+  FROM documents WHERE doc_id < 300
+),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM (SELECT * FROM feat WHERE vec_id < 3) a
+  JOIN feat b ON a.vec_id != b.vec_id
+)
+SELECT query_id, match_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 5
+""")
+def q75_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline composed end to end: text bytes → binary
+    content column → deterministic feature extractor (sha256-derived
+    8-dim vectors via Arrow-batched mapInPandas, the stand-in for a real
+    model forward pass) → brute-force cosine top-k over the extracted
+    features. The oracle recomputes the features with DuckDB's sha256 —
+    same bytes, same float32 quantization — so the whole
+    featurize→search path is hash-checked, not just each piece."""
+    from api_to_amt_data_lake_spark.operators.multimodal import (
+        fake_feature_extract,
+        with_binary_content,
+    )
+    from api_to_amt_data_lake_spark.operators.similarity import cosine_topk
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    feats = fake_feature_extract(with_binary_content(d, "text", "doc_id"))
+    fd = feats.select(F.col("id").alias("vec_id"),
+                      F.col("feature").cast("array<double>").alias("emb"))
+    q = fd.filter(F.col("vec_id") < 3)
+    return cosine_topk(q, fd, "vec_id", "emb", k=5).select(
+        "query_id", "match_id", "cosine_sim",
+        F.col("rank").cast("int").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

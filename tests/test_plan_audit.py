@@ -20,7 +20,8 @@ from api_to_amt_data_lake_spark.plans import conformance
 # hashing in q36, real header/pixel decode in q18, wide-vector numpy
 # GEMM in q73).
 PYTHON_OK = {"q36_binary_metadata", "q18_multimodal_decode",
-             "q73_cosine_topk_wide"}
+             "q73_cosine_topk_wide", "q74_video_frame_sample",
+             "q75_feature_ann"}
 
 SF_DIR = "/root/testdata/sf0.001"
 
