@@ -106,3 +106,52 @@ def write_view_clustered(df: DataFrame, path: str, cluster_cols: list[str],
         else df.repartitionByRange(*cols)
     part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
     return path
+
+
+def compact_parquet(spark: SparkSession, src_path: str, dst_path: str,
+                    target_file_mb: int = 128) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    output file count.
+
+    The 100 TB small-file story: incremental refreshes and streaming
+    micro-batches accrete many tiny files (one per shuffle task per
+    batch), and every downstream scan then pays per-file open/footer
+    costs and loses row-group-sized reads. Compaction sizes the output
+    from the ACTUAL on-disk bytes (not a guess): ceil(bytes / target) →
+    coalesce when shrinking (no shuffle — task-side concatenation of
+    input splits), repartition only if growing. Write lands in
+    `dst_path`; callers doing in-place compaction should write a new
+    snapshot version (sources/incremental.py layout) and flip readers,
+    since Spark cannot overwrite a directory it is reading.
+    """
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    current = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files <= current \
+        else df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return len([f for f in os.listdir(dst_path) if f.endswith(".parquet")])
+
+
+def export_corpus(df: DataFrame, path: str,
+                  partition_cols: list[str] | None = None,
+                  max_records_per_file: int | None = None) -> str:
+    """Export a curated corpus for training consumption: optionally
+    hive-partitioned (e.g. by lang / quality bucket, so a trainer reads
+    only the slices it wants via partition pruning) and with a
+    per-file record cap (`maxRecordsPerFile`) so downstream loaders get
+    uniformly-sized shards regardless of upstream partition skew."""
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return path

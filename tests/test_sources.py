@@ -317,3 +317,43 @@ def test_read_memo_bounded_and_purged(spark, tmp_path):
             js._READ_MEMO.popitem(last=False)
     assert read_collection(spark, str(tmp_path), 2023, "students") is not None
     assert len(js._READ_MEMO) <= js._MEMO_CAP
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Compaction folds a many-small-files directory into the byte-sized
+    target count with identical content."""
+    from api_to_amt_data_lake_spark.sources.parquet_io import compact_parquet
+
+    src = str(tmp_path / "small")
+    spark.range(0, 10_000).withColumn("v", F.col("id") * 2) \
+        .repartition(64).write.parquet(src)
+    n_in = len([f for f in Path(src).iterdir() if f.suffix == ".parquet"])
+    assert n_in >= 32  # genuinely fragmented input
+
+    dst = str(tmp_path / "compact")
+    n_out = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n_out == 1  # tiny table -> one file
+    a = {(r["id"], r["v"]) for r in spark.read.parquet(src).collect()}
+    b = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
+    assert a == b
+
+
+def test_export_corpus_partitioned_sharded(spark, tmp_path):
+    from api_to_amt_data_lake_spark.sources.parquet_io import export_corpus
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "es", f"doc {i}") for i in range(100)],
+        "doc_id long, lang string, text string").coalesce(1)
+    path = export_corpus(df, str(tmp_path / "corpus"),
+                         partition_cols=["lang"], max_records_per_file=10)
+    langs = {p.name for p in (tmp_path / "corpus").iterdir()
+             if p.name.startswith("lang=")}
+    assert langs == {"lang=en", "lang=es"}
+    for part in langs:
+        files = [f for f in (tmp_path / "corpus" / part).iterdir()
+                 if f.suffix == ".parquet"]
+        assert len(files) >= 5  # 50 rows / cap 10
+        import pyarrow.parquet as pq
+        assert all(pq.read_metadata(str(f)).num_rows <= 10 for f in files)
+    back = spark.read.parquet(str(tmp_path / "corpus"))
+    assert back.count() == 100 and set(back.columns) == {"doc_id", "lang", "text"}
