@@ -289,3 +289,48 @@ def test_fold_batch_skips_replayed_batch_ids(spark, tmp_path):
     got = {r["id"]: r["name"]
            for r in read_snapshot(spark, root, 2023, "ep").collect()}
     assert got == {"a": "ALPHA2"}
+
+
+def test_stream_budget_filter_state_spans_batches(spark, tmp_path):
+    """Per-source token budgets must carry across micro-batches: spend
+    recorded in batch 1's ValueState constrains what batch 2 admits —
+    the cross-batch state a watermarked aggregation cannot express."""
+    import json as _json
+
+    from api_to_amt_data_lake_spark.streaming.budget import (
+        stream_budget_filter,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # Batch 1: source a spends 60 of 100; source b spends 90 of 100.
+    b1 = [{"source": "a", "doc_id": 1, "n_tokens": 60},
+          {"source": "b", "doc_id": 2, "n_tokens": 90}]
+    # Batch 2: a can take 30 (90 total) but not the 50 after it;
+    # b can take nothing but the 10.
+    b2 = [{"source": "a", "doc_id": 3, "n_tokens": 30},
+          {"source": "a", "doc_id": 4, "n_tokens": 50},
+          {"source": "b", "doc_id": 5, "n_tokens": 20},
+          {"source": "b", "doc_id": 6, "n_tokens": 10}]
+    (src / "b1.json").write_text("\n".join(map(_json.dumps, b1)))
+    (src / "b2.json").write_text("\n".join(map(_json.dumps, b2)))
+
+    try:
+        stream = (spark.readStream
+                  .schema("source string, doc_id long, n_tokens long")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        out = stream_budget_filter(stream, budget_per_source=100)
+        q = (out.writeStream.format("memory").queryName("budget_out")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(timeout=300)
+        if q.isActive:
+            q.stop()
+        got = {r["doc_id"] for r in spark.sql(
+            "SELECT doc_id FROM budget_out").collect()}
+        # Admitted: 1 (60), 2 (90), 3 (30 -> a at 90), 6 (10 -> b at 100).
+        # Rejected: 4 (a would hit 140), 5 (b would hit 110).
+        assert got == {1, 2, 3, 6}
+    finally:
+        spark.catalog.dropTempView("budget_out") if "budget_out" in [
+            t.name for t in spark.catalog.listTables()] else None
