@@ -314,3 +314,41 @@ def test_lsh_salted_hot_bucket(spark):
     # hash-partition to a single task.
     plan = salted_df._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan.split("Exchange hashpartitioning", 1)[1]
+
+
+def test_aqe_splits_skewed_hot_key_join(spark):
+    """The other half of the hot-bucket story: when the skewed side feeds
+    a sort-merge join, AQE's OptimizeSkewedJoin splits the oversized
+    partition at runtime — the final adaptive plan carries
+    SortMergeJoin(skew=true) with no manual salting. (Salting —
+    `lsh_candidate_pairs(n_salt=)` — remains for plans AQE won't touch:
+    broadcast-hash joins and self-joins feeding aggregations.)"""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 90% of the big side lands on one join key — the boilerplate
+        # band bucket / mega-school shape.
+        left = spark.range(0, 400_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 1000 END AS k",
+            "id AS v", "uuid() AS pad")
+        right = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS w")
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0][0] == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
