@@ -188,3 +188,80 @@ class TestConnectedComponents:
         got = {r["id"]: r["cluster_id"]
                for r in connected_components(df).collect()}
         assert got == expected
+
+
+class TestUpsertLatest:
+    """upsert_latest == a dict fold keeping max (version, is_update)."""
+
+    @SETTINGS
+    @given(
+        base=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 5)),
+                      max_size=12, unique_by=lambda t: t[0]),
+        updates=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 5)),
+                         max_size=12, unique_by=lambda t: t[0]),
+    )
+    def test_matches_dict_fold(self, spark, base, updates):
+        from api_to_amt_data_lake_spark.operators.merge import upsert_latest
+
+        model: dict[int, tuple] = {}
+        for k, v in base:
+            model[k] = (v, 0, f"b{k}v{v}")
+        for k, v in updates:
+            # newest version wins; ties go to the update (_src=1)
+            if k not in model or (v, 1) >= (model[k][0], model[k][1]):
+                model[k] = (v, 1, f"u{k}v{v}")
+        expected = {(k, v[0], v[2]) for k, v in model.items()}
+
+        bdf = spark.createDataFrame(
+            [(k, v, f"b{k}v{v}") for k, v in base],
+            "id long, ver long, payload string")
+        udf_ = spark.createDataFrame(
+            [(k, v, f"u{k}v{v}") for k, v in updates],
+            "id long, ver long, payload string")
+        got = {(r["id"], r["ver"], r["payload"])
+               for r in upsert_latest(bdf, udf_, ["id"],
+                                      version_col="ver").collect()}
+        assert got == expected
+
+
+class TestHeaderParsers:
+    """Round-trip: struct-built headers parse back to their parameters."""
+
+    @SETTINGS
+    @given(w=st.integers(1, 60_000), h=st.integers(1, 60_000))
+    def test_png_gif_roundtrip(self, w, h):
+        from tests.test_multimodal_decode import gif_bytes, png_bytes
+
+        from api_to_amt_data_lake_spark.operators.multimodal import (
+            parse_image_header,
+        )
+
+        assert parse_image_header(png_bytes(w, h)) == ("png", w, h, 3)
+        if w < 65_536 and h < 65_536:  # GIF dims are u16
+            assert parse_image_header(gif_bytes(w, h)) == ("gif", w, h, 3)
+
+    @SETTINGS
+    @given(rate=st.integers(1, 192_000), n=st.integers(0, 500),
+           ch=st.integers(1, 8))
+    def test_wav_roundtrip(self, rate, n, ch):
+        import numpy as np
+
+        from tests.test_multimodal_decode import wav_bytes
+
+        from api_to_amt_data_lake_spark.operators.multimodal import (
+            parse_wav_header,
+        )
+
+        blob = wav_bytes(rate, np.zeros(n * ch, dtype=np.int64), channels=ch)
+        assert parse_wav_header(blob) == (rate, ch, 16, n)
+
+    @SETTINGS
+    @given(raw=st.binary(max_size=200))
+    def test_parsers_never_crash_on_junk(self, raw):
+        from api_to_amt_data_lake_spark.operators.multimodal import (
+            parse_image_header,
+            parse_wav_header,
+        )
+
+        parse_image_header(raw)   # may return None; must not raise
+        parse_wav_header(raw)
