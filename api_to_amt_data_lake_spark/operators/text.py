@@ -110,3 +110,35 @@ def content_fingerprint(c: Column | str) -> Column:
     return F.md5(
         F.array_join(F.array_sort(F.array_distinct(tokens(c))), " ")
     )
+
+
+# Regexes restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB) so the oracle runs the LITERAL same patterns: no backrefs, no
+# lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Replace emails / phone-number runs / IPv4 literals with typed
+    placeholder tokens — the standard pre-training redaction pass.
+
+    Order matters: emails first (their local part would otherwise be
+    chewed up by the phone pattern's digit runs), then phones, then IPs.
+    Pure `regexp_replace` chain — codegen-friendly, shuffle-free, and
+    dialect-portable (patterns avoid Java/RE2 differences).
+    """
+    col = _col(c)
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def pii_counts(c: Column | str) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) found in the raw text — the audit
+    metric a scrub pass reports alongside the redacted corpus."""
+    col = _col(c)
+    return (F.regexp_count(col, F.lit(EMAIL_RE)),
+            F.regexp_count(col, F.lit(PHONE_RE)),
+            F.regexp_count(col, F.lit(IPV4_RE)))

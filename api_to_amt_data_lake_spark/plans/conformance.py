@@ -2303,6 +2303,79 @@ def q75_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"))
 
 
+@register("q76_pii_scrub", oracle="""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g'),
+    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed,
+  len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text,
+    '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS n_phones,
+  len(regexp_extract_all(text,
+    '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ips
+FROM documents WHERE doc_id < 200
+""")
+def q76_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails → <EMAIL>, phone runs → <PHONE>, IPv4
+    → <IP>, plus per-doc found-counts (the audit metric). Pure
+    regexp_replace/regexp_count chain — codegen, no shuffle; the
+    patterns are restricted to Java-regex ∩ RE2 syntax so the DuckDB
+    oracle runs the LITERAL same expressions."""
+    from api_to_amt_data_lake_spark.operators.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n_em, n_ph, n_ip = pii_counts("text")
+    return d.select(
+        "doc_id", scrub_pii("text").alias("scrubbed"),
+        n_em.alias("n_emails"), n_ph.alias("n_phones"), n_ip.alias("n_ips"))
+
+
+@register("q77_repetition_signals", oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws
+  FROM documents WHERE doc_id < 300
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM w WHERE len(ws) >= 2
+), counts AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+FROM counts GROUP BY doc_id
+""")
+def q77_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher-style top-n-gram fraction):
+    the share of a document's word bigrams taken by its single most
+    frequent bigram — boilerplate and degenerate generations score high
+    and get culled before training. Plan: one Generate (bigram explode
+    staged behind the array, split evaluated once per row) and two
+    partial-aggregating groupBys on doc_id — one shuffle family, no
+    windows."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ws = d.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    bigram_expr = (
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), "
+        "i -> concat_ws(' ', ws[i], ws[i + 1])) ELSE array() END"
+    )
+    bg = (
+        ws.select("doc_id", F.expr(bigram_expr).alias("bgs"))
+        .select("doc_id", F.explode_outer("bgs").alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+    )
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6)
+        .alias("top_bigram_frac"))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

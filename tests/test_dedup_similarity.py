@@ -352,3 +352,27 @@ def test_aqe_splits_skewed_hot_key_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from api_to_amt_data_lake_spark.operators.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@example.co.uk or call +1 (555) 123-4567 "
+             "from 192.168.0.1 today"),
+         (2, "no pii here at all")],
+        ["id", "t"])
+    n_em, n_ph, n_ip = pii_counts("t")
+    got = {r["id"]: r for r in df.select(
+        "id", scrub_pii("t").alias("s"),
+        n_em.alias("e"), n_ph.alias("p"), n_ip.alias("i")).collect()}
+    assert "<EMAIL>" in got[1]["s"] and "<PHONE>" in got[1]["s"] \
+        and "<IP>" in got[1]["s"]
+    assert "bob.smith" not in got[1]["s"] and "555" not in got[1]["s"] \
+        and "192.168" not in got[1]["s"]
+    assert (got[1]["e"], got[1]["p"], got[1]["i"]) == (1, 1, 1)
+    assert got[2]["s"] == "no pii here at all"
+    assert (got[2]["e"], got[2]["p"], got[2]["i"]) == (0, 0, 0)
