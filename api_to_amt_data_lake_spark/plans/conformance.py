@@ -2376,6 +2376,48 @@ def q77_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_bigram_frac"))
 
 
+@register("q78_variant_semistructured", oracle="""
+WITH j AS (
+  SELECT doc_id,
+    '{"meta":{"source":"' || source || '","lang":"' || lang ||
+    '"},"stats":{"chars":' || CAST(n_chars AS VARCHAR) || '}}' AS payload
+  FROM documents WHERE doc_id < 300
+)
+SELECT CAST(json_extract_string(payload, '$.meta.source') AS VARCHAR)
+    AS src,
+  CAST(json_extract_string(payload, '$.meta.lang') AS VARCHAR) AS lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CAST(json_extract(payload, '$.stats.chars') AS BIGINT))
+    AS BIGINT) AS total_chars
+FROM j GROUP BY src, lang
+""")
+def q78_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on Spark 4's VARIANT type: JSON payloads
+    are parsed ONCE into the binary variant encoding (`parse_json`), and
+    typed paths are extracted with `variant_get` — the open-format
+    answer to schema-on-read at 100 TB (no full-schema inference pass,
+    per-path lazy decode, shredded storage when written to parquet).
+    The aggregation groups on extracted paths; DuckDB's JSON functions
+    are the oracle."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payload = F.concat(
+        F.lit('{"meta":{"source":"'), F.col("source"),
+        F.lit('","lang":"'), F.col("lang"),
+        F.lit('"},"stats":{"chars":'), F.col("n_chars").cast("string"),
+        F.lit("}}"))
+    v = d.select(F.parse_json(payload).alias("v"))
+    return (
+        v.select(
+            F.variant_get("v", "$.meta.source", "string").alias("src"),
+            F.variant_get("v", "$.meta.lang", "string").alias("lang"),
+            F.variant_get("v", "$.stats.chars", "long").alias("chars"),
+        )
+        .groupBy("src", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("chars").alias("total_chars"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the
