@@ -125,6 +125,15 @@ def read_collection(
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.json(targets)
+    # A malformed landed page must not poison the collection: PERMISSIVE
+    # mode surfaces it as rows whose only content is _corrupt_record —
+    # drop those rows (and the column) so downstream views never see
+    # parser garbage; the good files' documents still flow through.
+    if "_corrupt_record" in df.columns:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("_corrupt_record").isNull()) \
+            .drop("_corrupt_record")
     _READ_MEMO[key] = df
     while len(_READ_MEMO) > _MEMO_CAP:
         _READ_MEMO.popitem(last=False)

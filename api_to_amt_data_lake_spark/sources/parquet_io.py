@@ -155,3 +155,53 @@ def export_corpus(df: DataFrame, path: str,
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
     return path
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Interleave the low `bits` of two non-negative int columns into a
+    Morton (Z-order) key — a pure bitwise expression, fully inside
+    whole-stage codegen."""
+    xc = x if not isinstance(x, str) else F.col(x)
+    yc = y if not isinstance(y, str) else F.col(y)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(xc.cast("long"), i)
+                           .bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(yc.cast("long"), i)
+                           .bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+def write_view_zordered(df: DataFrame, path: str, col_x: str, col_y: str,
+                        n_files: int = 16, bits: int = 16) -> str:
+    """Write parquet Z-ordered on TWO columns: each file covers a tight
+    hyper-rectangle in (x, y), so min/max footer stats prune files for
+    predicates on EITHER column — the multi-column data-skipping story
+    `write_view_clustered` (single-column range sort) cannot give, and
+    the plain-parquet equivalent of Delta/Iceberg Z-ordering.
+
+    Columns are first quantized to `bits`-bit ranks against their actual
+    min/max (one tiny agg pass, broadcast back — no collect), then rows
+    are range-partitioned and sorted by the interleaved Morton key.
+    """
+    minmax = df.agg(
+        F.min(col_x).alias("_minx"), F.max(col_x).alias("_maxx"),
+        F.min(col_y).alias("_miny"), F.max(col_y).alias("_maxy"))
+    scale = (1 << bits) - 1
+
+    def _q(c, lo, hi):
+        rng = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        return ((F.col(c) - F.col(lo)).cast("double") / rng * scale) \
+            .cast("long")
+
+    keyed = (
+        df.crossJoin(F.broadcast(minmax))
+        .withColumn("_zk", zorder_key(_q(col_x, "_minx", "_maxx"),
+                                      _q(col_y, "_miny", "_maxy"), bits))
+        .drop("_minx", "_maxx", "_miny", "_maxy")
+    )
+    (keyed.repartitionByRange(n_files, F.col("_zk"))
+     .sortWithinPartitions("_zk").drop("_zk")
+     .write.mode("overwrite").parquet(path))
+    return path

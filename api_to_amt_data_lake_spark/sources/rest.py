@@ -49,6 +49,29 @@ def fetch_token(cfg: OdsConfig, session=None) -> str:
     return resp.json()["access_token"]
 
 
+RETRYABLE_STATUS = (429, 500, 502, 503, 504)
+
+
+def _get_with_retry(sess, url, *, params=None, headers=None, timeout=300,
+                    max_retries: int = 4, backoff_s: float = 0.25):
+    """GET with exponential backoff on throttling/transient-server status
+    codes (the reference aborts the whole collection on any failed page —
+    `api/api.py:109-116` logs and returns; an hourly 100-endpoint pull
+    meets 429s and LB blips routinely, so retrying beats re-extracting)."""
+    import time as _time
+
+    attempt = 0
+    while True:
+        resp = sess.get(url, params=params, headers=headers, timeout=timeout)
+        status = getattr(resp, "status_code", 200)
+        if status in RETRYABLE_STATUS and attempt < max_retries:
+            _time.sleep(backoff_s * (2 ** attempt))
+            attempt += 1
+            continue
+        resp.raise_for_status()
+        return resp
+
+
 def fetch_collection_pages(
     cfg: OdsConfig, token: str, endpoint: str,
     min_change_version: int | None = None,
@@ -71,9 +94,9 @@ def fetch_collection_pages(
             params["minChangeVersion"] = min_change_version
         if max_change_version is not None:
             params["maxChangeVersion"] = max_change_version
-        resp = sess.get(url, params=params,
-                        headers={"Authorization": f"Bearer {token}"}, timeout=300)
-        resp.raise_for_status()
+        resp = _get_with_retry(
+            sess, url, params=params,
+            headers={"Authorization": f"Bearer {token}"}, timeout=300)
         page = resp.json()
         if not page:
             return

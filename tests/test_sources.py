@@ -357,3 +357,104 @@ def test_export_corpus_partitioned_sharded(spark, tmp_path):
         assert all(pq.read_metadata(str(f)).num_rows <= 10 for f in files)
     back = spark.read.parquet(str(tmp_path / "corpus"))
     assert back.count() == 100 and set(back.columns) == {"doc_id", "lang", "text"}
+
+
+def test_zorder_write_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered files must cover tight rectangles in BOTH columns: for a
+    narrow predicate on y, most files' y-min/max footer ranges miss it
+    (file-level skipping), while an x-sorted layout cannot skip any —
+    every x-sorted file spans the full y range."""
+    import pyarrow.parquet as pq
+
+    from api_to_amt_data_lake_spark.sources.parquet_io import (
+        write_view_clustered,
+        write_view_zordered,
+    )
+
+    grid = spark.range(0, 256 * 256).selectExpr(
+        "id % 256 AS x", "CAST(id / 256 AS LONG) AS y")
+
+    zpath = str(tmp_path / "zorder")
+    write_view_zordered(grid, zpath, "x", "y", n_files=16, bits=8)
+    lpath = str(tmp_path / "linear")
+    write_view_clustered(grid.select("x", "y"), lpath, ["x"], n_files=16)
+
+    def overlapping_files(path, lo, hi):
+        hits, total = 0, 0
+        for f in Path(path).glob("*.parquet"):
+            md = pq.read_metadata(str(f))
+            idx = next(i for i in range(len(md.schema))
+                       if md.schema.column(i).name == "y")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            total += 1
+            if min(mins) <= hi and max(maxs) >= lo:
+                hits += 1
+        return hits, total
+
+    z_hits, z_total = overlapping_files(zpath, 100, 110)
+    l_hits, l_total = overlapping_files(lpath, 100, 110)
+    assert z_total > 8 and l_total > 8
+    assert l_hits == l_total            # x-sort: every file spans all y
+    assert z_hits <= z_total // 2       # z-order: most files skipped
+
+    # Content preserved.
+    assert spark.read.parquet(zpath).count() == 256 * 256
+
+
+def test_fetch_retries_transient_failures():
+    """429/5xx pages retry with backoff instead of aborting the
+    collection; permanent failures still raise after max retries."""
+    import pytest
+
+    from api_to_amt_data_lake_spark.sources.rest import _get_with_retry
+
+    class FlakyResponse(FakeResponse):
+        def __init__(self, payload, status):
+            super().__init__(payload)
+            self.status_code = status
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                raise RuntimeError(f"http {self.status_code}")
+
+    class FlakySession:
+        def __init__(self, failures, status=429):
+            self.failures = failures
+            self.status = status
+            self.calls = 0
+
+        def get(self, url, params=None, headers=None, timeout=None):
+            self.calls += 1
+            if self.calls <= self.failures:
+                return FlakyResponse(None, self.status)
+            return FlakyResponse([{"id": 1}], 200)
+
+    flaky = FlakySession(failures=2)
+    resp = _get_with_retry(flaky, "http://x", backoff_s=0.001)
+    assert resp.json() == [{"id": 1}] and flaky.calls == 3
+
+    dead = FlakySession(failures=99, status=503)
+    with pytest.raises(RuntimeError, match="http 503"):
+        _get_with_retry(dead, "http://x", max_retries=2, backoff_s=0.001)
+    assert dead.calls == 3  # initial + 2 retries
+
+
+def test_read_collection_drops_corrupt_pages(spark, tmp_path):
+    """A malformed landed page yields no garbage rows — good files'
+    documents still flow; the corrupt marker column never escapes."""
+    d = tmp_path / "2023" / "students"
+    d.mkdir(parents=True)
+    (d / "students_page00000.json").write_text(
+        '[{"id": "a", "v": 1}, {"id": "b", "v": 2}]')
+    (d / "students_page00001.json").write_text('{"id": "c", "v": ')  # cut off
+
+    from api_to_amt_data_lake_spark.sources import json_source as js
+    js._READ_MEMO.clear()
+    df = read_collection(spark, str(tmp_path), 2023, "students")
+    rows = {(r["id"], r["v"]) for r in df.collect()}
+    assert rows == {("a", 1), ("b", 2)}
+    assert "_corrupt_record" not in df.columns
