@@ -2418,6 +2418,42 @@ def q78_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q79_sequence_packing", oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n
+  FROM documents WHERE doc_id < 500
+), o AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+  CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id,
+  (n_tokens > 0 AND floor(start_offset / 2048.0)
+     != floor((start_offset + n_tokens - 1) / 2048.0)) AS crosses_boundary
+FROM o
+""")
+def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every document's global token
+    offset under deterministic id-order concatenation, its 2048-token
+    context-window id, and whether it straddles a window boundary — the
+    step that turns a curated corpus into training batches. The global
+    prefix sum runs as the two-phase distributed form
+    (`operators/packing.py`): per-block windows in parallel + a
+    broadcast of per-block base offsets, never a single-partition
+    global sort."""
+    from api_to_amt_data_lake_spark.operators.packing import pack_offsets
+    from api_to_amt_data_lake_spark.operators.text import token_count
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # block=64 is tiny for test data (forces several blocks so the
+    # two-phase path is actually exercised); production default is 2^20.
+    return pack_offsets(d.select("doc_id", "text"), "doc_id",
+                        token_count("text"), window_tokens=2048, block=64)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

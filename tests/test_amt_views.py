@@ -1481,3 +1481,26 @@ def test_run_all_aggregates_failures_and_unpersists(spark, silver, tmp_path):
         assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     finally:
         del registry.VIEWS["zz_broken_view"]
+
+
+def test_run_full_pipeline_end_to_end(spark, silver, tmp_path):
+    """EP1→EP2 composed: landing (fake REST session) + the 41-view gold
+    build per school year through one orchestrator call."""
+    from tests.test_sources import CFG, FakeMetadataSession
+
+    from api_to_amt_data_lake_spark.pipeline import run_full_pipeline
+
+    # Land one extra endpoint into the existing silver fixture via the
+    # REST client (version-gated), then build gold for the year.
+    sess = FakeMetadataSession(
+        [{"id": "x1", "v": 1}], [{"name": "Ed-Fi", "version": "4.0.0"}])
+    out = run_full_pipeline(
+        spark, silver, str(tmp_path / "gold"), [SY],
+        cfg=CFG, endpoints=["anExtraEndpoint"], with_deletes=False,
+        parallelism=8, run_date="2023-09-01", session=sess)
+    assert set(out) == {str(SY)}
+    assert len(out[str(SY)]) == 41
+    # The landed endpoint reached silver through the same client.
+    import pathlib
+    landed = pathlib.Path(silver) / str(SY) / "anExtraEndpoint"
+    assert any(landed.glob("*.json"))

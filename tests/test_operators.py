@@ -159,3 +159,31 @@ def test_stratified_sample_deterministic(spark):
     # 500 candidates per stratum; keep-rates ~0.5 / ~0.1
     assert 200 < by_lang.get("en", 0) < 300
     assert 20 < by_lang.get("de", 0) < 80
+
+
+def test_pack_offsets_blocked_prefix_sum_exact(spark):
+    """The two-phase (blocked) prefix sum must equal the single-window
+    global running sum regardless of block size, including boundary
+    straddles and empty documents."""
+    from pyspark.sql import functions as F
+
+    from api_to_amt_data_lake_spark.operators.packing import pack_offsets
+
+    rows = [(i, 7 if i % 3 else 0) for i in range(50)]  # some empty docs
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+
+    def snap(block):
+        out = pack_offsets(df, "doc_id", F.col("n"),
+                           window_tokens=16, block=block)
+        return sorted((r["doc_id"], r["n_tokens"], r["start_offset"],
+                       r["bin_id"], r["crosses_boundary"])
+                      for r in out.collect())
+
+    one_block = snap(10**6)
+    assert snap(4) == one_block == snap(7)
+    # Manual spot-check: running sum of 7s (skipping every 3rd id).
+    by_id = {t[0]: t for t in one_block}
+    assert by_id[0][2] == 0 and by_id[1][2] == 0 and by_id[2][2] == 7
+    assert by_id[3][2] == 14 and by_id[3][1] == 0  # empty doc, no advance
+    # A doc starting at offset 14 with 7 tokens spans bins 0 and 1 (win 16).
+    assert by_id[4][2] == 14 and by_id[4][4] is True and by_id[4][3] == 0
