@@ -2027,7 +2027,6 @@ def q04_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation on DataFrames; the DuckDB oracle is the same
     fixpoint as a recursive CTE."""
     from api_to_amt_data_lake_spark.operators.dedup import (
-    lsh_bands,
         connected_components,
         lsh_candidate_pairs,
         minhash_signatures,
@@ -2452,6 +2451,62 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-phase path is actually exercised); production default is 2^20.
     return pack_offsets(d.select("doc_id", "text"), "doc_id",
                         token_count("text"), window_tokens=2048, block=64)
+
+
+_Q80_ORACLE = f"""
+WITH cc AS ({_Q70_ORACLE}),
+scored AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+    least(len(string_split(trim(d.text), ' ')) / 100.0, 1.0)
+      * (1.0 - (length(d.text)
+                - length(regexp_replace(d.text, '[.,;:!?]', '', 'g')))
+         / greatest(CAST(length(d.text) AS DOUBLE), 1.0)) AS quality
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT cluster_id, doc_id AS keeper_id,
+  CAST(n_members AS BIGINT) AS n_members
+FROM (
+  SELECT cluster_id, doc_id,
+    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+    row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@register("q80_cluster_keepers", oracle=_Q80_ORACLE)
+def q80_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final decision: ONE kept document per
+    duplicate cluster, chosen by quality (tie → lowest id), with
+    singletons (docs in no near-dup pair) keeping themselves. Composes
+    minhash → LSH pairs → connected components → quality argmax; the
+    argmax is max_by over a (quality, -id) struct — one partial-
+    aggregating shuffle on cluster_id, no row_number sort over the
+    corpus."""
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from api_to_amt_data_lake_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+    clusters = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id")
+    scored = (
+        d.select("doc_id", quality_score("text").alias("quality"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    return scored.groupBy("cluster_id").agg(
+        F.max_by("doc_id",
+                 F.struct(F.col("quality"), -F.col("doc_id")))
+        .alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
 
 
 # ---------------------------------------------------------------------------
