@@ -35,6 +35,7 @@ def asof_join(
     how: str = "left",
     tolerance_seconds: int | None = None,
     matched_ts_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each `left` row, attach the `right` row with the greatest
     ``right_ts <= left_ts`` sharing the `on` keys (ties at equal timestamps
@@ -50,7 +51,16 @@ def asof_join(
     - `tolerance_seconds`: nulls out matches older than
       ``left_ts - tolerance`` (and drops the row under 'inner').
     - `matched_ts_col`: optionally expose the matched right timestamp.
+    - `direction`: 'backward' (default — most recent right at or before)
+      or 'forward' (earliest right at or after, pandas
+      ``merge_asof(direction='forward')``); tolerance then bounds how
+      far AHEAD the match may be. Same plan either way: one shuffle on
+      the key, one per-key sort, value carry in the mirrored frame.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}")
+    fwd = direction == "forward"
     on = list(on)
     key_set = set(on)
     payload = [c for c in left.columns if c not in key_set]
@@ -69,24 +79,31 @@ def asof_join(
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
     )
+    # Side ordering places right rows on the INCLUSIVE side of ties:
+    # backward → right before left (0 < 1) in a preceding frame;
+    # forward → right after left (2 > 1) in a following frame.
+    right_side = 2 if fwd else 0
     r2 = right.select(
         *on,
         *[null_like(left, c) for c in payload],
         *rvals,
         F.col(right_ts).alias(_TS),
-        F.lit(0).alias(_SIDE),
+        F.lit(right_side).alias(_SIDE),
     )
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(_TS, _SIDE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy(*on).orderBy(_TS, _SIDE)
+    if fwd:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first
+    else:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last
     carried = l2.unionByName(r2).select(
         *on,
         *payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rvals],
-        F.last(F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True)
+        *[carry(c, ignorenulls=True).over(w).alias(c) for c in rvals],
+        carry(F.when(F.col(_SIDE) == right_side, F.col(_TS)),
+              ignorenulls=True)
         .over(w)
         .alias(_MATCH),
         F.col(_SIDE),
@@ -94,9 +111,14 @@ def asof_join(
     out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
 
     if tolerance_seconds is not None:
-        in_tol = F.col(_MATCH).cast("long") >= (
-            F.col(left_ts).cast("long") - F.lit(tolerance_seconds)
-        )
+        if fwd:
+            in_tol = F.col(_MATCH).cast("long") <= (
+                F.col(left_ts).cast("long") + F.lit(tolerance_seconds)
+            )
+        else:
+            in_tol = F.col(_MATCH).cast("long") >= (
+                F.col(left_ts).cast("long") - F.lit(tolerance_seconds)
+            )
         out = out.select(
             *on,
             *payload,

@@ -2453,6 +2453,44 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                         token_count("text"), window_tokens=2048, block=64)
 
 
+@register("q81_asof_forward", oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.user_id, c.event_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  p.purchase_value,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""")
+def q81_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click attributed to the EARLIEST purchase at
+    or after it (conversion attribution looks forward; feature joins
+    look backward — q42). Same linear union+sort+carry plan, mirrored
+    frame; DuckDB's ASOF `<=` is the oracle."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, ["user_id"],
+                    direction="forward", matched_ts_col="_pts")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        "purchase_value",
+        F.date_format("_pts", fmt).alias("purchase_ts"),
+    )
+
+
 _Q80_ORACLE = f"""
 WITH cc AS ({_Q70_ORACLE}),
 scored AS (

@@ -187,3 +187,34 @@ def test_pack_offsets_blocked_prefix_sum_exact(spark):
     assert by_id[3][2] == 14 and by_id[3][1] == 0  # empty doc, no advance
     # A doc starting at offset 14 with 7 tokens spans bins 0 and 1 (win 16).
     assert by_id[4][2] == 14 and by_id[4][4] is True and by_id[4][3] == 0
+
+
+def test_asof_join_forward_direction(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from api_to_amt_data_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10, "l1"), ("u", 20, "l2"), ("u", 35, "l3")],
+        "k string, ts long, ev string")
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 25, 2.0), ("u", 30, 3.0)],
+        "k string, ts long, val double")
+
+    out = {r["ev"]: (r["val"], r["m"])
+           for r in asof_join(left, right, ["k"], direction="forward",
+                              matched_ts_col="m").collect()}
+    # l1 at 10 matches the tie at 10; l2 at 20 -> earliest following (25);
+    # l3 at 35 has nothing ahead -> null.
+    assert out == {"l1": (1.0, 10), "l2": (2.0, 25), "l3": (None, None)}
+
+    # Tolerance bounds how far AHEAD the match may be.
+    tol = {r["ev"]: r["val"]
+           for r in asof_join(left, right, ["k"], direction="forward",
+                              tolerance_seconds=3).collect()}
+    assert tol == {"l1": 1.0, "l2": None, "l3": None}
+
+    # Backward results are unchanged by the refactor.
+    back = {r["ev"]: r["val"]
+            for r in asof_join(left, right, ["k"]).collect()}
+    assert back == {"l1": 1.0, "l2": 1.0, "l3": 3.0}
