@@ -2453,6 +2453,88 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                         token_count("text"), window_tokens=2048, block=64)
 
 
+@register("q82_event_throttle_dedup", oracle="""
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts,
+    lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      AS prev_ts
+  FROM events WHERE user_id < 100
+)
+SELECT event_id, user_id, event_type
+FROM o
+WHERE prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 30
+""")
+def q82_event_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate event suppression: drop repeats of the same
+    (user, event_type) arriving within 30 s of the previous kept-or-not
+    occurrence — the double-click / retry-storm cleaner an event
+    pipeline runs before sessionization. One lag window per
+    (user, event_type); one shuffle, no self-join."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    return (
+        e.withColumn("_prev", prev)
+        # NTZ timestamps reject cast("long") — route via LTZ (session
+        # tz pinned UTC, so the epoch arithmetic is identical).
+        .filter(F.col("_prev").isNull()
+                | (F.col("ts").cast("timestamp_ltz").cast("long")
+                   - F.col("_prev").cast("timestamp_ltz").cast("long")
+                   > 30))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register("q83_tfidf_top_terms", oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents WHERE doc_id < 200
+), n_docs AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM tok
+), df_t AS (
+  SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+), scored AS (
+  SELECT t.doc_id, t.term,
+    round(ln((SELECT n FROM n_docs) / CAST(df_t.df AS DOUBLE)), 6)
+      AS idf
+  FROM tok t JOIN df_t USING (term)
+)
+SELECT doc_id, term, idf FROM (
+  SELECT doc_id, term, idf, row_number() OVER (
+    PARTITION BY doc_id ORDER BY idf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+""")
+def q83_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms by IDF (the set-semantics
+    core of TF-IDF: rare-across-corpus terms rank first). Plan: one
+    distinct on (doc, term), one groupBy(term) for document frequency,
+    the corpus size as a broadcast 1-row crossJoin (no collect), a
+    broadcast term join back, and a per-doc top-k window — every
+    aggregation partial-aggregates map-side."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.trim("text"), " "))
+                 .alias("term"))
+        .distinct()
+    )
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("_n"))
+    df_t = tok.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tok.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term",
+                F.round(F.log(F.col("_n") / F.col("_df")), 6).alias("idf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("idf").desc(),
+                                             F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "idf")
+    )
+
+
 @register("q81_asof_forward", oracle="""
 WITH clicks AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
