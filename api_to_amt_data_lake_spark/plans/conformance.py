@@ -2453,6 +2453,43 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                         token_count("text"), window_tokens=2048, block=64)
 
 
+@register("q84_full_outer_reconcile", oracle="""
+WITH c AS (
+  SELECT c_nationkey, COUNT(*) AS n_customers
+  FROM customer WHERE c_acctbal > 7000 GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers
+  FROM supplier WHERE s_acctbal > 7000 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+  COALESCE(c.n_customers, 0) AS n_customers,
+  COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+""")
+def q84_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the join shape audits use to find
+    keys present on either side only (the reference has inner/left/
+    right/cross; full outer completes the family). Both inputs
+    pre-aggregate before the join, so the outer join carries one row
+    per key, never the fact tables."""
+    c = (read_table(spark, sf_dir, "customer")
+         .filter(F.col("c_acctbal") > 7000)
+         .groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_customers")))
+    s = (read_table(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 7000)
+         .groupBy("s_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_suppliers")))
+    return (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
 @register("q82_event_throttle_dedup", oracle="""
 WITH o AS (
   SELECT event_id, user_id, event_type, ts,
