@@ -66,3 +66,36 @@ def test_dims_broadcast_in_star_join(spark):
     plan = _plan(spark, "q02_revenue_by_nation")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # at sf0.001 every side fits
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter join pruning: a selective filter on the
+    build side injects a might_contain pre-filter into the probe side's
+    scan stage, so most of the big side's rows drop BEFORE the shuffle —
+    the 100 TB selective-join story when broadcast is off the table.
+    (The semi-join-reduction flavor of this optimizer hangs this Spark
+    build and must stay off; the bloom flavor is safe and tested here.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 1_000_000).selectExpr("id AS k", "id * 3 AS v")
+        dim = spark.range(0, 10_000).selectExpr(
+            "id AS k", "id % 7 AS grp").filter("grp = 3")
+        j = big.join(dim, "k")
+        assert j.count() == 1429
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), "no runtime bloom filter injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
