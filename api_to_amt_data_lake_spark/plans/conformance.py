@@ -2453,6 +2453,37 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                         token_count("text"), window_tokens=2048, block=64)
 
 
+@register("q85_month_over_month", oracle="""
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY month
+)
+SELECT month, revenue,
+  round(CASE WHEN lag(revenue) OVER (ORDER BY month) IS NULL THEN NULL
+    ELSE (revenue - lag(revenue) OVER (ORDER BY month))
+         / lag(revenue) OVER (ORDER BY month) END, 6) AS mom_change
+FROM m
+""")
+def q85_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period trend: monthly revenue with percent change vs
+    the previous month. The lag window runs over the AGGREGATED rows
+    (one per month — tiny), partitioned by a constant key, so the
+    global ordering never touches the fact table; the heavy lifting is
+    one partial-aggregating groupBy on month."""
+    o = read_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+             .cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month", "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"))
+
+
 @register("q84_full_outer_reconcile", oracle="""
 WITH c AS (
   SELECT c_nationkey, COUNT(*) AS n_customers
