@@ -2453,6 +2453,48 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                         token_count("text"), window_tokens=2048, block=64)
 
 
+@register("q86_sql_surface_shipping_priority", oracle="""
+SELECT o.o_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE)
+    AS revenue,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+""")
+def q86_sql_surface_shipping_priority(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The engine's pure-SQL entry surface: TPC-H Q3 (shipping
+    priority) written as `spark.sql` over registered temp views — the
+    same Catalyst plan the DataFrame API would build (pushed filters,
+    broadcast customer dim, partial aggregation), proving a SQL-only
+    user gets the full engine. Results stay deterministic via the
+    (revenue DESC, orderkey ASC) total order + LIMIT."""
+    for t in ("customer", "orders", "lineitem"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q86_{t}")
+    return spark.sql("""
+        SELECT o.o_orderkey,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE)
+            AS revenue,
+          date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+          o.o_orderpriority
+        FROM _q86_customer c
+        JOIN _q86_orders o ON c.c_custkey = o.o_custkey
+        JOIN _q86_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """)
+
+
 @register("q85_month_over_month", oracle="""
 WITH m AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
