@@ -351,3 +351,99 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         import warnings
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def _distinct_span_hashes(
+    df: DataFrame, id_col: str, content_col: str, span_n: int,
+) -> DataFrame:
+    """(id, h): the distinct n-token spans of each document, compressed to
+    64-bit hashes. Shared plumbing for `span_dup_stats` (cross-corpus span
+    counting) and `contamination_hits` (benchmark-overlap scan).
+
+    The xxhash64 compression matters at scale: an 8-token span is ~50
+    bytes of string; the hash is 8 bytes, so every downstream shuffle and
+    broadcast moves ~6× less data. Collisions are a 2^-64-per-pair event —
+    negligible against a 100 TB corpus's span count, and deterministic
+    (the same inputs always produce the same output).
+    """
+    return (
+        df.select(F.col(id_col),
+                  F.split(F.trim(F.col(content_col)), " ").alias("ws"))
+        # Staged select + explode_outer: same Generate-barrier shape as
+        # minhash_signatures (see the comment there) so the shingle
+        # expression is evaluated once per row, never inlined per element.
+        .select(F.col(id_col), F.expr(_shingle_expr("ws", span_n)).alias("sh"))
+        .select(F.col(id_col), F.explode_outer("sh").alias("span"))
+        .filter(F.col("span").isNotNull())
+        .select(F.col(id_col), F.xxhash64("span").alias("h"))
+    )
+
+
+def span_dup_stats(
+    df: DataFrame, id_col: str, content_col: str, span_n: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span statistics: for each document,
+    how many of its distinct n-token spans also occur in at least one
+    OTHER document, and the duplicated fraction.
+
+    This is the distributed relaxation of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): fixed-length n-gram spans stand in for arbitrary-length
+    repeated substrings, which turns the problem into two relational
+    aggregations. The reference has no analog (it is an LLM-pipeline
+    operator per the build brief).
+
+    Output: (id, n_spans, n_dup_spans, dup_fraction).
+
+    Scale shape: one groupBy on the span hash (uniform 64-bit keys — no
+    skew) with a map-side partial count, one shuffle to re-attach the
+    counts, one groupBy(id) that partial-aggregates map-side. Both
+    shuffles move (id, hash) pairs only, never document text.
+    """
+    spans = _distinct_span_hashes(df, id_col, content_col, span_n)
+    # Spans are distinct per doc (array_distinct in _shingle_expr), so a
+    # plain count(*) per hash IS the distinct-document frequency.
+    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("_nd"))
+    return (
+        spans.join(freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame, benchmark: DataFrame, id_col: str, content_col: str,
+    span_n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each corpus document, how many of
+    its distinct n-token spans appear anywhere in an evaluation/benchmark
+    set (the standard n-gram-overlap decontamination check LLM training
+    pipelines run before training).
+
+    Output: (id, n_hit_spans, contaminated) — one row per corpus doc,
+    including clean ones (n_hit_spans = 0).
+
+    Scale shape: the benchmark side is tiny relative to a 100 TB corpus,
+    so its distinct span-hash set is BROADCAST — the corpus side is
+    scanned once and never shuffles for the probe; the only shuffle is
+    the final groupBy(id), which partial-aggregates map-side.
+    """
+    spans = _distinct_span_hashes(corpus, id_col, content_col, span_n)
+    bench = (
+        _distinct_span_hashes(benchmark, id_col, content_col, span_n)
+        .select("h").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        spans.join(F.broadcast(bench), "h", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit_spans"))
+        .withColumn("contaminated", (F.col("n_hit_spans") > 0))
+    )

@@ -46,3 +46,49 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(int(frac * _M32))
         ).otherwise(thresh)
     return df.filter(hash_bucket(id_col) < thresh)
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    size_col: Column | str,
+    token_budget: int,
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual/source
+    sampling scheme of XLM / mT5: draw from source s with probability
+    proportional to size_s^alpha, alpha < 1, so small sources are
+    up-sampled and head sources down-sampled). alpha is fixed at 0.5
+    (sqrt), which is IEEE-correctly-rounded in every engine — the one
+    temperature that is bit-reproducible cross-engine.
+
+    Output per group: n_rows, total_size, weight (normalized sqrt
+    share), sampled_size (weight x token_budget), oversample_factor
+    (sampled_size / total_size — >1 means the source repeats).
+
+    Scale shape: one partial-aggregated groupBy over the corpus, then a
+    broadcast of the one-row normalizer onto the (tiny) per-group table.
+    Nothing about the corpus itself is shuffled beyond the first agg.
+    """
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    per_group = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(size).alias("total_size"),
+    )
+    z = per_group.agg(
+        F.sum(F.sqrt(F.col("total_size").cast("double"))).alias("_z"))
+    return (
+        per_group.crossJoin(F.broadcast(z))
+        .withColumn(
+            "weight",
+            F.round(F.sqrt(F.col("total_size").cast("double")) / F.col("_z"), 6),
+        )
+        .withColumn(
+            "sampled_size",
+            F.round(F.col("weight") * F.lit(float(token_budget)), 2),
+        )
+        .withColumn(
+            "oversample_factor",
+            F.round(F.col("sampled_size") / F.col("total_size").cast("double"), 6),
+        )
+        .drop("_z")
+    )

@@ -297,3 +297,69 @@ def kmeans_fit(
             )
         )
     return cent
+
+
+def sq8_minmax(corpus: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension [min, max] training for 8-bit scalar quantization
+    (the FAISS ScalarQuantizer/SQ8 scheme). Returns a ONE-ROW DataFrame
+    with `mins` / `maxs` array<double> columns, ordered by dimension.
+
+    Scale shape: posexplode → groupBy(dim) min/max partial-aggregates
+    map-side, so the shuffle carries at most (#partitions × dims) rows;
+    the final packing is a single-row collect_list over `dims` rows.
+    min/max over doubles are exact and order-independent — the trained
+    codebook is bit-identical on any engine at any parallelism.
+    """
+    stats = (
+        corpus.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    return stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("maxs"),
+    )
+
+
+def sq8_dequantized(df: DataFrame, vec_col: str, minmax: DataFrame) -> DataFrame:
+    """Round-trip each vector through 8-bit scalar quantization:
+    level_i = floor((v_i - mn_i) / (mx_i - mn_i) * 255 + 0.5), then
+    dequantize back to mn_i + level_i * (mx_i - mn_i) / 255. The output
+    column replaces `vec_col`, so any downstream search operator
+    (`cosine_topk`, `ivf_topk`) runs unchanged on the quantized space.
+
+    Why it matters at 100 TB: SQ8 codes are 4× smaller than float32
+    (16× smaller than the float64 compute type), which cuts the corpus's
+    storage, scan bytes, and — for bucketed ANN — shuffle volume by the
+    same factor, at a recall cost that per-dim min/max training keeps
+    small. The one-row codebook is broadcast; quantization itself is a
+    scan-level map with no shuffle.
+
+    Constant dimensions (mx == mn) dequantize to the constant itself.
+    """
+    vq = F.zip_with(
+        _as_double(F.col(vec_col)), F.col("_mins"),
+        lambda v, mn: F.struct(v.alias("v"), mn.alias("mn")),
+    )
+    deq = F.zip_with(
+        vq, F.col("_maxs"),
+        lambda s, mx: F.when(
+            mx == s["mn"], s["mn"]
+        ).otherwise(
+            s["mn"]
+            + F.floor((s["v"] - s["mn"]) / (mx - s["mn"]) * 255 + 0.5)
+            * (mx - s["mn"]) / 255
+        ),
+    )
+    packed = F.broadcast(
+        minmax.select(F.col("mins").alias("_mins"), F.col("maxs").alias("_maxs"))
+    )
+    return (
+        df.crossJoin(packed)
+        .withColumn(vec_col, deq)
+        .drop("_mins", "_maxs")
+    )

@@ -34,21 +34,31 @@ from api_to_amt_data_lake_spark.functions.keys import sk_concat
 from api_to_amt_data_lake_spark.operators.aggregates import string_agg_ordered
 from api_to_amt_data_lake_spark.operators.dedup import (
     lsh_bands,
+    contamination_hits,
     exact_dedup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash16,
+    span_dup_stats,
 )
 from api_to_amt_data_lake_spark.operators.asof import asof_join
 from api_to_amt_data_lake_spark.operators.joins import interval_join, salted_join
-from api_to_amt_data_lake_spark.operators.sampling import stratified_sample
+from api_to_amt_data_lake_spark.operators.sampling import (
+    stratified_sample,
+    temperature_weights,
+)
 from api_to_amt_data_lake_spark.operators.multimodal import (
     binary_metadata,
     with_binary_content,
 )
 from api_to_amt_data_lake_spark.operators.pivots import crosstab_count, pivot_first
-from api_to_amt_data_lake_spark.operators.similarity import cosine_topk, ivf_topk
+from api_to_amt_data_lake_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    sq8_dequantized,
+    sq8_minmax,
+)
 from api_to_amt_data_lake_spark.operators.text import (
     content_fingerprint,
     predicted_lang,
@@ -2736,6 +2746,121 @@ def q80_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.struct(F.col("quality"), -F.col("doc_id")))
         .alias("keeper_id"),
         F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level span dedup, decontamination, mixture weights, quantized ANN
+
+_SPAN8 = ("||' '||".join(f"w[i+{k}]" for k in range(8)))
+_SPANS_CTE = f"""
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, sp FROM (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(w) - 7, 0)),
+    i -> {_SPAN8})) AS sp
+  FROM toks))
+"""
+
+
+@register("q87_span_dedup", oracle=f"""
+WITH {_SPANS_CTE},
+freq AS (SELECT sp, COUNT(*) AS nd FROM sh GROUP BY sp)
+SELECT doc_id, COUNT(*) AS n_spans,
+  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  round(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+    AS dup_fraction
+FROM sh JOIN freq USING (sp)
+GROUP BY doc_id
+""")
+def q87_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span fraction per document (the
+    fixed-span relaxation of suffix-array substring dedup). Two balanced
+    shuffles on uniform 64-bit span hashes — see
+    `operators/dedup.py::span_dup_stats`."""
+    d = read_table(spark, sf_dir, "documents")
+    return span_dup_stats(d, "doc_id", "text", span_n=8)
+
+
+@register("q88_contamination", oracle=f"""
+WITH {_SPANS_CTE},
+ev AS (SELECT DISTINCT sp FROM sh WHERE doc_id % 20 = 0)
+SELECT s.doc_id,
+  CAST(COUNT(e.sp) AS BIGINT) AS n_hit_spans,
+  COUNT(e.sp) > 0 AS contaminated
+FROM sh s LEFT JOIN ev e ON s.sp = e.sp
+WHERE s.doc_id % 20 != 0
+GROUP BY s.doc_id
+""")
+def q88_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram overlap of every training doc
+    against the (broadcast) eval-set span inventory. The corpus side
+    never shuffles for the probe — `operators/dedup.py::contamination_hits`."""
+    d = read_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return contamination_hits(train, bench, "doc_id", "text", span_n=8)
+
+
+@register("q89_temperature_mix", oracle="""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(n_chars) AS BIGINT) AS total_size
+  FROM documents GROUP BY source),
+z AS (SELECT SUM(sqrt(total_size::DOUBLE)) AS _z FROM per),
+w AS (SELECT source, n_rows, total_size,
+        round(sqrt(total_size::DOUBLE) / _z, 6) AS weight
+      FROM per, z),
+s AS (SELECT *, round(weight * 1000000.0, 2) AS sampled_size FROM w)
+SELECT source, n_rows, total_size, weight, sampled_size,
+  round(sampled_size / total_size::DOUBLE, 6) AS oversample_factor
+FROM s
+""")
+def q89_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (XLM/mT5-style sqrt reweighting)
+    under a 1M-char budget — `operators/sampling.py::temperature_weights`."""
+    d = read_table(spark, sf_dir, "documents")
+    return temperature_weights(d, "source", "n_chars", token_budget=1_000_000)
+
+
+@register("q90_sq8_ann", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT idx.i AS i, MIN(v.v[idx.i]) AS mn, MAX(v.v[idx.i]) AS mx
+  FROM v, (SELECT unnest(generate_series(1,
+            (SELECT MAX(len(v)) FROM v))) AS i) idx
+  GROUP BY idx.i),
+mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       FROM dims),
+dq AS (SELECT vec_id, list_transform(range(1, len(v) + 1),
+         i -> CASE WHEN mxs[i] = mns[i] THEN mns[i]
+              ELSE mns[i]
+                + floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255 + 0.5)
+                  * (mxs[i] - mns[i]) / 255 END) AS v
+       FROM v, mm),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM (SELECT * FROM dq WHERE vec_id < 5) a
+  JOIN dq b ON a.vec_id != b.vec_id
+)
+SELECT query_id, match_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 3
+""")
+def q90_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search in the 8-bit scalar-quantized space (FAISS SQ8
+    scheme): train per-dim min/max, round-trip every vector through the
+    codes, then rank — 4× less scan/shuffle volume than float32 at 100 TB.
+    `operators/similarity.py::sq8_minmax` / `sq8_dequantized`."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    deq = sq8_dequantized(e, "embedding", sq8_minmax(e, "embedding"))
+    q = deq.filter(F.col("vec_id") < 5)
+    return cosine_topk(q, deq, "vec_id", "embedding", k=3).select(
+        "query_id", "match_id", "cosine_sim",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 

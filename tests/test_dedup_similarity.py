@@ -376,3 +376,105 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert (got[1]["e"], got[1]["p"], got[1]["i"]) == (1, 1, 1)
     assert got[2]["s"] == "no pii here at all"
     assert (got[2]["e"], got[2]["p"], got[2]["i"]) == (0, 0, 0)
+
+
+def test_span_dup_stats_flags_shared_spans(spark):
+    from api_to_amt_data_lake_spark.operators.dedup import span_dup_stats
+
+    base = "a b c d e f g h i j k l"          # 12 tokens -> 5 8-spans
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " zz yy"), (3, "q r s t u v w x y z 1 2")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_dup_stats(
+        docs, "doc_id", "text", span_n=8).collect()}
+    # doc1's 5 spans are all inside doc2; doc3 shares nothing.
+    assert out[1]["n_spans"] == 5 and out[1]["n_dup_spans"] == 5
+    assert out[1]["dup_fraction"] == 1.0
+    assert out[2]["n_spans"] == 7 and out[2]["n_dup_spans"] == 5
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_span_dup_stats_short_docs_excluded(spark):
+    from api_to_amt_data_lake_spark.operators.dedup import span_dup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "a b c d e f g h")],
+        ["doc_id", "text"],
+    )
+    rows = span_dup_stats(docs, "doc_id", "text", span_n=8).collect()
+    assert {r["doc_id"] for r in rows} == {2}   # doc1 has no 8-span
+
+
+def test_contamination_hits_broadcast_probe(spark):
+    from api_to_amt_data_lake_spark.operators.dedup import contamination_hits
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, "xx the quick brown fox jumps over the lazy dog yy"),  # hit
+         (2, "totally unrelated words one two three four five six")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in contamination_hits(
+        corpus, bench, "doc_id", "text", span_n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hit_spans"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_hit_spans"] == 0
+    # clean docs still present in the output
+    assert set(out) == {1, 2}
+
+
+def test_temperature_weights_upsample_small_sources(spark):
+    import pyspark.sql.functions as F
+    from api_to_amt_data_lake_spark.operators.sampling import temperature_weights
+
+    rows = [("big", 10_000)] * 9 + [("small", 100)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r["source"]: r for r in temperature_weights(
+        df, "source", "n_chars", token_budget=1000).collect()}
+    assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-6
+    # sqrt temperature compresses the size ratio (900:1 -> 30:1)
+    ratio = out["big"]["weight"] / out["small"]["weight"]
+    assert 29 < ratio < 31
+    # the small source is oversampled relative to its share
+    assert out["small"]["oversample_factor"] > out["big"]["oversample_factor"]
+
+
+def test_sq8_roundtrip_error_bounded(spark):
+    import pyspark.sql.functions as F
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        sq8_dequantized, sq8_minmax,
+    )
+
+    vecs = [(i, [float(i) / 7.0, 1.0 - float(i) / 11.0, 42.0]) for i in range(8)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    mm = sq8_minmax(df, "embedding")
+    deq = sq8_dequantized(df, "embedding", mm)
+    joined = (
+        df.withColumnRenamed("embedding", "orig")
+        .join(deq.withColumnRenamed("embedding", "rt"), "vec_id")
+        .select(F.expr(
+            "max(aggregate(zip_with(orig, rt, (a, b) -> abs(a - b)),"
+            " cast(0.0 as double), (acc, x) -> greatest(acc, x)))"
+        ).alias("max_err"),
+            F.expr("max(size(rt))").alias("dim"))
+        .collect()[0]
+    )
+    assert joined["dim"] == 3
+    # per-dim range / 255 / 2 is the max quantization error; ranges ~1
+    assert joined["max_err"] <= 0.5 / 255 + 1e-12
+
+
+def test_sq8_constant_dimension_exact(spark):
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        sq8_dequantized, sq8_minmax,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [5.0, 0.0]), (1, [5.0, 1.0])], ["vec_id", "embedding"])
+    deq = sq8_dequantized(df, "embedding", sq8_minmax(df, "embedding"))
+    rows = {r["vec_id"]: r["embedding"] for r in deq.collect()}
+    assert rows[0][0] == 5.0 and rows[1][0] == 5.0   # constant dim intact
+    assert rows[0][1] == 0.0 and rows[1][1] == 1.0   # endpoints exact
