@@ -447,3 +447,40 @@ def contamination_hits(
         .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit_spans"))
         .withColumn("contaminated", (F.col("n_hit_spans") > 0))
     )
+
+
+def jaccard_verify_pairs(
+    cand: DataFrame, docs: DataFrame, id_col: str, content_col: str,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact token-set Jaccard verification of a candidate pair list:
+    (id_a, id_b) -> (id_a, id_b, jaccard) keeping jaccard > threshold.
+
+    The verify stage that follows ANY blocking scheme. Pair it with
+    `lsh_candidate_pairs` when the blocks are LSH bands: band blocks are
+    already tiny (only near-dup signatures collide), so the prefix-filter
+    posting join in `jaccard_pairs` prunes almost nothing there while
+    re-evaluating its (expensive) upstream once per self-join side —
+    candidates-then-verify computes the token sets ONCE from the raw
+    docs and runs two id-partitioned joins whose left side is only the
+    candidate set. Keep `jaccard_pairs` for coarse blocks (length
+    buckets, sources) where in-block pruning is the point.
+    """
+    sets = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokens(content_col)).alias("_arr"),
+    )
+    inter = F.size(F.array_intersect(F.col("_aa"), F.col("_ab")))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("_aa") + F.size("_ab") - inter).cast("double"),
+        6,
+    )
+    return (
+        cand.join(sets.select(F.col("_id").alias("id_a"),
+                              F.col("_arr").alias("_aa")), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"),
+                          F.col("_arr").alias("_ab")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") > threshold)
+    )

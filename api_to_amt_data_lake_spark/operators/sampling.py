@@ -92,3 +92,42 @@ def temperature_weights(
         )
         .drop("_z")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int = 42,
+) -> DataFrame:
+    """Reproducible global shuffle order for training-data serving: adds
+    `shuffle_pos` (0-based, dense, gap-free) = the row's position under
+    ORDER BY md5(id || ':' || seed). Same seed -> same permutation on
+    every engine, at any parallelism, across retries; a new seed is a
+    fresh epoch-level reshuffle.
+
+    The global rank is computed with the two-phase scheme (same idea as
+    `operators/packing.py::pack_offsets`), NOT a partition-less window:
+    the first two hex chars of the key split the order into 256 buckets
+    whose lexicographic bucket order equals the key order, so
+    within-bucket ranks run fully parallel and only the 256-row bucket
+    count table takes a single-task prefix sum before being broadcast
+    back. No stage ever holds more than ~1/256 of the data — this is
+    the shape that survives 100 TB, where `row_number() OVER (ORDER BY
+    hash)` would collapse onto one task.
+    """
+    key = F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    keyed = df.withColumn("_key", key).withColumn(
+        "_b", F.substring("_key", 1, 2))
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("_b").orderBy(F.col("_key").asc())
+    local = keyed.withColumn("_local", F.row_number().over(w_in) - 1)
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_blk = (Window.partitionBy(F.lit(0)).orderBy(F.col("_b").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    bases = counts.select(
+        "_b", F.coalesce(F.sum("_cnt").over(w_blk), F.lit(0)).alias("_base"))
+    return (
+        local.join(F.broadcast(bases), "_b")
+        .withColumn("shuffle_pos", (F.col("_base") + F.col("_local")).cast("long"))
+        .drop("_key", "_b", "_local", "_base")
+    )

@@ -37,14 +37,17 @@ from api_to_amt_data_lake_spark.operators.dedup import (
     contamination_hits,
     exact_dedup_groups,
     jaccard_pairs,
+    jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash16,
     span_dup_stats,
 )
 from api_to_amt_data_lake_spark.operators.asof import asof_join
+from api_to_amt_data_lake_spark.operators.graph import pagerank, symmetrize
 from api_to_amt_data_lake_spark.operators.joins import interval_join, salted_join
 from api_to_amt_data_lake_spark.operators.sampling import (
+    deterministic_shuffle,
     stratified_sample,
     temperature_weights,
 )
@@ -806,22 +809,18 @@ def q31_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs, LSH-band blocked.
 
     The composed 100 TB design: MinHash(8 perms) → 4 LSH bands as the
-    blocking key → prefix-filtered exact-Jaccard verify within blocks.
-    The self-join key (band_idx, band_val, prefix token) is
-    high-cardinality and uniform — unlike the r2 registration's `source`
-    block, whose biggest source would own one partition at scale."""
+    blocking key → exact-Jaccard verify of the candidate pairs. The
+    self-join key (band_idx, band_val) is high-cardinality and uniform —
+    unlike the r2 registration's `source` block, whose biggest source
+    would own one partition at scale. Band blocks are tiny, so the
+    candidates are verified directly against once-tokenized docs
+    (`jaccard_verify_pairs`) instead of the in-block prefix-filter path
+    (`jaccard_pairs`, kept for coarse blocks) — same result, ~3× less
+    recomputation of the signature pipeline."""
     d = read_table(spark, sf_dir, "documents")
     sig = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
-    banded = lsh_bands(sig, "doc_id", num_hashes=8, bands=4)
-    blocked = d.select("doc_id", "text").join(
-        banded.select(
-            "doc_id",
-            F.concat_ws("|", F.col("band_idx").cast("string"),
-                        "band_val").alias("band_key")),
-        "doc_id",
-    )
-    return jaccard_pairs(blocked, "doc_id", "text", "band_key",
-                         threshold=0.8, dedupe_sets=True)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+    return jaccard_verify_pairs(cand, d, "doc_id", "text", threshold=0.8)
 
 
 @register("q32_minhash_lsh", oracle="""
@@ -2862,6 +2861,154 @@ def q90_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "match_id", "cosine_sim",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+_SQ8_CTES = """
+dims AS (
+  SELECT idx.i AS i, MIN(v.v[idx.i]) AS mn, MAX(v.v[idx.i]) AS mx
+  FROM v, (SELECT unnest(generate_series(1,
+            (SELECT MAX(len(v)) FROM v))) AS i) idx
+  GROUP BY idx.i),
+mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       FROM dims),
+dq AS (SELECT vec_id, list_transform(range(1, len(v) + 1),
+         i -> CASE WHEN mxs[i] = mns[i] THEN mns[i]
+              ELSE mns[i]
+                + floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255 + 0.5)
+                  * (mxs[i] - mns[i]) / 255 END) AS v
+       FROM v, mm)
+"""
+
+
+@register("q91_sq8_recall", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_SQ8_CTES.strip().rstrip()},
+esims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cs
+  FROM (SELECT * FROM v WHERE vec_id < 5) a JOIN v b ON a.vec_id != b.vec_id),
+etop AS (SELECT query_id, match_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cs DESC, match_id ASC) AS rk
+  FROM esims) WHERE rk <= 3),
+asims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cs
+  FROM (SELECT * FROM dq WHERE vec_id < 5) a JOIN dq b ON a.vec_id != b.vec_id),
+atop AS (SELECT query_id, match_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cs DESC, match_id ASC) AS rk
+  FROM asims) WHERE rk <= 3),
+hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM etop JOIN atop USING (query_id, match_id) GROUP BY query_id)
+SELECT q.query_id,
+  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  round(COALESCE(h.n_hits, 0) / 3.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM etop) q LEFT JOIN hits h USING (query_id)
+""")
+def q91_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for quantized ANN (same pattern as the HLL q46
+    and sketch-percentile q69 contracts): recall@3 of the SQ8 search
+    against the exact float search, per query. Quantization is only
+    admissible at scale if this recall is measured, not assumed."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = cosine_topk(e.filter(F.col("vec_id") < 5), e, "vec_id",
+                        "embedding", k=3).select("query_id", "match_id")
+    deq = sq8_dequantized(e, "embedding", sq8_minmax(e, "embedding"))
+    approx = cosine_topk(deq.filter(F.col("vec_id") < 5), deq, "vec_id",
+                         "embedding", k=3).select("query_id", "match_id")
+    hits = (exact.join(approx, ["query_id", "match_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("_h")))
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("_h", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("_h", F.lit(0)) / F.lit(3.0), 6).alias("recall"),
+        )
+    )
+
+
+def _pagerank_oracle() -> str:
+    """q32's LSH-pair pipeline + 5 unrolled PageRank rounds. Per-round
+    round(_, 9) keeps the float iteration on a shared grid with Spark
+    (see operators/graph.py::pagerank)."""
+    rounds = []
+    prev = "r0"
+    for k in range(1, 6):
+        rounds.append(
+            f"r{k} AS (SELECT e.t AS id, "
+            f"round(0.15 + 0.85 * SUM({prev}.r / deg.d), 9) AS r "
+            f"FROM e JOIN {prev} ON e.s = {prev}.id "
+            f"JOIN deg ON e.s = deg.s GROUP BY e.t)"
+        )
+        prev = f"r{k}"
+    its = ",\n".join(rounds)
+    return f"""
+WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len(w) - 1),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM ws WHERE len(w) >= 3
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), sig AS (
+  SELECT doc_id,
+    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
+    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
+    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
+    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, sig_2 || sig_3 FROM sig
+  UNION ALL SELECT doc_id, 2, sig_4 || sig_5 FROM sig
+  UNION ALL SELECT doc_id, 3, sig_6 || sig_7 FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    AND a.doc_id < b.doc_id
+), e AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), deg AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY s),
+r0 AS (SELECT s AS id, 1.0 AS r FROM deg),
+{its}
+SELECT id AS doc_id, round(r, 6) AS pagerank FROM r5
+"""
+
+
+@register("q92_neardup_pagerank", oracle=_pagerank_oracle())
+def q92_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality of the near-duplicate graph: MinHash→LSH candidate
+    pairs (q32's exact pipeline) symmetrized, then 5 PageRank rounds —
+    the most-connected copy in a duplicate cluster is the canonical
+    keeper. Iterative relational plan, driver holds no per-node state
+    (`operators/graph.py::pagerank`)."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+    pr = pagerank(symmetrize(pairs, "id_a", "id_b"), iters=5)
+    return pr.select(F.col("id").alias("doc_id"),
+                     F.round("r", 6).alias("pagerank"))
+
+
+@register("q93_corpus_shuffle", oracle="""
+SELECT doc_id, CAST(row_number() OVER (
+  ORDER BY md5(doc_id || ':42')) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+""")
+def q93_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle for training-data serving: dense
+    0-based global position under ORDER BY md5(id:seed), computed with
+    the two-phase bucketed rank (no partition-less window) —
+    `operators/sampling.py::deterministic_shuffle`."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed=42)
 
 
 # ---------------------------------------------------------------------------

@@ -86,6 +86,13 @@ def main() -> None:
         except Exception as exc:  # never let warm-up kill the bench
             print(f"# warmup {name} FAILED: {exc}", file=sys.stderr)
 
+    # Clear accumulated warm-up state (pinned localCheckpoint blocks from
+    # the iterative queries, dropped broadcasts) before timing: the
+    # ContextCleaner frees those only after a JVM GC, and letting them
+    # linger adds measurable noise to the timed pass.
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1)
+
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

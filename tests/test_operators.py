@@ -218,3 +218,91 @@ def test_asof_join_forward_direction(spark):
     back = {r["ev"]: r["val"]
             for r in asof_join(left, right, ["k"]).collect()}
     assert back == {"l1": 1.0, "l2": 1.0, "l3": 3.0}
+
+
+def test_pagerank_star_vs_chain(spark):
+    from api_to_amt_data_lake_spark.operators.graph import pagerank, symmetrize
+
+    # star: 0 at the hub of 1..4; chain: 10-11-12
+    pairs = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    r = {row["id"]: row["r"] for row in
+         pagerank(symmetrize(edges, "id_a", "id_b"), iters=5).collect()}
+    assert set(r) == {0, 1, 2, 3, 4, 10, 11, 12}
+    # hub dominates its leaves; chain middle beats chain ends
+    assert r[0] > r[1] and all(abs(r[i] - r[1]) < 1e-9 for i in (2, 3, 4))
+    assert r[11] > r[10] and abs(r[10] - r[12]) < 1e-9
+
+
+def test_pagerank_total_mass_preserved(spark):
+    from api_to_amt_data_lake_spark.operators.graph import pagerank, symmetrize
+
+    # d-regular graphs are PageRank fixpoints at r=1: a triangle stays 1.0
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["id_a", "id_b"])
+    r = pagerank(symmetrize(edges, "id_a", "id_b"), iters=5).collect()
+    assert all(abs(row["r"] - 1.0) < 1e-8 for row in r)
+
+
+def test_deterministic_shuffle_matches_global_rank(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        deterministic_shuffle)
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    two_phase = deterministic_shuffle(df, "doc_id", seed=7)
+    naive = df.withColumn(
+        "expect",
+        F.row_number().over(Window.orderBy(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.lit("7"))))) - 1)
+    joined = two_phase.join(naive, "doc_id")
+    assert joined.filter(F.col("shuffle_pos") != F.col("expect")).count() == 0
+    # dense gap-free permutation
+    n = df.count()
+    stats = two_phase.agg(
+        F.countDistinct("shuffle_pos").alias("d"),
+        F.min("shuffle_pos").alias("lo"), F.max("shuffle_pos").alias("hi"),
+    ).collect()[0]
+    assert (stats["d"], stats["lo"], stats["hi"]) == (n, 0, n - 1)
+
+
+def test_deterministic_shuffle_seed_changes_order(spark):
+    import pyspark.sql.functions as F
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        deterministic_shuffle)
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle(df, "doc_id", seed=1).withColumnRenamed(
+        "shuffle_pos", "pa")
+    b = deterministic_shuffle(df, "doc_id", seed=2).withColumnRenamed(
+        "shuffle_pos", "pb")
+    moved = a.join(b, "doc_id").filter(F.col("pa") != F.col("pb")).count()
+    assert moved > 150   # different seed => (almost) everything moves
+
+
+def test_jaccard_verify_matches_prefix_filter_path(spark):
+    import pyspark.sql.functions as F
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        jaccard_pairs, jaccard_verify_pairs, lsh_candidate_pairs,
+        lsh_bands, minhash_signatures)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, base),
+         (4, "totally different words here nothing shared at all ok")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+    direct = jaccard_verify_pairs(cand, docs, "doc_id", "text", threshold=0.5)
+
+    banded = lsh_bands(sig, "doc_id", num_hashes=8, bands=4)
+    blocked = docs.join(
+        banded.select("doc_id", F.concat_ws(
+            "|", F.col("band_idx").cast("string"), "band_val"
+        ).alias("bk")), "doc_id")
+    prefix = jaccard_pairs(blocked, "doc_id", "text", "bk",
+                           threshold=0.5, dedupe_sets=True)
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, prefix.collect()))
