@@ -484,3 +484,43 @@ def jaccard_verify_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") > threshold)
     )
+
+
+def novelty_stats(
+    new_docs: DataFrame, history: DataFrame, id_col: str, content_col: str,
+    span_n: int = 8,
+) -> DataFrame:
+    """Crawl-novelty measurement: for each NEW document, what fraction of
+    its distinct n-token spans has never been seen in the historical
+    corpus — the "how much of this batch is actually new data" signal an
+    incremental curation pipeline gates ingestion on.
+
+    Output: (id, n_spans, n_novel_spans, novelty_fraction).
+
+    Scale shape — deliberately the opposite of `contamination_hits`: the
+    history side is the 100 TB corpus, far too big to broadcast, so this
+    is an honest shuffle join of both span inventories on the uniform
+    64-bit span hash (no skew), followed by a map-side-partial
+    groupBy(id). The history inventory is the natural thing to persist
+    between crawls (append-only parquet of span hashes) so each new
+    batch pays one join against it, not a rescan of history.
+    """
+    spans = _distinct_span_hashes(new_docs, id_col, content_col, span_n)
+    hist = (
+        _distinct_span_hashes(history, id_col, content_col, span_n)
+        .select("h").distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    return (
+        spans.join(hist, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .alias("n_novel_spans"),
+        )
+        .withColumn(
+            "novelty_fraction",
+            F.round(F.col("n_novel_spans") / F.col("n_spans"), 6),
+        )
+    )

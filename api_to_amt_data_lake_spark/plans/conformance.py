@@ -40,6 +40,7 @@ from api_to_amt_data_lake_spark.operators.dedup import (
     jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    novelty_stats,
     simhash16,
     span_dup_stats,
 )
@@ -2995,6 +2996,29 @@ def q92_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(symmetrize(pairs, "id_a", "id_b"), iters=5)
     return pr.select(F.col("id").alias("doc_id"),
                      F.round("r", 6).alias("pagerank"))
+
+
+@register("q94_crawl_novelty", oracle=f"""
+WITH {_SPANS_CTE},
+hist AS (SELECT DISTINCT sp FROM sh WHERE doc_id < 400)
+SELECT s.doc_id, COUNT(*) AS n_spans,
+  CAST(SUM(CASE WHEN h.sp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel_spans,
+  round(SUM(CASE WHEN h.sp IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+    AS novelty_fraction
+FROM sh s LEFT JOIN hist h ON s.sp = h.sp
+WHERE s.doc_id >= 400
+GROUP BY s.doc_id
+""")
+def q94_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel-span fraction of a new crawl batch (doc_id >= 400) against
+    the historical corpus — shuffle join on the span-hash inventory, the
+    complement of q88's broadcast probe
+    (`operators/dedup.py::novelty_stats`)."""
+    d = read_table(spark, sf_dir, "documents")
+    return novelty_stats(
+        d.filter(F.col("doc_id") >= 400), d.filter(F.col("doc_id") < 400),
+        "doc_id", "text", span_n=8)
 
 
 @register("q93_corpus_shuffle", oracle="""

@@ -53,6 +53,11 @@ HEADLINE = [
     "q61_funnel",
     "q62_retention_cohorts",
     "q73_cosine_topk_wide",
+    "q87_span_dedup",
+    "q90_sq8_ann",
+    "q92_neardup_pagerank",
+    "q93_corpus_shuffle",
+    "q94_crawl_novelty",
 ]
 
 

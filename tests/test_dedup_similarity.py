@@ -478,3 +478,21 @@ def test_sq8_constant_dimension_exact(spark):
     rows = {r["vec_id"]: r["embedding"] for r in deq.collect()}
     assert rows[0][0] == 5.0 and rows[1][0] == 5.0   # constant dim intact
     assert rows[0][1] == 0.0 and rows[1][1] == 1.0   # endpoints exact
+
+
+def test_novelty_stats_shuffle_join(spark):
+    from api_to_amt_data_lake_spark.operators.dedup import novelty_stats
+
+    hist = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "a b c d e f g h zz"),        # spans 1-2 of 2 seen
+         (11, "p q r s t u v w x y")],      # all novel
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in novelty_stats(
+        new, hist, "doc_id", "text", span_n=8).collect()}
+    assert out[10]["n_spans"] == 2 and out[10]["n_novel_spans"] == 1
+    assert out[10]["novelty_fraction"] == 0.5
+    assert out[11]["n_novel_spans"] == out[11]["n_spans"] == 3
+    assert out[11]["novelty_fraction"] == 1.0
