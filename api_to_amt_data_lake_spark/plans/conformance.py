@@ -60,6 +60,9 @@ from api_to_amt_data_lake_spark.operators.pivots import crosstab_count, pivot_fi
 from api_to_amt_data_lake_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
+    pq_adc_topk,
+    pq_encode,
+    pq_fit,
     sq8_dequantized,
     sq8_minmax,
 )
@@ -3019,6 +3022,24 @@ def q94_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_stats(
         d.filter(F.col("doc_id") >= 400), d.filter(F.col("doc_id") < 400),
         "doc_id", "text", span_n=8)
+
+
+@register("q95_pq_ann")  # no SQL oracle: the codebook comes from
+# iterative k-means (like q63); the driver records the rows-only check,
+# and the accuracy contract vs exact search lives in
+# tests/test_dedup_similarity.py::test_pq_adc_recall_contract.
+def q95_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4 subspaces × 8 learned centroids
+    (12-bit codes), asymmetric-distance top-3 for queries vec_id < 5 —
+    the memory-bound end of the ANN spectrum (`operators/similarity.py::
+    pq_fit/pq_encode/pq_adc_topk`)."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    book = pq_fit(e, "vec_id", "embedding", m=4, k=8, iters=3)
+    codes = pq_encode(e, book, "vec_id", "embedding", m=4)
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(q, codes, book, "vec_id", "embedding", m=4, k=3) \
+        .select("query_id", "match_id", "adc_dist",
+                F.col("rank").cast("int").alias("rank"))
 
 
 @register("q93_corpus_shuffle", oracle="""

@@ -496,3 +496,61 @@ def test_novelty_stats_shuffle_join(spark):
     assert out[10]["novelty_fraction"] == 0.5
     assert out[11]["n_novel_spans"] == out[11]["n_spans"] == 3
     assert out[11]["novelty_fraction"] == 1.0
+
+
+def test_pq_adc_exact_when_codebook_perfect(spark):
+    """If every subvector is exactly a codebook centroid, ADC distance
+    equals the exact squared euclidean distance."""
+    import itertools
+    import pyspark.sql.functions as F
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        pq_adc_topk, pq_encode, pq_fit, sq_euclidean)
+
+    # 2 subspaces x 2 distinct subvector values -> 4 exact combinations
+    sub_vals = [[0.0, 0.0], [3.0, 4.0]]
+    vecs = [(i, a + b) for i, (a, b) in enumerate(
+        itertools.product(sub_vals, sub_vals))]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    book = pq_fit(df, "vec_id", "embedding", m=2, k=2, iters=2)
+    codes = pq_encode(df, book, "vec_id", "embedding", m=2)
+    adc = pq_adc_topk(df, codes, book, "vec_id", "embedding", m=2, k=3)
+    exact = (
+        df.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_q"))
+        .crossJoin(df.select(F.col("vec_id").alias("match_id"),
+                             F.col("embedding").alias("_c")))
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id",
+                F.round(sq_euclidean(F.col("_q"), F.col("_c")), 6)
+                .alias("want"))
+    )
+    bad = (adc.join(exact, ["query_id", "match_id"])
+           .filter(F.col("adc_dist") != F.col("want")).count())
+    assert bad == 0
+
+
+def test_pq_adc_recall_contract(spark):
+    """Accuracy contract at coarse code resolution: every ADC top-3
+    match must come from the query's own cluster. (With k=4 codes per
+    subspace, all members of a cluster share identical codes, so ADC
+    distances tie within a cluster — cluster membership, not exact
+    neighbor identity, is what the codes can and must resolve.)"""
+    import random
+    import pyspark.sql.functions as F
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        pq_adc_topk, pq_encode, pq_fit)
+
+    rng = random.Random(13)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(120):
+        c = centers[i % 4]
+        rows.append((i, [v + rng.gauss(0, 0.05) for v in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    book = pq_fit(df, "vec_id", "embedding", m=4, k=4, iters=3)
+    codes = pq_encode(df, book, "vec_id", "embedding", m=4)
+    q = df.filter(F.col("vec_id") < 5)
+    approx = pq_adc_topk(q, codes, book, "vec_id", "embedding", m=4, k=3)
+    wrong_cluster = approx.filter(
+        F.col("match_id") % 4 != F.col("query_id") % 4).count()
+    assert approx.count() == 15 and wrong_cluster == 0
