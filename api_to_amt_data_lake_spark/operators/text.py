@@ -142,3 +142,79 @@ def pii_counts(c: Column | str) -> tuple[Column, Column, Column]:
     return (F.regexp_count(col, F.lit(EMAIL_RE)),
             F.regexp_count(col, F.lit(PHONE_RE)),
             F.regexp_count(col, F.lit(IPV4_RE)))
+
+
+def logistic_quality(
+    c: Column | str,
+    w_len: float = 2.5, w_punct: float = -4.0, w_div: float = 1.5,
+    bias: float = -1.0,
+) -> Column:
+    """Model-based quality score (the FineWeb/DCLM-style classifier
+    filter): a logistic model over cheap text features — length score,
+    punctuation ratio, lexical diversity — evaluated as ONE codegen'd
+    column expression, so classifier filtering runs at scan speed with
+    zero Python. The default weights stand in for a trained model; swap
+    them with fitted coefficients without changing the plan shape. (A
+    neural classifier would take the Arrow-batched mapInPandas route of
+    operators/multimodal.py instead.)
+    """
+    col = _col(c)
+    n_tok = token_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    x_len = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    x_punct = punct_count(col).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    x_div = (F.size(F.array_distinct(tokens(col))).cast("double")
+             / F.greatest(n_tok, F.lit(1.0)))
+    z = (F.lit(w_len) * x_len + F.lit(w_punct) * x_punct
+         + F.lit(w_div) * x_div + F.lit(bias))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def vocab_coverage(df, text_col: str, coverage: float = 0.95):
+    """Minimal vocabulary covering `coverage` of all token occurrences —
+    the tokenizer-design question ("how many types cover 95% of the
+    corpus?"). Output: (word, cnt, rank, cum_share) for exactly the
+    head words whose cumulative share first reaches the target.
+
+    The cumulative share is a GLOBAL prefix sum over words ordered by
+    (cnt DESC, word ASC) — computed two-phase like
+    `operators/packing.py::pack_offsets`, with floor(log2(cnt)) as the
+    bucket: count ranges [2^b, 2^(b+1)) are disjoint, so descending
+    buckets align exactly with descending counts and within-bucket
+    windows parallelize. Only the ~60-row per-bucket totals table takes
+    a single-task prefix pass. The word-frequency aggregation itself is
+    one map-side-combining shuffle on the word."""
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_bkt", F.floor(F.log2("cnt")).cast("int"))
+    )
+    w_in = (Window.partitionBy("_bkt")
+            .orderBy(F.col("cnt").desc(), F.col("word").asc()))
+    local = wf.withColumn(
+        "_cum_in", F.sum("cnt").over(
+            w_in.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("_rn_in", F.row_number().over(w_in))
+    bt = wf.groupBy("_bkt").agg(F.sum("cnt").alias("_bcnt"),
+                                F.count(F.lit(1)).alias("_bwords"))
+    w_blk = (Window.partitionBy(F.lit(0)).orderBy(F.col("_bkt").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    bases = bt.select(
+        "_bkt",
+        F.coalesce(F.sum("_bcnt").over(w_blk), F.lit(0)).alias("_base"),
+        F.coalesce(F.sum("_bwords").over(w_blk), F.lit(0)).alias("_wbase"),
+    )
+    tot = wf.agg(F.sum("cnt").cast("double").alias("_tot"))
+    cum = F.col("_base") + F.col("_cum_in")
+    return (
+        local.join(F.broadcast(bases), "_bkt")
+        .crossJoin(F.broadcast(tot))
+        .filter((cum - F.col("cnt")) / F.col("_tot") < F.lit(float(coverage)))
+        .select(
+            "word", "cnt",
+            (F.col("_wbase") + F.col("_rn_in")).cast("long").alias("rank"),
+            F.round(cum / F.col("_tot"), 6).alias("cum_share"),
+        )
+    )

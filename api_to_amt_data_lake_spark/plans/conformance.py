@@ -68,10 +68,12 @@ from api_to_amt_data_lake_spark.operators.similarity import (
 )
 from api_to_amt_data_lake_spark.operators.text import (
     content_fingerprint,
+    logistic_quality,
     predicted_lang,
     punct_count,
     quality_score,
     token_count,
+    vocab_coverage,
 )
 from api_to_amt_data_lake_spark.sources.parquet_io import read_table
 
@@ -3022,6 +3024,56 @@ def q94_crawl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_stats(
         d.filter(F.col("doc_id") >= 400), d.filter(F.col("doc_id") < 400),
         "doc_id", "text", span_n=8)
+
+
+@register("q96_model_quality", oracle="""
+WITH f AS (
+  SELECT doc_id,
+    least(len(string_split(trim(text), ' ')) / 100.0, 1.0) AS x1,
+    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS x2,
+    len(list_distinct(string_split(trim(text), ' ')))
+      / greatest(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 1.0) AS x3
+  FROM documents)
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-(2.5*x1 - 4.0*x2 + 1.5*x3 - 1.0))), 6)
+    AS model_quality,
+  round(1.0 / (1.0 + exp(-(2.5*x1 - 4.0*x2 + 1.5*x3 - 1.0))), 6) >= 0.5
+    AS keep
+FROM f
+""")
+def q96_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (FineWeb/DCLM pattern): a
+    logistic model over length / punctuation / lexical-diversity
+    features as one codegen'd expression —
+    `operators/text.py::logistic_quality`."""
+    d = read_table(spark, sf_dir, "documents")
+    score = F.round(logistic_quality("text"), 6)
+    return d.select("doc_id", score.alias("model_quality"),
+                    (score >= 0.5).alias("keep"))
+
+
+@register("q97_vocab_coverage", oracle="""
+WITH wf AS (
+  SELECT w AS word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+  GROUP BY w),
+tot AS (SELECT SUM(cnt)::DOUBLE AS t FROM wf),
+o AS (SELECT word, cnt,
+  SUM(cnt) OVER (ORDER BY cnt DESC, word ASC ROWS UNBOUNDED PRECEDING)
+    AS cum,
+  row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+  FROM wf)
+SELECT word, cnt, CAST(rk AS BIGINT) AS rank, round(cum / t, 6) AS cum_share
+FROM o, tot WHERE (cum - cnt) / t < 0.95
+""")
+def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal vocabulary covering 95% of token occurrences (tokenizer
+    sizing) — global frequency prefix sum via the two-phase log2-bucket
+    rank, no partition-less window
+    (`operators/text.py::vocab_coverage`)."""
+    d = read_table(spark, sf_dir, "documents")
+    return vocab_coverage(d, "text", coverage=0.95)
 
 
 @register("q95_pq_ann")  # no SQL oracle: the codebook comes from
