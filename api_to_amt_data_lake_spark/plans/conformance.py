@@ -45,6 +45,11 @@ from api_to_amt_data_lake_spark.operators.dedup import (
     span_dup_stats,
 )
 from api_to_amt_data_lake_spark.operators.asof import asof_join
+from api_to_amt_data_lake_spark.operators.chunking import (
+    chunk_spans,
+    split_assign,
+    unigram_surprisal,
+)
 from api_to_amt_data_lake_spark.operators.graph import pagerank, symmetrize
 from api_to_amt_data_lake_spark.operators.joins import interval_join, salted_join
 from api_to_amt_data_lake_spark.operators.sampling import (
@@ -3106,6 +3111,105 @@ def q93_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/sampling.py::deterministic_shuffle`."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(d, "doc_id", seed=42)
+
+
+@register("q98_doc_chunks", oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), c AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(
+           0, CAST(1 + ceil(greatest(n - 64, 0) / 32.0) AS BIGINT) - 1
+         )) AS chunk_idx
+  FROM n
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(least(64, n - chunk_idx * 32) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+         toks[CAST(chunk_idx * 32 + 1 AS BIGINT) : CAST(chunk_idx * 32 + 64 AS BIGINT)],
+         ' ')) AS chunk_md5
+FROM c
+""")
+def q98_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 32) — the
+    trainer-facing cut of the corpus. Zero-shuffle sequence+explode+
+    slice; chunk text pinned by md5 — `operators/chunking.py::
+    chunk_spans`."""
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_spans(d, "text", "doc_id", chunk_tokens=64, stride=32)
+
+
+@register("q99_holdout_split", oracle="""
+SELECT CASE
+         WHEN substr(md5(text), 1, 1) IN
+           ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+         WHEN substr(md5(text), 1, 1) IN ('c','d') THEN 'val'
+         ELSE 'test'
+       END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2
+""")
+def q99_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val/test split (md5 first
+    nibble, 75/12.5/12.5) with per-split language balance — stable under
+    resharding and engine choice, unlike rand()-based splits —
+    `operators/chunking.py::split_assign`."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            split_assign("text").alias("split"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@register("q100_unigram_surprisal", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+  FROM documents
+), t2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), vocab AS (
+  SELECT tok, COUNT(*) AS tok_n FROM t2 GROUP BY tok
+), total AS (
+  SELECT SUM(tok_n) AS corpus_n FROM vocab
+), terms AS (
+  SELECT doc_id,
+         CAST(round(-ln(CAST(tok_n AS DOUBLE) / corpus_n), 9)
+              AS DECIMAL(38,12)) AS term
+  FROM t2 JOIN vocab USING (tok) CROSS JOIN total
+), doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_surprisal
+FROM doc
+ORDER BY avg_surprisal DESC, doc_id
+LIMIT 20
+""")
+def q100_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-surprising documents under the corpus's own unigram
+    LM (mean -ln p(token)) — the cheap perplexity proxy for quality
+    filtering. Exact-decimal term fold keeps the mean bit-identical to
+    the oracle — `operators/chunking.py::unigram_surprisal`."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = unigram_surprisal(d, "text", "doc_id")
+    return scored.orderBy(
+        F.desc("avg_surprisal"), F.asc("doc_id")
+    ).limit(20)
 
 
 # ---------------------------------------------------------------------------
