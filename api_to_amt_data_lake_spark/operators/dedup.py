@@ -313,10 +313,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("label").alias("_nl"))
         )
+        # The round-start label rides along as `_old`, so the convergence
+        # check at the end of the round is a column compare on rows we
+        # already have — re-joining `labels` to fetch it back would cost
+        # an extra shuffle join per round.
         stepped = (
             labels.join(prop, "id", "left")
-            .select("id", F.least(F.col("label"),
-                                  F.coalesce("_nl", F.col("label")))
+            .select("id", F.col("label").alias("_old"),
+                    F.least(F.col("label"),
+                            F.coalesce("_nl", F.col("label")))
                     .alias("label"))
         )
         # Pointer jump: labels always point at real node ids (mins of ids
@@ -325,18 +330,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                               F.col("label").alias("_jlabel"))
         jumped = (
             stepped.join(jump, stepped["label"] == jump["_jid"], "left")
-            .select("id", F.least(F.col("label"),
-                                  F.coalesce("_jlabel", F.col("label")))
+            .select("id", "_old",
+                    F.least(F.col("label"),
+                            F.coalesce("_jlabel", F.col("label")))
                     .alias("label"))
         )
         # The convergence flag rides along in the SAME materialization
         # (one extra narrow column), so checking it is a scan of the
         # pinned rows, not another join+shuffle per round.
         new_labels = _pin(
-            jumped.join(labels.select("id", F.col("label").alias("_old")),
-                        "id")
-            .select("id", "label",
-                    (F.col("label") != F.col("_old")).alias("_chg"))
+            jumped.select("id", "label",
+                          (F.col("label") != F.col("_old")).alias("_chg"))
         )
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.select("id", "label")

@@ -3175,7 +3175,7 @@ def q99_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q100_unigram_surprisal", oracle="""
+@register("q98b_unigram_surprisal", oracle="""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
   FROM documents
@@ -3200,7 +3200,7 @@ FROM doc
 ORDER BY avg_surprisal DESC, doc_id
 LIMIT 20
 """)
-def q100_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q98b_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-surprising documents under the corpus's own unigram
     LM (mean -ln p(token)) — the cheap perplexity proxy for quality
     filtering. Exact-decimal term fold keeps the mean bit-identical to
@@ -3222,7 +3222,10 @@ def q100_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (right/cross join, distinct, unions, substring, json-extract, fingerprint)
 # into q54-q71 to make room; tools/verify_local.py still checks all of them
 # every round. Sorting here makes insertion order == lexical order, so the
-# recorded window is the same under either driver truncation rule.
+# recorded window is the same under either driver truncation rule. The
+# two-digit namespace is full past q97; new out-of-window queries take a
+# letter suffix (q98b) — NEVER three digits ("q100" sorts before "q10_"
+# lexically and would evict a curated query from the recorded window).
 # KEEP THIS AT THE BOTTOM OF THE MODULE (after every @register).
 QUERIES = dict(sorted(QUERIES.items()))
 ORACLE = dict(sorted(ORACLE.items()))
