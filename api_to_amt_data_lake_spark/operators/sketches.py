@@ -1,0 +1,93 @@
+"""Mergeable frequency sketches for unbounded token streams.
+
+Exact token counting at 100 TB needs a shuffle keyed by every distinct
+token (billions of keys); a count-min sketch replaces it with a
+fixed-size grid of counters — `d` hash rows × `w` buckets — that is
+associative and commutative, so Spark computes it as an ordinary
+partial-aggregated groupBy over (row, bucket): the shuffled state is at
+most d×w rows REGARDLESS of corpus size, and two sketches built on
+different corpus shards merge by cell-wise addition (a unionAll +
+re-groupBy). Point estimates are the min over the d rows' cells — an
+upper bound on the true count with overestimate ≤ 2N/w at 1-(1/2)^d
+confidence (Cormode & Muthukrishnan 2005).
+
+Engine-portable hashing: bucket_i(token) = the first `hex_chars` hex
+digits of md5(token || ':' || i) — md5 is bit-identical in every engine,
+and keeping the bucket as a hex STRING avoids hex→int conversions that
+SQL dialects disagree on. w is therefore 16^hex_chars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from api_to_amt_data_lake_spark.operators.text import tokens
+
+
+def _bucket(tok: Column, row: int, hex_chars: int) -> Column:
+    return F.substring(F.md5(F.concat(tok, F.lit(f":{row}"))), 1, hex_chars)
+
+
+def cms_build(
+    df: DataFrame,
+    text_col: str,
+    depth: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Count-min sketch of the whitespace-token stream of `text_col`:
+    (row, bucket, cnt) with depth×16^hex_chars cells at most.
+
+    One explode + one groupBy on (row, bucket) — the combiner collapses
+    each partition to ≤ d×w rows before the shuffle, so the exchanged
+    volume is constant in corpus size (the whole point vs exact counts).
+    """
+    toks = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    per_row = [
+        toks.select(
+            F.lit(r).alias("row"),
+            _bucket(F.col("tok"), r, hex_chars).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    cells = per_row[0]
+    for p in per_row[1:]:
+        cells = cells.unionAll(p)
+    return cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "tok",
+    depth: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Point-estimate the frequency of each token in `queries` from the
+    sketch: min over the d rows of the token's cell. The sketch side is
+    d×w rows — always broadcast — so estimation is a map-side join no
+    matter how large the original corpus was.
+    """
+    probes = queries.select(F.col(token_col).alias("tok"))
+    for r in range(depth):
+        probes = probes.withColumn(
+            f"_b{r}", _bucket(F.col("tok"), r, hex_chars)
+        )
+    est = probes
+    for r in range(depth):
+        row_cells = F.broadcast(
+            sketch.where(F.col("row") == r)
+            .select(F.col("bucket").alias(f"_b{r}"),
+                    F.col("cnt").alias(f"_c{r}"))
+        )
+        est = est.join(row_cells, f"_b{r}", "left")
+    return est.select(
+        "tok",
+        F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0))
+                  for r in range(depth)]).alias("est"),
+    )

@@ -62,6 +62,8 @@ from api_to_amt_data_lake_spark.operators.multimodal import (
     with_binary_content,
 )
 from api_to_amt_data_lake_spark.operators.pivots import crosstab_count, pivot_first
+from api_to_amt_data_lake_spark.operators.search import bm25_scores
+from api_to_amt_data_lake_spark.operators.sketches import cms_build, cms_estimate
 from api_to_amt_data_lake_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
@@ -3210,6 +3212,101 @@ def q98b_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("avg_surprisal"), F.asc("doc_id")
     ).limit(20)
+
+
+@register("q99b_cms_frequency", oracle="""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(trim(lower(text)), ' ')) AS tok FROM documents
+  ) t WHERE tok <> ''
+), rows_ AS (
+  SELECT unnest(range(4)) AS r
+), cells AS (
+  SELECT r, substr(md5(tok || ':' || r), 1, 2) AS bucket, COUNT(*) AS cnt
+  FROM toks CROSS JOIN rows_
+  GROUP BY 1, 2
+), exact AS (
+  SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok
+), top AS (
+  SELECT tok, exact FROM exact ORDER BY exact DESC, tok LIMIT 20
+)
+SELECT top.tok,
+       CAST(top.exact AS BIGINT) AS exact,
+       CAST(MIN(cells.cnt) AS BIGINT) AS est,
+       CAST(MIN(cells.cnt) - top.exact AS BIGINT) AS overestimate
+FROM top CROSS JOIN rows_
+JOIN cells
+  ON cells.r = rows_.r
+ AND cells.bucket = substr(md5(top.tok || ':' || rows_.r), 1, 2)
+GROUP BY top.tok, top.exact
+""")
+def q99b_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation with its accuracy contract:
+    estimate the top-20 exact tokens from a 4×256-cell sketch and emit
+    est alongside exact (overestimate >= 0 by construction). The sketch
+    state shuffled is ≤ d×w rows regardless of corpus size — the
+    memory-bounded alternative to exact token counts at 100 TB —
+    `operators/sketches.py::cms_build/cms_estimate`."""
+    d = read_table(spark, sf_dir, "documents")
+    sketch = cms_build(d, "text", depth=4, hex_chars=2)
+    toks = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), " "))
+                 .alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    top = exact.orderBy(F.desc("exact"), F.asc("tok")).limit(20)
+    est = cms_estimate(sketch, top, depth=4, hex_chars=2)
+    return (
+        top.join(est, "tok")
+        .select(
+            "tok",
+            F.col("exact").cast("long").alias("exact"),
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
+        )
+    )
+
+
+@register("q99c_bm25_search", oracle="""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+    FROM documents
+  ) t WHERE tok <> ''
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT SUM(dl) AS sum_dl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('merge', 'stream', 'vector')
+  GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok
+), terms AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl
+                / (CAST(sum_dl AS DOUBLE) / n_docs)))), 9)
+           AS DECIMAL(38,12)) AS term
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+), scored AS (
+  SELECT doc_id, round(CAST(SUM(term) AS DOUBLE), 6) AS bm25
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 15
+""")
+def q99c_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for the query
+    {merge, stream, vector}: top-15 documents. Token stream filtered to
+    query terms before any shuffle; df/corpus stats broadcast —
+    `operators/search.py::bm25_scores`."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = bm25_scores(d, "text", "doc_id",
+                         ["merge", "stream", "vector"], k1=1.2, b=0.75)
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(15)
 
 
 # ---------------------------------------------------------------------------
