@@ -94,6 +94,36 @@ def temperature_weights(
     )
 
 
+def weighted_sample_keys(
+    df: DataFrame, id_col: str, weight_col: str, seed: int = 7,
+) -> DataFrame:
+    """Adds `_wkey`: the Efraimidis–Spirakis A-ES sampling key
+    ln(u)/w, where u is a deterministic uniform in (0,1) derived from
+    md5(id:seed) (first 6 hex digits -> (h+0.5)/16^6). The k rows with
+    the LARGEST key are a weighted sample without replacement with
+    inclusion probability proportional to `weight_col` (Efraimidis &
+    Spirakis 2006: u^(1/w) order == ln(u)/w order for w>0).
+
+    Deterministic by construction — never `rand()`: reruns, retries and
+    different partitionings all draw the same sample, and the key is
+    reproducible in any engine with md5 + ln. Keys are rounded to 9dp;
+    callers MUST tie-break on id when selecting top-k.
+
+    Scale: per-row expression, zero shuffle; a top-k on `_wkey` is a
+    TakeOrdered (per-partition heap + small merge), never a full sort.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit(str(seed)))), 1, 6),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 6))
+    return df.withColumn(
+        "_wkey", F.round(F.log(u) / F.col(weight_col), 9)
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: int = 42,
 ) -> DataFrame:

@@ -56,6 +56,7 @@ from api_to_amt_data_lake_spark.operators.sampling import (
     deterministic_shuffle,
     stratified_sample,
     temperature_weights,
+    weighted_sample_keys,
 )
 from api_to_amt_data_lake_spark.operators.multimodal import (
     binary_metadata,
@@ -3212,6 +3213,39 @@ def q98b_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("avg_surprisal"), F.asc("doc_id")
     ).limit(20)
+
+
+@register("q99d_weighted_sample", oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(
+           ln((('0x' || substr(md5(doc_id || ':7'), 1, 6))::BIGINT + 0.5)
+              / 16777216.0) / n_chars, 9) AS wkey
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, wkey
+FROM keyed
+ORDER BY wkey DESC, doc_id
+LIMIT 30
+""")
+def q99d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis A-ES),
+    30 documents with inclusion probability ∝ n_chars, drawn from a
+    deterministic md5-derived uniform — reproducible across reruns,
+    partitionings, and engines, unlike rand()-based sampling. Zero
+    shuffle + TakeOrdered top-k — `operators/sampling.py::
+    weighted_sample_keys`."""
+    d = read_table(spark, sf_dir, "documents")
+    keyed = weighted_sample_keys(d, "doc_id", "n_chars", seed=7)
+    return (
+        keyed.select(
+            "doc_id", "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("_wkey").alias("wkey"),
+        )
+        .orderBy(F.desc("wkey"), F.asc("doc_id"))
+        .limit(30)
+    )
 
 
 @register("q99b_cms_frequency", oracle="""

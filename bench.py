@@ -58,6 +58,11 @@ HEADLINE = [
     "q92_neardup_pagerank",
     "q93_corpus_shuffle",
     "q94_crawl_novelty",
+    "q98_doc_chunks",
+    "q98b_unigram_surprisal",
+    "q99b_cms_frequency",
+    "q99c_bm25_search",
+    "q99d_weighted_sample",
 ]
 
 

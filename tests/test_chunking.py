@@ -90,3 +90,28 @@ def test_unigram_surprisal_rare_tokens_score_higher(spark):
     df = _docs(spark, [(1, common), (2, rare)])
     out = {r.doc_id: r for r in unigram_surprisal(df, "text", "doc_id").collect()}
     assert out[2].avg_surprisal > out[1].avg_surprisal
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    from api_to_amt_data_lake_spark.operators.sampling import weighted_sample_keys
+    # 100 light docs (w=1) + 10 heavy docs (w=1000): a top-10 draw should
+    # be dominated by heavy docs across any seed
+    rows = [(i, 1) for i in range(100)] + [(1000 + i, 1000) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    hits = 0
+    for seed in (1, 2, 3):
+        keyed = weighted_sample_keys(df, "doc_id", "w", seed=seed)
+        top = keyed.orderBy(F.desc("_wkey"), F.asc("doc_id")).limit(10).collect()
+        hits += sum(1 for r in top if r.doc_id >= 1000)
+    assert hits >= 24  # >= 80% heavy across 30 draws
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark):
+    from api_to_amt_data_lake_spark.operators.sampling import weighted_sample_keys
+    df = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(200)], "doc_id long, w long")
+    a = weighted_sample_keys(df, "doc_id", "w", seed=5)
+    b = weighted_sample_keys(df.repartition(13), "doc_id", "w", seed=5)
+    ta = [r.doc_id for r in a.orderBy(F.desc("_wkey"), "doc_id").limit(20).collect()]
+    tb = [r.doc_id for r in b.orderBy(F.desc("_wkey"), "doc_id").limit(20).collect()]
+    assert ta == tb
