@@ -3343,6 +3343,105 @@ def q99c_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(15)
 
 
+@register("q99e_hybrid_rrf", oracle="""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+    FROM documents
+  ) t WHERE tok <> ''
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT SUM(dl) AS sum_dl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('merge', 'stream', 'vector')
+  GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok
+), terms AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl
+                / (CAST(sum_dl AS DOUBLE) / n_docs)))), 9)
+           AS DECIMAL(38,12)) AS term
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+), bm AS (
+  SELECT doc_id, round(CAST(SUM(term) AS DOUBLE), 6) AS bm25
+  FROM terms GROUP BY doc_id
+), lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id, row_number() OVER (
+      ORDER BY bm25 DESC, doc_id ASC) AS rank_lex FROM bm
+  ) WHERE rank_lex <= 50
+), v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT b.vec_id AS doc_id,
+    round(list_sum(list_transform(range(1, len(a.v) + 1),
+            i -> a.v[i] * b.v[i]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine_sim
+  FROM (SELECT * FROM v WHERE vec_id = 0) a
+  JOIN v b ON a.vec_id != b.vec_id
+), vec AS (
+  SELECT doc_id, rank_vec FROM (
+    SELECT doc_id, row_number() OVER (
+      ORDER BY cosine_sim DESC, doc_id ASC) AS rank_vec FROM sims
+  ) WHERE rank_vec <= 50
+), fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         CAST(rank_lex AS BIGINT) AS rank_lex,
+         CAST(rank_vec AS BIGINT) AS rank_vec,
+         round(COALESCE(1.0 / (60 + rank_lex), 0)
+               + COALESCE(1.0 / (60 + rank_vec), 0), 9) AS rrf
+  FROM lex FULL OUTER JOIN vec USING (doc_id)
+)
+SELECT doc_id, rank_lex, rank_vec, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""")
+def q99e_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 fused with cosine vector
+    top-50 by reciprocal-rank fusion (k=60) — the standard hybrid-search
+    ranker, composed entirely from `operators/search.py::bm25_scores`
+    and `operators/similarity.py::cosine_topk`. Both ranked lists are
+    produced by scalable TakeOrdered top-k; the final rank assignment
+    windows run over ≤50 rows each (bounded, like the shuffle bucket
+    table)."""
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+
+    bm = bm25_scores(d, "text", "doc_id", ["merge", "stream", "vector"])
+    w50 = Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50)
+        .withColumn("rank_lex", F.row_number().over(w50).cast("long"))
+        .select("doc_id", "rank_lex")
+    )
+
+    q = e.filter(F.col("vec_id") == 0)
+    vec = (
+        cosine_topk(q, e, "vec_id", "embedding", k=50)
+        .select(F.col("match_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("rank_vec"))
+    )
+
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id", "rank_lex", "rank_vec",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_lex")),
+                           F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_vec")),
+                             F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the
