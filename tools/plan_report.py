@@ -35,6 +35,14 @@ SHOWCASE = [
      "into the scan filter"),
     ("q73_cosine_topk_wide", "the sanctioned Arrow path: one mapInPandas "
      "over the corpus scan, per-batch top-k, tiny global rank"),
+    ("q98_doc_chunks", "trainer-facing chunking is shuffle-free: "
+     "Generate(explode) over the scan, no Exchange anywhere"),
+    ("q99b_cms_frequency", "count-min sketch: the only full-corpus "
+     "shuffle carries <= d*w combiner-collapsed cells; estimation joins "
+     "are all broadcast"),
+    ("q99c_bm25_search", "query-term filter sits on the token stream "
+     "before the tf shuffle; df/corpus stats broadcast; TakeOrdered "
+     "top-k, no global sort"),
 ]
 
 
