@@ -265,3 +265,70 @@ class TestHeaderParsers:
 
         parse_image_header(raw)   # may return None; must not raise
         parse_wav_header(raw)
+
+
+class TestChunkingProperties:
+    """chunk_spans: pure-Python model comparison + coverage invariants."""
+
+    @SETTINGS
+    @given(
+        st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+                 max_size=8),
+        st.integers(min_value=2, max_value=16),
+        st.integers(min_value=1, max_value=16),
+    )
+    def test_chunk_count_and_tail_coverage(self, spark, doc_lens, chunk, stride):
+        from api_to_amt_data_lake_spark.operators.chunking import chunk_spans
+        import math
+
+        stride = min(stride, chunk)  # stride > chunk would skip tokens
+        rows = [(i, " ".join(f"t{j}" for j in range(n)) if n else "")
+                for i, n in enumerate(doc_lens)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_spans(df, "text", "doc_id",
+                          chunk_tokens=chunk, stride=stride).collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, n in enumerate(doc_lens):
+            n_eff = max(n, 1)  # empty text still splits to one '' token
+            expect = 1 + math.ceil(max(n_eff - chunk, 0) / stride)
+            chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+            assert len(chunks) == expect
+            # last window reaches the final token; all windows non-empty
+            last = chunks[-1]
+            assert last.chunk_idx * stride + last.n_tokens == n_eff
+            assert all(c.n_tokens >= 1 for c in chunks)
+            # full coverage: windows tile [0, n) without gaps
+            covered = set()
+            for c in chunks:
+                start = c.chunk_idx * stride
+                covered.update(range(start, start + c.n_tokens))
+            assert covered == set(range(n_eff))
+
+
+class TestCmsProperties:
+    """Count-min sketch vs exact counts on random corpora."""
+
+    @SETTINGS
+    @given(st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30),
+        min_size=1, max_size=6,
+    ))
+    def test_estimate_bounds(self, spark, docs):
+        from collections import Counter
+        from api_to_amt_data_lake_spark.operators.sketches import (
+            cms_build, cms_estimate)
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sketch = cms_build(df, "text", depth=3, hex_chars=2)
+        exact = Counter(t for toks in docs for t in toks)
+        probes = spark.createDataFrame(
+            [(t,) for t in exact], "tok string")
+        est = {r.tok: r.est for r in
+               cms_estimate(sketch, probes, depth=3, hex_chars=2).collect()}
+        total = sum(exact.values())
+        for tok, n in exact.items():
+            assert est[tok] >= n          # never underestimates
+            assert est[tok] <= total      # cell sum can't exceed stream
