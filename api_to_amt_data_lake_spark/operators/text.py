@@ -218,3 +218,67 @@ def vocab_coverage(df, text_col: str, coverage: float = 0.95):
             F.round(cum / F.col("_tot"), 6).alias("cum_share"),
         )
     )
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1) — the
+# published rule set most curation stacks start from. Each rule is a
+# pure Column expression; the whole battery evaluates in one scan.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _contains_word(col: Column, word: str) -> Column:
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return (F.instr(padded, f" {word} ") > 0).cast("int")
+
+
+def gopher_flags(
+    c: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """The Gopher rule battery as named boolean Columns (True = pass):
+
+    - `ok_words`:      word count in [min_words, max_words]
+    - `ok_mean_len`:   mean word length in [min_mean_word_len, max_...]
+    - `ok_symbols`:    ('#' + '...') occurrences / words <= max_symbol_ratio
+    - `ok_alpha`:      fraction of words containing a letter >= 0.8
+    - `ok_stopwords`:  >= min_stopwords distinct common stopwords present
+    - `ok_all`:        conjunction of the above
+
+    Determinism: ratios are single double divisions of integer counts —
+    bit-identical across engines. Scale: shuffle-free per-row battery.
+    """
+    col = F.lower(_col(c))
+    n = token_count(col).cast("double")
+    n_safe = F.greatest(n, F.lit(1.0))
+    mean_len = (
+        F.length(F.regexp_replace(col, r"\s+", "")).cast("double") / n_safe
+    )
+    symbols = (
+        occurrence_count(col, "#") + occurrence_count(col, "...")
+    ).cast("double")
+    alpha_words = F.regexp_count(
+        col, F.lit(r"(?:^|\s)[^\s]*[a-z]")
+    ).cast("double")
+    stop_hits = sum(
+        (_contains_word(col, w) for w in GOPHER_STOPWORDS), F.lit(0)
+    )
+    flags = {
+        "ok_words": (n >= min_words) & (n <= max_words),
+        "ok_mean_len": (mean_len >= min_mean_word_len)
+                       & (mean_len <= max_mean_word_len),
+        "ok_symbols": (symbols / n_safe) <= max_symbol_ratio,
+        "ok_alpha": (alpha_words / n_safe) >= min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_stopwords,
+    }
+    ok_all = None
+    for f in flags.values():
+        ok_all = f if ok_all is None else (ok_all & f)
+    flags["ok_all"] = ok_all
+    return flags

@@ -76,6 +76,7 @@ from api_to_amt_data_lake_spark.operators.similarity import (
 )
 from api_to_amt_data_lake_spark.operators.text import (
     content_fingerprint,
+    gopher_flags,
     logistic_quality,
     predicted_lang,
     punct_count,
@@ -3440,6 +3441,72 @@ def q99e_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+@register("q99f_gopher_rules", oracle=r"""
+WITH base AS (
+  SELECT source, lower(text) AS lc,
+         CAST(len(string_split(trim(lower(text)), ' ')) AS DOUBLE) AS n
+  FROM documents
+), feats AS (
+  SELECT source, n,
+    length(regexp_replace(lc, '\s+', '', 'g'))
+      / greatest(n, 1.0) AS mean_len,
+    (CAST((length(lc) - length(replace(lc, '#', ''))) AS BIGINT)
+     + CAST((length(lc) - length(replace(lc, '...', ''))) / 3 AS BIGINT))
+      / greatest(n, 1.0) AS sym_ratio,
+    CAST(len(regexp_extract_all(lc, '(?:^|\s)[^\s]*[a-z]')) AS DOUBLE)
+      / greatest(n, 1.0) AS alpha_frac,
+    (CASE WHEN position(' the '  IN ' ' || lc || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' be '   IN ' ' || lc || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' to '   IN ' ' || lc || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' of '   IN ' ' || lc || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' and '  IN ' ' || lc || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' that ' IN ' ' || lc || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' have ' IN ' ' || lc || ' ') > 0 THEN 1 ELSE 0 END
+   + CASE WHEN position(' with ' IN ' ' || lc || ' ') > 0 THEN 1 ELSE 0 END
+    ) AS stop_hits
+  FROM base
+), flags AS (
+  SELECT source,
+    CAST(n >= 30 AND n <= 100000 AS INT) AS ok_words,
+    CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS ok_mean_len,
+    CAST(sym_ratio <= 0.1 AS INT) AS ok_symbols,
+    CAST(alpha_frac >= 0.8 AS INT) AS ok_alpha,
+    CAST(stop_hits >= 1 AS INT) AS ok_stopwords
+  FROM feats
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(ok_words) AS BIGINT) AS n_ok_words,
+  CAST(SUM(ok_mean_len) AS BIGINT) AS n_ok_mean_len,
+  CAST(SUM(ok_symbols) AS BIGINT) AS n_ok_symbols,
+  CAST(SUM(ok_alpha) AS BIGINT) AS n_ok_alpha,
+  CAST(SUM(ok_stopwords) AS BIGINT) AS n_ok_stopwords,
+  CAST(SUM(ok_words * ok_mean_len * ok_symbols * ok_alpha * ok_stopwords)
+       AS BIGINT) AS n_pass
+FROM flags GROUP BY source
+""")
+def q99f_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 App. A1.1) evaluated
+    in one shuffle-free scan, aggregated to per-source pass counts — the
+    published heuristic gate a curation pipeline applies before model-
+    based filters — `operators/text.py::gopher_flags`."""
+    d = read_table(spark, sf_dir, "documents")
+    flags = gopher_flags(F.col("text"), min_words=30, min_stopwords=1)
+    per_doc = d.select(
+        "source",
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok_words").cast("long").alias("n_ok_words"),
+        F.sum("ok_mean_len").cast("long").alias("n_ok_mean_len"),
+        F.sum("ok_symbols").cast("long").alias("n_ok_symbols"),
+        F.sum("ok_alpha").cast("long").alias("n_ok_alpha"),
+        F.sum("ok_stopwords").cast("long").alias("n_ok_stopwords"),
+        F.sum("ok_all").cast("long").alias("n_pass"),
+    )
 
 
 # ---------------------------------------------------------------------------

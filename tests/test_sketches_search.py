@@ -64,3 +64,20 @@ def test_bm25_tf_saturation_and_length_norm(spark):
     out = {r.doc_id: r.bm25 for r in
            bm25_scores(df, "text", "doc_id", ["merge"]).collect()}
     assert out[1] > out[2]
+
+
+def test_gopher_flags_rule_battery(spark):
+    from api_to_amt_data_lake_spark.operators.text import gopher_flags
+    df = _docs(spark, [
+        (1, "the quick brown fox jumps with grace and poise " * 10),  # pass
+        (2, "short text"),                                # fails min_words
+        (3, ("### " * 40) + "the end with that"),         # fails symbols/alpha
+        (4, " ".join(["zz"] * 60)),                       # fails stopwords+len
+    ])
+    flags = gopher_flags("text", min_words=30, min_stopwords=2)
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in flags.items()]).collect()}
+    assert out[1].ok_all
+    assert not out[2].ok_words and not out[2].ok_all
+    assert not out[3].ok_symbols and not out[3].ok_all
+    assert not out[4].ok_stopwords and not out[4].ok_mean_len
