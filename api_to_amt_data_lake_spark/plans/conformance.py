@@ -66,6 +66,7 @@ from api_to_amt_data_lake_spark.operators.pivots import crosstab_count, pivot_fi
 from api_to_amt_data_lake_spark.operators.search import bm25_scores
 from api_to_amt_data_lake_spark.operators.sketches import cms_build, cms_estimate
 from api_to_amt_data_lake_spark.operators.similarity import (
+    cosine,
     cosine_topk,
     ivf_topk,
     pq_adc_topk,
@@ -3506,6 +3507,63 @@ def q99f_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ok_alpha").cast("long").alias("n_ok_alpha"),
         F.sum("ok_stopwords").cast("long").alias("n_ok_stopwords"),
         F.sum("ok_all").cast("long").alias("n_pass"),
+    )
+
+
+@register("q99g_semdedup", oracle="""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+    round(list_sum(list_transform(range(1, len(a.v) + 1),
+            i -> a.v[i] * b.v[i]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM v a JOIN v b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), dups AS (
+  SELECT DISTINCT id_b AS vec_id FROM pairs WHERE sim >= 0.3
+)
+SELECT v.label,
+       COUNT(*) AS n_vectors,
+       COUNT(*) - COUNT(d.vec_id) AS n_keepers,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped
+FROM v LEFT JOIN dups d ON v.vec_id = d.vec_id
+GROUP BY v.label
+""")
+def q99g_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): within each
+    embedding cluster, drop any vector that has a LOWER-id neighbor with
+    cosine >= tau (the greedy one-pass policy the paper applies inside
+    k-means clusters; here clusters are the `label` column, in
+    production the IVF assignment from `operators/similarity.py::
+    ivf_assign`; tau=0.3 here — the synthetic fixture's 99th-percentile within-cluster similarity — where real duplicated corpora use ~0.99+). Per-label keep/drop counts. The pair join is
+    cluster-scoped — O(sum of cluster sizes squared), never corpus² —
+    and clusters partition the join key uniformly."""
+    e = read_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label",
+                 F.col("embedding").cast("array<double>").alias("v"))
+    a = v.alias("a")
+    b = v.alias("b")
+    sim = F.round(
+        cosine(F.col("a.v"), F.col("b.v")), 6
+    )
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("b.vec_id").alias("vec_id"), sim.alias("sim"))
+        .where(F.col("sim") >= 0.3)
+        .select("vec_id").distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        v.join(pairs, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.count(F.lit(1)) - F.count("_dup")).alias("n_keepers"),
+            F.count("_dup").cast("long").alias("n_dropped"),
+        )
     )
 
 
