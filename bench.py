@@ -63,6 +63,9 @@ HEADLINE = [
     "q99b_cms_frequency",
     "q99c_bm25_search",
     "q99d_weighted_sample",
+    "q99e_hybrid_rrf",
+    "q99f_gopher_rules",
+    "q99g_semdedup",
 ]
 
 
