@@ -1,0 +1,81 @@
+"""Gold-side incremental view maintenance (amt/incremental_gold.py)."""
+
+from __future__ import annotations
+
+import json
+
+from api_to_amt_data_lake_spark.amt.base import date_dim
+from api_to_amt_data_lake_spark.amt.incremental_gold import (
+    refresh_view_incremental,
+)
+
+SY = 2023
+
+
+def _doc(i: int, date: str) -> dict:
+    return {
+        "id": f"cd{i}", "date": date,
+        "calendarReference": {"schoolYear": SY, "schoolId": 100},
+        "calendarEvents": [{
+            "calendarEventDescriptor":
+            "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}],
+    }
+
+
+def _write_silver(root, docs) -> None:
+    d = root / str(SY) / "calendarDates"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "calendarDates_1.json").write_text(json.dumps(docs))
+
+
+def _keys(spark, *keys):
+    return spark.createDataFrame([(k,) for k in keys], "DateKey string")
+
+
+def test_first_refresh_is_full_build(spark, tmp_path):
+    silver, gold = tmp_path / "silver", tmp_path / "gold"
+    _write_silver(silver, [_doc(1, "2023-08-15"), _doc(2, "2023-08-16")])
+    p = refresh_view_incremental(
+        spark, "dateDim", str(silver), str(gold), SY,
+        _keys(spark, "20230815"), "DateKey")
+    got = {r.DateKey for r in spark.read.parquet(p).collect()}
+    assert got == {"20230815", "20230816"}  # full build despite 1 key
+
+
+def test_refresh_equals_full_rebuild_with_update_insert_delete(spark, tmp_path):
+    silver, gold = tmp_path / "silver", tmp_path / "gold"
+    _write_silver(silver, [_doc(1, "2023-08-15"), _doc(2, "2023-08-16")])
+    refresh_view_incremental(
+        spark, "dateDim", str(silver), str(gold), SY,
+        _keys(spark, "20230815", "20230816"), "DateKey")
+
+    # silver moves on: 0816 deleted (tombstone), 0902 inserted
+    _write_silver(silver, [_doc(1, "2023-08-15"), _doc(3, "2023-09-02")])
+    p = refresh_view_incremental(
+        spark, "dateDim", str(silver), str(gold), SY,
+        _keys(spark, "20230816", "20230902"), "DateKey")
+
+    inc = spark.read.parquet(p)
+    full = date_dim.build(spark, str(silver), SY)
+    assert sorted(inc.columns) == sorted(full.columns)
+    cols = sorted(inc.columns)
+    assert sorted(map(tuple, inc.select(cols).collect())) == \
+        sorted(map(tuple, full.select(cols).collect()))
+    got = {r.DateKey for r in inc.collect()}
+    assert got == {"20230815", "20230902"}  # delete applied, insert applied
+
+
+def test_untouched_keys_carry_over_without_recompute_drift(spark, tmp_path):
+    silver, gold = tmp_path / "silver", tmp_path / "gold"
+    _write_silver(silver, [_doc(1, "2023-08-15"), _doc(2, "2023-08-16")])
+    refresh_view_incremental(
+        spark, "dateDim", str(silver), str(gold), SY,
+        _keys(spark, "20230815", "20230816"), "DateKey")
+    # refresh with an empty change set: gold must be byte-identical rows
+    before = sorted(map(tuple, spark.read.parquet(
+        str(gold / str(SY) / "dateDim")).collect()))
+    p = refresh_view_incremental(
+        spark, "dateDim", str(silver), str(gold), SY,
+        _keys(spark), "DateKey")
+    after = sorted(map(tuple, spark.read.parquet(p).collect()))
+    assert before == after
