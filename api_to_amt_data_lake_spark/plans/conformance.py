@@ -3567,6 +3567,128 @@ def q99g_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q99h_local_supplier_volume", oracle="""
+SELECT n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+           * CAST(1 - l.l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""")
+def q99h_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier volume — six-way join with the
+    extra s_nationkey = c_nationkey correlation, date-range pushed to
+    the orders scan, all dims broadcast, one agg shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), (s["s_suppkey"] == li["l_suppkey"])
+              & (s["s_nationkey"] == c["c_nationkey"]))
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register("q99i_returned_item_customers", oracle="""
+SELECT c.c_custkey, c.c_name,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
+           * CAST(1 - l.l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+  CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+  n.n_name
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""")
+def q99i_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter — selective returnflag filter pushed to the lineitem scan,
+    TakeOrdered top-k (no global sort)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue",
+                F.col("c_acctbal").cast("double").alias("c_acctbal"),
+                "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register("q99j_large_volume_customers", oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(9,2))) > 140
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""")
+def q99j_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — the HAVING subquery
+    becomes a pre-aggregated semi join (one lineitem agg reused for both
+    the filter and the output sum), then TakeOrdered top-100."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_quantity")).alias("_qty"))
+    big = per_order.where(F.col("_qty") > 140)
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                F.col("_qty").cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the
