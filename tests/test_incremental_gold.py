@@ -79,3 +79,23 @@ def test_untouched_keys_carry_over_without_recompute_drift(spark, tmp_path):
         _keys(spark), "DateKey")
     after = sorted(map(tuple, spark.read.parquet(p).collect()))
     assert before == after
+
+
+def test_pipeline_incremental_refresh_touches_only_listed_views(spark, tmp_path):
+    from api_to_amt_data_lake_spark.pipeline import run_incremental_refresh
+    silver, gold = tmp_path / "silver", tmp_path / "gold"
+    _write_silver(silver, [_doc(1, "2023-08-15")])
+    refresh_view_incremental(
+        spark, "dateDim", str(silver), str(gold), SY,
+        _keys(spark, "20230815"), "DateKey")
+
+    _write_silver(silver, [_doc(1, "2023-08-15"), _doc(2, "2023-09-02")])
+    out = run_incremental_refresh(
+        spark, str(silver), str(gold), SY,
+        {"dateDim": (_keys(spark, "20230902"), "DateKey")})
+    assert set(out) == {"dateDim"}
+    got = {r.DateKey for r in spark.read.parquet(out["dateDim"]).collect()}
+    assert got == {"20230815", "20230902"}
+    # no other view directory was created
+    import os
+    assert sorted(os.listdir(gold / str(SY))) == ["dateDim"]
