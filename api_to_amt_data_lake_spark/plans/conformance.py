@@ -793,10 +793,14 @@ WITH ws AS (
   SELECT DISTINCT doc_id, shingle FROM sh0
 ), sig AS (
   SELECT doc_id,
-    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
-    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
-    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
-    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+    MIN(substr(md5('perm0:' || shingle), 1, 8)) AS sig_0,
+    MIN(substr(md5('perm0:' || shingle), 9, 8)) AS sig_1,
+    MIN(substr(md5('perm0:' || shingle), 17, 8)) AS sig_2,
+    MIN(substr(md5('perm0:' || shingle), 25, 8)) AS sig_3,
+    MIN(substr(md5('perm1:' || shingle), 1, 8)) AS sig_4,
+    MIN(substr(md5('perm1:' || shingle), 9, 8)) AS sig_5,
+    MIN(substr(md5('perm1:' || shingle), 17, 8)) AS sig_6,
+    MIN(substr(md5('perm1:' || shingle), 25, 8)) AS sig_7
   FROM shingles GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
@@ -851,10 +855,14 @@ WITH ws AS (
   SELECT DISTINCT doc_id, shingle FROM sh0
 ), sig AS (
   SELECT doc_id,
-    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
-    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
-    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
-    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+    MIN(substr(md5('perm0:' || shingle), 1, 8)) AS sig_0,
+    MIN(substr(md5('perm0:' || shingle), 9, 8)) AS sig_1,
+    MIN(substr(md5('perm0:' || shingle), 17, 8)) AS sig_2,
+    MIN(substr(md5('perm0:' || shingle), 25, 8)) AS sig_3,
+    MIN(substr(md5('perm1:' || shingle), 1, 8)) AS sig_4,
+    MIN(substr(md5('perm1:' || shingle), 9, 8)) AS sig_5,
+    MIN(substr(md5('perm1:' || shingle), 17, 8)) AS sig_6,
+    MIN(substr(md5('perm1:' || shingle), 25, 8)) AS sig_7
   FROM shingles GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
@@ -1992,10 +2000,14 @@ WITH RECURSIVE sym AS (
   SELECT DISTINCT doc_id, shingle FROM sh0
 ), sig AS (
   SELECT doc_id,
-    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
-    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
-    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
-    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+    MIN(substr(md5('perm0:' || shingle), 1, 8)) AS sig_0,
+    MIN(substr(md5('perm0:' || shingle), 9, 8)) AS sig_1,
+    MIN(substr(md5('perm0:' || shingle), 17, 8)) AS sig_2,
+    MIN(substr(md5('perm0:' || shingle), 25, 8)) AS sig_3,
+    MIN(substr(md5('perm1:' || shingle), 1, 8)) AS sig_4,
+    MIN(substr(md5('perm1:' || shingle), 9, 8)) AS sig_5,
+    MIN(substr(md5('perm1:' || shingle), 17, 8)) AS sig_6,
+    MIN(substr(md5('perm1:' || shingle), 25, 8)) AS sig_7
   FROM shingles GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
@@ -2018,10 +2030,14 @@ FROM bands a JOIN bands b
   SELECT DISTINCT doc_id, shingle FROM sh0
 ), sig AS (
   SELECT doc_id,
-    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
-    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
-    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
-    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+    MIN(substr(md5('perm0:' || shingle), 1, 8)) AS sig_0,
+    MIN(substr(md5('perm0:' || shingle), 9, 8)) AS sig_1,
+    MIN(substr(md5('perm0:' || shingle), 17, 8)) AS sig_2,
+    MIN(substr(md5('perm0:' || shingle), 25, 8)) AS sig_3,
+    MIN(substr(md5('perm1:' || shingle), 1, 8)) AS sig_4,
+    MIN(substr(md5('perm1:' || shingle), 9, 8)) AS sig_5,
+    MIN(substr(md5('perm1:' || shingle), 17, 8)) AS sig_6,
+    MIN(substr(md5('perm1:' || shingle), 25, 8)) AS sig_7
   FROM shingles GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
@@ -2973,10 +2989,14 @@ WITH ws AS (
   SELECT DISTINCT doc_id, shingle FROM sh0
 ), sig AS (
   SELECT doc_id,
-    MIN(md5('perm0:' || shingle)) AS sig_0, MIN(md5('perm1:' || shingle)) AS sig_1,
-    MIN(md5('perm2:' || shingle)) AS sig_2, MIN(md5('perm3:' || shingle)) AS sig_3,
-    MIN(md5('perm4:' || shingle)) AS sig_4, MIN(md5('perm5:' || shingle)) AS sig_5,
-    MIN(md5('perm6:' || shingle)) AS sig_6, MIN(md5('perm7:' || shingle)) AS sig_7
+    MIN(substr(md5('perm0:' || shingle), 1, 8)) AS sig_0,
+    MIN(substr(md5('perm0:' || shingle), 9, 8)) AS sig_1,
+    MIN(substr(md5('perm0:' || shingle), 17, 8)) AS sig_2,
+    MIN(substr(md5('perm0:' || shingle), 25, 8)) AS sig_3,
+    MIN(substr(md5('perm1:' || shingle), 1, 8)) AS sig_4,
+    MIN(substr(md5('perm1:' || shingle), 9, 8)) AS sig_5,
+    MIN(substr(md5('perm1:' || shingle), 17, 8)) AS sig_6,
+    MIN(substr(md5('perm1:' || shingle), 25, 8)) AS sig_7
   FROM shingles GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig

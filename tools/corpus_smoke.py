@@ -1,0 +1,160 @@
+"""Corpus-pipeline scale smoke: run the LLM-data operators over a
+synthetic corpus orders of magnitude beyond the sf0.1 fixtures.
+
+Usage: python tools/corpus_smoke.py [n_docs]   (default 1_000_000)
+
+The corpus is generated DISTRIBUTED (spark.range + expression-built
+text — no driver-side loops, no Python row funcs), with planted
+structure so the operators have real work:
+- 10% of documents are exact duplicates of an earlier document,
+- a further 10% are near-duplicates (one word appended),
+- text is ~40 words drawn deterministically from a 50-word vocabulary.
+
+Stages timed (each is the registered operator, not a re-implementation):
+  gen        materialize the corpus (noop-cached baseline scan cost)
+  exact      exact_dedup_groups — one md5 shuffle
+  minhash    MinHash signatures + LSH candidate pairs
+  gopher     Gopher rule battery + per-source pass counts
+  chunks     sliding-window chunking (shuffle-free explode)
+  cms        count-min sketch build (bounded-state shuffle)
+  sample     A-ES weighted sample top-k
+
+Prints one JSON line with per-stage seconds and row counts, mirroring
+`tools/scale_smoke.py` for the AMT view pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from api_to_amt_data_lake_spark.operators.chunking import chunk_spans  # noqa: E402
+from api_to_amt_data_lake_spark.operators.dedup import (  # noqa: E402
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from api_to_amt_data_lake_spark.operators.sampling import (  # noqa: E402
+    weighted_sample_keys,
+)
+from api_to_amt_data_lake_spark.operators.sketches import cms_build  # noqa: E402
+from api_to_amt_data_lake_spark.operators.text import gopher_flags  # noqa: E402
+from api_to_amt_data_lake_spark.session import get_spark  # noqa: E402
+
+VOCAB = [
+    "the", "of", "and", "to", "a", "in", "table", "row", "scan", "join",
+    "hash", "merge", "sort", "filter", "group", "agg", "window", "stream",
+    "batch", "key", "value", "column", "vector", "index", "query", "plan",
+    "stage", "task", "shuffle", "spill", "cache", "disk", "memory", "cpu",
+    "byte", "page", "block", "file", "part", "bucket", "range", "limit",
+    "order", "union", "except", "data", "lake", "gold", "silver", "spark",
+]
+
+
+def build_corpus(spark, n: int):
+    """(doc_id, source, text, n_chars) with planted exact/near dups."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string"))
+         .alias("source"),
+        # 10% exact dups + 10% near dups in the upper half point back at
+        # a DISTINCT earlier doc's content id (id - n/2, only where that
+        # is a real earlier id) — dup groups stay size 2/3. Clamping all
+        # low ids to one cid instead creates a single n/10-member group
+        # whose LSH bucket explodes quadratically (measured: the 1M run
+        # never finished).
+        F.when((F.col("id") % 10 == 7) & (F.col("id") >= n // 2),
+               F.col("id") - F.lit(n // 2))
+         .when((F.col("id") % 10 == 8) & (F.col("id") >= n // 2),
+               F.col("id") - F.lit(n // 2))
+         .otherwise(F.col("id")).alias("_cid"),
+    )
+    # Hash (cid, i) as a pair — NOT cid*i: the product aliases across
+    # documents (cid=2,i=20 == cid=4,i=10), which correlates shingles
+    # corpus-wide and blows LSH buckets up quadratically (measured 50M
+    # candidate pairs from 100k docs). The pathological hot-bucket case
+    # is covered deliberately by the AQE skew test, not the smoke.
+    # ~500 distinct surface tokens (base word + digit suffix): with only
+    # the 50 bare words, every trigram is shared by hundreds of docs at
+    # 1M scale, the globally-minimal shingle hashes land in hundreds of
+    # documents each, and MinHash buckets grow superlinearly (measured
+    # 4.5M candidate pairs / 210 s at 1M docs). Real corpora have 10k+
+    # word forms; 500 keeps trigram collisions negligible so candidate
+    # pairs ≈ the planted duplicates.
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.concat(
+            F.element_at(
+                vocab,
+                (F.pmod(F.xxhash64(F.col("_cid"), i), F.lit(50)) + 1)
+                .cast("int")),
+            F.pmod(F.xxhash64(i, F.col("_cid")), F.lit(10)).cast("string")),
+    )
+    text = F.when(
+        F.col("doc_id") % 10 == 8,  # near-dup: one extra word
+        F.concat(F.array_join(words, " "), F.lit(" extra")),
+    ).otherwise(F.array_join(words, " "))
+    return base.select(
+        "doc_id", "source", text.alias("text"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark("corpus_smoke")
+    t: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    t0 = time.time()
+    corpus = build_corpus(spark, n)
+    corpus = corpus.localCheckpoint()  # pin: stages measure their own cost
+    rows["gen"] = corpus.count()
+    t["gen"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["exact"] = exact_dedup_groups(corpus, "doc_id", "text").count()
+    t["exact"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    sig = minhash_signatures(corpus, "doc_id", "text",
+                             num_hashes=8, shingle_n=3)
+    rows["minhash"] = lsh_candidate_pairs(sig, "doc_id",
+                                          num_hashes=8, bands=4).count()
+    t["minhash"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    flags = gopher_flags(F.col("text"), min_words=30, min_stopwords=1)
+    rows["gopher"] = (
+        corpus.select("source", flags["ok_all"].cast("int").alias("ok"))
+        .groupBy("source").agg(F.sum("ok")).count())
+    t["gopher"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["chunks"] = chunk_spans(corpus, "text", "doc_id",
+                                 chunk_tokens=64, stride=32).count()
+    t["chunks"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["cms"] = cms_build(corpus, "text", depth=4, hex_chars=2).count()
+    t["cms"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["sample"] = (
+        weighted_sample_keys(corpus, "doc_id", "n_chars", seed=7)
+        .orderBy(F.desc("_wkey")).limit(1000).count())
+    t["sample"] = round(time.time() - t0, 2)
+
+    print(json.dumps({"n_docs": n, "sec": t, "rows": rows,
+                      "total_sec": round(sum(t.values()), 2)}))
+
+
+if __name__ == "__main__":
+    main()
