@@ -276,7 +276,14 @@ def kmeans_fit(
             corpus.join(assign, id_col)
             .select("bucket", F.posexplode(_as_double(F.col(vec_col))))
             .groupBy("bucket", "pos")
-            .agg(F.avg("col").alias("m"))
+            # Exact-decimal mean (round-9 terms, DECIMAL sum, one double
+            # division): a plain avg() over doubles is partitioning-
+            # dependent in its fold order, which would make the trained
+            # centroids — and every downstream IVF assignment — flap
+            # across runs and diverge from the SQL oracle.
+            .agg(
+                (F.sum(F.round(F.col("col"), 9).cast("decimal(38,12)"))
+                 .cast("double") / F.count(F.lit(1))).alias("m"))
             .groupBy("bucket")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
             .select(

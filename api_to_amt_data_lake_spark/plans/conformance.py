@@ -1750,10 +1750,70 @@ def q62_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q63_kmeans_ivf")  # no oracle: iterative algorithm (driver-side
-# loop over distributed assignment/mean passes) — rows-only check; the
-# component pieces are oracle-checked via q35 (IVF search) and unit-tested
-# for cluster separation in tests/test_dedup_similarity.py.
+# Lloyd's k-means IS SQL-expressible for a FIXED iteration count: unroll
+# each round into (assign = per-vector argmin over the k centroids,
+# mean = exact-decimal element-wise mean, carry = keep the previous
+# centroid for emptied buckets). Determinism contract shared with the
+# Spark side: distances rounded to 6dp with centroid-id tie-break, means
+# as round-9 DECIMAL(38,12) sums with one double division — so the
+# trained centroids, every assignment, and the final histogram are
+# bit-identical (upgraded from a rows-only check in round 3).
+_KMEANS_ITER_SQL = """
+a{i} AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT p.vec_id, p.v, s.bucket,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        round(list_sum(list_transform(range(1, len(p.v) + 1),
+          j -> (p.v[j] - s.v[j]) * (p.v[j] - s.v[j]))), 6) ASC,
+        s.bucket ASC) AS rn
+    FROM v p CROSS JOIN {prev} s
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT bucket, list(m ORDER BY pos) AS v FROM (
+    SELECT bucket, pos,
+      CAST(SUM(CAST(round(v[pos], 9) AS DECIMAL(38,12))) AS DOUBLE)
+        / COUNT(*) AS m
+    FROM a{i} CROSS JOIN positions
+    GROUP BY bucket, pos
+  ) GROUP BY bucket
+),
+c{i} AS (
+  SELECT s.bucket, COALESCE(m{i}.v, s.v) AS v
+  FROM {prev} s LEFT JOIN m{i} USING (bucket)
+)"""
+
+
+def _kmeans_ivf_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    parts = [f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), positions AS (
+  SELECT unnest(range(1, {dim + 1})) AS pos
+), c0 AS (
+  SELECT bucket, v FROM (
+    SELECT MIN(vec_id) AS bucket, v FROM v GROUP BY v
+    ORDER BY bucket LIMIT {k})
+)"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append("," + _KMEANS_ITER_SQL.format(i=i, prev=prev))
+        prev = f"c{i}"
+    parts.append(f""",
+afinal AS (
+  SELECT vec_id, bucket FROM (
+    SELECT p.vec_id, s.bucket,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        round(list_sum(list_transform(range(1, len(p.v) + 1),
+          j -> (p.v[j] - s.v[j]) * (p.v[j] - s.v[j]))), 6) ASC,
+        s.bucket ASC) AS rn
+    FROM v p CROSS JOIN {prev} s
+  ) WHERE rn = 1
+)
+SELECT bucket, COUNT(*) AS n_members FROM afinal GROUP BY bucket""")
+    return "".join(parts)
+
+
+@register("q63_kmeans_ivf", oracle=_kmeans_ivf_oracle())
 def q63_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train IVF centroids with distributed Lloyd's k-means (3 iterations,
     deterministic lowest-id init) and report the bucket occupancy
