@@ -500,7 +500,11 @@ def pq_adc_topk(
         .join(F.broadcast(dist_tab), ["sub_idx", "code"])
         .filter(F.col("query_id") != F.col("match_id"))
         .groupBy("query_id", "match_id")
-        .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
+        # Exact fold of the m per-subspace terms (they are 9dp-rounded,
+        # so the DECIMAL sum is lossless and order-insensitive) — keeps
+        # ADC distances bit-identical across partitionings and engines.
+        .agg(F.round(F.sum(F.col("_d").cast("decimal(38,12)"))
+                     .cast("double"), 6).alias("adc_dist"))
         .withColumn("rank", F.row_number().over(
             Window.partitionBy("query_id").orderBy(
                 F.col("adc_dist").asc(), F.col("match_id").asc())))

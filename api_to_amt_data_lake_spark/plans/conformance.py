@@ -1759,46 +1759,57 @@ def q62_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trained centroids, every assignment, and the final histogram are
 # bit-identical (upgraded from a rows-only check in round 3).
 _KMEANS_ITER_SQL = """
-a{i} AS (
+a{p}{i} AS (
   SELECT vec_id, v, bucket FROM (
     SELECT p.vec_id, p.v, s.bucket,
       row_number() OVER (PARTITION BY p.vec_id ORDER BY
         round(list_sum(list_transform(range(1, len(p.v) + 1),
           j -> (p.v[j] - s.v[j]) * (p.v[j] - s.v[j]))), 6) ASC,
         s.bucket ASC) AS rn
-    FROM v p CROSS JOIN {prev} s
+    FROM {base} p CROSS JOIN {prev} s
   ) WHERE rn = 1
 ),
-m{i} AS (
+m{p}{i} AS (
   SELECT bucket, list(m ORDER BY pos) AS v FROM (
     SELECT bucket, pos,
       CAST(SUM(CAST(round(v[pos], 9) AS DECIMAL(38,12))) AS DOUBLE)
         / COUNT(*) AS m
-    FROM a{i} CROSS JOIN positions
+    FROM a{p}{i} CROSS JOIN {pos}
     GROUP BY bucket, pos
   ) GROUP BY bucket
 ),
-c{i} AS (
-  SELECT s.bucket, COALESCE(m{i}.v, s.v) AS v
-  FROM {prev} s LEFT JOIN m{i} USING (bucket)
+c{p}{i} AS (
+  SELECT s.bucket, COALESCE(m{p}{i}.v, s.v) AS v
+  FROM {prev} s LEFT JOIN m{p}{i} USING (bucket)
 )"""
 
 
+def _kmeans_ctes(prefix: str, base: str, pos: str, k: int, iters: int) -> str:
+    """Unrolled Lloyd's k-means as CTE text: seeds c{prefix}0 (k distinct
+    lowest-id vectors of `base`), then `iters` assign/mean/carry rounds;
+    the final centroids are c{prefix}{iters}."""
+    out = [f""",
+c{prefix}0 AS (
+  SELECT bucket, v FROM (
+    SELECT MIN(vec_id) AS bucket, v FROM {base} GROUP BY v
+    ORDER BY bucket LIMIT {k})
+)"""]
+    prev = f"c{prefix}0"
+    for i in range(1, iters + 1):
+        out.append("," + _KMEANS_ITER_SQL.format(
+            p=prefix, i=i, prev=prev, base=base, pos=pos))
+        prev = f"c{prefix}{i}"
+    return "".join(out)
+
+
 def _kmeans_ivf_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    parts = [f"""WITH v AS (
+    head = f"""WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), positions AS (
   SELECT unnest(range(1, {dim + 1})) AS pos
-), c0 AS (
-  SELECT bucket, v FROM (
-    SELECT MIN(vec_id) AS bucket, v FROM v GROUP BY v
-    ORDER BY bucket LIMIT {k})
-)"""]
-    prev = "c0"
-    for i in range(1, iters + 1):
-        parts.append("," + _KMEANS_ITER_SQL.format(i=i, prev=prev))
-        prev = f"c{i}"
-    parts.append(f""",
+)"""
+    body = _kmeans_ctes("", "v", "positions", k, iters)
+    return head + body + f""",
 afinal AS (
   SELECT vec_id, bucket FROM (
     SELECT p.vec_id, s.bucket,
@@ -1806,11 +1817,10 @@ afinal AS (
         round(list_sum(list_transform(range(1, len(p.v) + 1),
           j -> (p.v[j] - s.v[j]) * (p.v[j] - s.v[j]))), 6) ASC,
         s.bucket ASC) AS rn
-    FROM v p CROSS JOIN {prev} s
+    FROM v p CROSS JOIN c{iters} s
   ) WHERE rn = 1
 )
-SELECT bucket, COUNT(*) AS n_members FROM afinal GROUP BY bucket""")
-    return "".join(parts)
+SELECT bucket, COUNT(*) AS n_members FROM afinal GROUP BY bucket"""
 
 
 @register("q63_kmeans_ivf", oracle=_kmeans_ivf_oracle())
@@ -3166,10 +3176,65 @@ def q97_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(d, "text", coverage=0.95)
 
 
-@register("q95_pq_ann")  # no SQL oracle: the codebook comes from
-# iterative k-means (like q63); the driver records the rows-only check,
-# and the accuracy contract vs exact search lives in
-# tests/test_dedup_similarity.py::test_pq_adc_recall_contract.
+def _pq_ann_oracle(m: int = 4, k: int = 8, iters: int = 3,
+                   dim: int = 64, topk: int = 3) -> str:
+    """Unrolled PQ pipeline in SQL: per-subspace Lloyd's k-means
+    (reusing the q63 iteration template), code assignment by RAW
+    distance (mirroring `pq_encode`'s unrounded min-struct), then ADC
+    with 9dp per-term rounding and an exact-decimal fold (mirroring
+    `pq_adc_topk`)."""
+    sub = dim // m
+    head = [f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), positions AS (
+  SELECT unnest(range(1, {sub + 1})) AS pos
+)"""]
+    for j in range(m):
+        head.append(f""",
+v{j} AS (
+  SELECT vec_id, v[{j * sub + 1}:{(j + 1) * sub}] AS v FROM v
+)""")
+        head.append(_kmeans_ctes(f"s{j}_", f"v{j}", "positions", k, iters))
+        head.append(f""",
+code{j} AS (
+  SELECT vec_id, {j} AS sub_idx, bucket AS code FROM (
+    SELECT p.vec_id, s.bucket,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        list_sum(list_transform(range(1, len(p.v) + 1),
+          j -> (p.v[j] - s.v[j]) * (p.v[j] - s.v[j]))) ASC,
+        s.bucket ASC) AS rn
+    FROM v{j} p CROSS JOIN cs{j}_{iters} s
+  ) WHERE rn = 1
+),
+dist{j} AS (
+  SELECT q.vec_id AS query_id, {j} AS sub_idx, s.bucket AS code,
+    round(list_sum(list_transform(range(1, len(q.v) + 1),
+      j -> (q.v[j] - s.v[j]) * (q.v[j] - s.v[j]))), 9) AS _d
+  FROM (SELECT * FROM v{j} WHERE vec_id < 5) q
+  CROSS JOIN cs{j}_{iters} s
+)""")
+    codes = " UNION ALL ".join(f"SELECT * FROM code{j}" for j in range(m))
+    dists = " UNION ALL ".join(f"SELECT * FROM dist{j}" for j in range(m))
+    head.append(f""",
+codes AS ({codes}), dists AS ({dists}),
+adc AS (
+  SELECT d.query_id, c.vec_id AS match_id,
+    round(CAST(SUM(CAST(d._d AS DECIMAL(38,12))) AS DOUBLE), 6)
+      AS adc_dist
+  FROM codes c JOIN dists d
+    ON d.sub_idx = c.sub_idx AND d.code = c.code
+  WHERE d.query_id != c.vec_id
+  GROUP BY d.query_id, c.vec_id
+)
+SELECT query_id, match_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc_dist ASC, match_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {topk}""")
+    return "".join(head)
+
+
+@register("q95_pq_ann", oracle=_pq_ann_oracle())
 def q95_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 4 subspaces × 8 learned centroids
     (12-bit codes), asymmetric-distance top-3 for queries vec_id < 5 —
