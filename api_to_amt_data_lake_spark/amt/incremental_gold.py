@@ -70,10 +70,15 @@ def refresh_view_incremental(
     out = carried.unionByName(recomputed)
 
     tmp = path + ".refresh-tmp"
+    old = path + ".refresh-old"
+    # A crash between the renames below can strand either directory;
+    # clear leftovers first so the swap's os.rename calls cannot fail on
+    # an existing target (re-running the refresh is the repair path).
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     out.write.mode("overwrite").parquet(tmp)
     # Swap AFTER the new data is fully committed; the non-atomic window
     # is two renames, and a crash in between is repaired by re-running.
-    old = path + ".refresh-old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
