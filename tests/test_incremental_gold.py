@@ -99,3 +99,26 @@ def test_pipeline_incremental_refresh_touches_only_listed_views(spark, tmp_path)
     # no other view directory was created
     import os
     assert sorted(os.listdir(gold / str(SY))) == ["dateDim"]
+
+
+def test_refresh_repairs_stale_swap_directories(spark, tmp_path):
+    """A crash between the swap renames strands .refresh-tmp/-old dirs;
+    the next refresh must clear them and succeed."""
+    silver, gold = tmp_path / "silver", tmp_path / "gold"
+    _write_silver(silver, [_doc(1, "2023-08-15")])
+    p = refresh_view_incremental(
+        spark, "dateDim", str(silver), str(gold), SY,
+        _keys(spark, "20230815"), "DateKey")
+    # strand both directories as a crashed swap would
+    import shutil
+    shutil.copytree(p, p + ".refresh-tmp")
+    shutil.copytree(p, p + ".refresh-old")
+    _write_silver(silver, [_doc(1, "2023-08-15"), _doc(2, "2023-09-02")])
+    p2 = refresh_view_incremental(
+        spark, "dateDim", str(silver), str(gold), SY,
+        _keys(spark, "20230902"), "DateKey")
+    got = {r.DateKey for r in spark.read.parquet(p2).collect()}
+    assert got == {"20230815", "20230902"}
+    import os
+    assert not os.path.exists(p2 + ".refresh-tmp")
+    assert not os.path.exists(p2 + ".refresh-old")
