@@ -317,8 +317,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _pin(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None \
-            else df.localCheckpoint()
+        # eager=False: the checkpoint materializes during the round's
+        # changed-count action instead of running its own job first —
+        # one Spark job per round rather than two (the count touches
+        # every pinned row anyway, so nothing is computed twice).
+        return df.checkpoint(eager=False) if checkpoint_dir is not None \
+            else df.localCheckpoint(eager=False)
 
     sym = _pin(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
