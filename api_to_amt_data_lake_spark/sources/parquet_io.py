@@ -205,3 +205,28 @@ def write_view_zordered(df: DataFrame, path: str, col_x: str, col_y: str,
      .sortWithinPartitions("_zk").drop("_zk")
      .write.mode("overwrite").parquet(path))
     return path
+
+
+def register_gold_views(spark: SparkSession, gold_root: str,
+                        school_year: str | int) -> list[str]:
+    """Expose every written gold view as a Spark SQL temp view, so the
+    lake is queryable with raw `spark.sql("SELECT ... FROM schoolDim
+    JOIN ...")` — the analyst-facing surface of the reference's gold
+    parquet folder. View names are the registry names (schoolDim,
+    studentSectionDim, ...). Returns the registered names.
+
+    Temp views are metadata only: queries read the parquet lazily with
+    full pushdown/pruning, exactly like `spark.read.parquet`.
+    """
+    year_dir = os.path.join(gold_root, str(school_year))
+    names: list[str] = []
+    if not os.path.isdir(year_dir):
+        return names
+    for name in sorted(os.listdir(year_dir)):
+        path = os.path.join(year_dir, name)
+        if name.endswith(("_csv", ".refresh-tmp", ".refresh-old")) \
+                or not os.path.isdir(path):
+            continue
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        names.append(name)
+    return names

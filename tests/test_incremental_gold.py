@@ -122,3 +122,19 @@ def test_refresh_repairs_stale_swap_directories(spark, tmp_path):
     import os
     assert not os.path.exists(p2 + ".refresh-tmp")
     assert not os.path.exists(p2 + ".refresh-old")
+
+
+def test_register_gold_views_sql_surface(spark, tmp_path):
+    from api_to_amt_data_lake_spark.sources.parquet_io import (
+        register_gold_views,
+    )
+    silver, gold = tmp_path / "silver", tmp_path / "gold"
+    _write_silver(silver, [_doc(1, "2023-08-15"), _doc(2, "2023-09-02")])
+    refresh_view_incremental(
+        spark, "dateDim", str(silver), str(gold), SY,
+        _keys(spark, "20230815", "20230902"), "DateKey")
+    names = register_gold_views(spark, str(gold), SY)
+    assert "dateDim" in names
+    rows = spark.sql(
+        "SELECT DateKey FROM dateDim ORDER BY DateKey").collect()
+    assert [r.DateKey for r in rows] == ["20230815", "20230902"]
