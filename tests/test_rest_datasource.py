@@ -73,3 +73,52 @@ def test_pattern_option_reads_landed_silver_layout(spark, tmp_path):
     df = _read(spark, str(tmp_path), page_limit=4, num_partitions=2,
                file_pattern="students_page{page:05d}.json")
     assert df.count() == 1
+
+
+def test_streaming_tail_picks_up_new_pages(spark, tmp_path):
+    """readStream over the paged collection: new pages (and the tail of
+    a partially-filled page) arrive in later micro-batches, each record
+    exactly once."""
+    import time
+    d = tmp_path / "pages"
+    d.mkdir()
+    limit = 3
+    (d / "page-00000.json").write_text(json.dumps(
+        [{"id": 0}, {"id": 1}, {"id": 2}]))
+    (d / "page-00001.json").write_text(json.dumps([{"id": 3}]))  # partial tail
+
+    rest_datasource.register(spark)
+    stream = (
+        spark.readStream.format("paged_collection")
+        .option("path", str(d)).option("page_limit", str(limit)).load()
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        # grow the tail page to full and add one more page
+        (d / "page-00001.json").write_text(json.dumps(
+            [{"id": 3}, {"id": 4}, {"id": 5}]))
+        (d / "page-00002.json").write_text(json.dumps([{"id": 6}]))
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 7:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    offsets = sorted(r.offset for r in got.collect())
+    assert offsets == list(range(7))  # every record exactly once, no dupes
