@@ -424,17 +424,22 @@ def span_dup_stats(
 
     Output: (id, n_spans, n_dup_spans, dup_fraction).
 
-    Scale shape: one groupBy on the span hash (uniform 64-bit keys — no
-    skew) with a map-side partial count, one shuffle to re-attach the
-    counts, one groupBy(id) that partial-aggregates map-side. Both
-    shuffles move (id, hash) pairs only, never document text.
+    Scale shape: the per-hash document frequency is a whole-partition
+    window count over the span hash (uniform 64-bit keys — no skew), so
+    the span stream is scanned ONCE — the groupBy+self-join formulation
+    re-executes the tokenize/explode on both sides of the join — then
+    one groupBy(id) that partial-aggregates map-side. Both shuffles move
+    (id, hash) pairs only, never document text.
     """
+    from pyspark.sql import Window
+
     spans = _distinct_span_hashes(df, id_col, content_col, span_n)
     # Spans are distinct per doc (array_distinct in _shingle_expr), so a
     # plain count(*) per hash IS the distinct-document frequency.
-    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("_nd"))
+    counted = spans.withColumn(
+        "_nd", F.count(F.lit(1)).over(Window.partitionBy("h")))
     return (
-        spans.join(freq, "h")
+        counted
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
