@@ -138,3 +138,21 @@ def test_register_gold_views_sql_surface(spark, tmp_path):
     rows = spark.sql(
         "SELECT DateKey FROM dateDim ORDER BY DateKey").collect()
     assert [r.DateKey for r in rows] == ["20230815", "20230902"]
+
+
+def test_cli_views_run_and_sql(spark, tmp_path, capsys):
+    from api_to_amt_data_lake_spark.__main__ import main
+    # views: lists the registry
+    assert main(["views"]) == 0
+    out = capsys.readouterr().out
+    assert "dateDim" in out and "schoolDim" in out
+    # run: builds gold from silver (dateDim is the only view with input)
+    silver, gold = tmp_path / "silver", tmp_path / "gold"
+    _write_silver(silver, [_doc(1, "2023-08-15")])
+    assert main(["run", "--silver", str(silver), "--gold", str(gold),
+                 "--school-year", str(SY), "--parallelism", "1"]) == 0
+    capsys.readouterr()
+    # sql: queries the gold views
+    assert main(["sql", "--gold", str(gold), "--school-year", str(SY),
+                 "SELECT DateKey FROM dateDim"]) == 0
+    assert "20230815" in capsys.readouterr().out
