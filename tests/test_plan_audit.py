@@ -99,3 +99,35 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_registry_contract_for_driver_window():
+    """The driver records only the first ~50 registered queries, and the
+    module relies on insertion order == lexical order with a letter-
+    suffix namespace past q97. Protect those invariants: the dicts are
+    sorted, every oracle key is a registered query, and no name uses
+    three digits (q100 would sort INTO the q10 window and evict a
+    curated query)."""
+    names = list(conformance.QUERIES)
+    assert names == sorted(names)
+    assert list(conformance.ORACLE) == sorted(conformance.ORACLE)
+    assert set(conformance.ORACLE) <= set(conformance.QUERIES)
+    import re
+    assert not [n for n in names if re.match(r"q\d{3}", n)]
+    # the priority window stays fully oracle-checked
+    assert all(n in conformance.ORACLE for n in names[:50])
+
+
+def test_bench_headline_names_resolve():
+    """A renamed query must not silently drop out of the benchmark."""
+    import bench
+    missing = [n for n in bench.HEADLINE if n not in conformance.QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
+
+
+def test_chunking_plan_is_shuffle_free(spark):
+    """q98 claim (PLANS.md): trainer-facing chunking runs at scan speed —
+    Generate over the scan, zero Exchange."""
+    plan = _plan(spark, "q98_doc_chunks")
+    assert "Exchange" not in plan
+    assert "Generate" in plan
