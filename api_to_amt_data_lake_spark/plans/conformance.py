@@ -3940,6 +3940,85 @@ def q99l_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q99m_contrastive_triplets", oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len(w) - 1),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM ws WHERE len(w) >= 3
+), shingled AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), sig AS (
+  SELECT doc_id,
+    MIN(substr(md5('perm0:' || shingle), 1, 8)) AS sig_0,
+    MIN(substr(md5('perm0:' || shingle), 9, 8)) AS sig_1,
+    MIN(substr(md5('perm0:' || shingle), 17, 8)) AS sig_2,
+    MIN(substr(md5('perm0:' || shingle), 25, 8)) AS sig_3,
+    MIN(substr(md5('perm1:' || shingle), 1, 8)) AS sig_4,
+    MIN(substr(md5('perm1:' || shingle), 9, 8)) AS sig_5,
+    MIN(substr(md5('perm1:' || shingle), 17, 8)) AS sig_6,
+    MIN(substr(md5('perm1:' || shingle), 25, 8)) AS sig_7
+  FROM shingled GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, sig_2 || sig_3 FROM sig
+  UNION ALL SELECT doc_id, 2, sig_4 || sig_5 FROM sig
+  UNION ALL SELECT doc_id, 3, sig_6 || sig_7 FROM sig
+), pos AS (
+  SELECT DISTINCT a.doc_id AS anchor, b.doc_id AS positive
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), trip AS (
+  SELECT anchor, positive,
+    CASE
+      WHEN (anchor * 2654435761) % n_docs NOT IN (anchor, positive)
+        THEN (anchor * 2654435761) % n_docs
+      WHEN ((anchor * 2654435761) + 1) % n_docs NOT IN (anchor, positive)
+        THEN ((anchor * 2654435761) + 1) % n_docs
+      ELSE ((anchor * 2654435761) + 2) % n_docs
+    END AS negative
+  FROM pos CROSS JOIN n
+)
+SELECT anchor, positive, CAST(negative AS BIGINT) AS negative FROM trip
+""")
+def q99m_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: (anchor, positive, negative)
+    triplets for embedding-model training — positives are the MinHash/
+    LSH near-dup pairs (q32's exact pipeline), negatives a deterministic
+    Knuth-hash draw over the corpus id space with a 3-candidate chain
+    that can never land on the anchor or the positive. Fully
+    reproducible (no rand()); negatives are uniform because doc ids are
+    dense. Zero extra shuffles beyond the pair generation."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pos = (
+        lsh_candidate_pairs(sig, "doc_id", num_hashes=8, bands=4)
+        .select(F.col("id_a").alias("anchor"),
+                F.col("id_b").alias("positive"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    h = F.col("anchor") * F.lit(2654435761)
+    cands = [F.pmod(h + F.lit(i), F.col("n_docs")) for i in range(3)]
+
+    def _ok(c):
+        return (c != F.col("anchor")) & (c != F.col("positive"))
+
+    neg = (
+        F.when(_ok(cands[0]), cands[0])
+        .when(_ok(cands[1]), cands[1])
+        .otherwise(cands[2])
+    )
+    return (
+        pos.crossJoin(F.broadcast(n))
+        .select("anchor", "positive", neg.cast("long").alias("negative"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the
