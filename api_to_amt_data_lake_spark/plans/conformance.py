@@ -4019,6 +4019,51 @@ def q99m_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q99n_dropout_augmentation", oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), aug AS (
+  SELECT doc_id, w,
+    list_filter(w, (x, i) ->
+      ('0x' || substr(md5(doc_id || ':' || i || ':13'), 1, 2))::BIGINT
+      % 10 <> 0) AS kept
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_orig,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(array_to_string(kept, ' ')) AS aug_md5
+FROM aug
+""")
+def q99n_dropout_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data augmentation: ~10% word dropout where the drop
+    decision is a pure function of (doc_id, position, seed) via md5 —
+    the same augmented corpus on every rerun, shard, and engine, unlike
+    rand()-based augmentation which breaks caching and reproducibility.
+    Higher-order filter with an indexed lambda — zero shuffle, runs at
+    scan speed; the augmented text is pinned by md5."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+
+    def keep(x, i):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.col("doc_id").cast("string"),
+                    (i + F.lit(1)).cast("string"), F.lit("13"))),
+                1, 2),
+            16, 10).cast("long")
+        return h % 10 != 0
+
+    kept = F.filter(toks, keep)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_orig"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("aug_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the
