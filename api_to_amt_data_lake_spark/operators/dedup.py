@@ -327,9 +327,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     sym = _pin(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
+    # Seed = min(id, min neighbor): the same groupBy shuffle a plain
+    # distinct() would cost, but it performs round 1's propagation for
+    # free — one fewer join round before the fixpoint.
     labels = _pin(
-        sym.select(F.col("a").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select(F.col("a").alias("id"),
+                F.least(F.col("a"), F.col("_mn")).alias("label"))
     )
     changed = -1
     for _ in range(max_iter):
