@@ -387,50 +387,137 @@ def _subvector(vec_col: str, sub_idx: int, m: int) -> Column:
     return F.slice(c, sub_len * sub_idx + 1, sub_len)
 
 
+def kmeans_fit_keyed(
+    subs: DataFrame, key_col: str, id_col: str, vec_col: str,
+    k: int = 8, iters: int = 3, n_init_buckets: int = 256,
+) -> DataFrame:
+    """Keyed distributed Lloyd's: train an INDEPENDENT k-means model per
+    value of `key_col` in ONE set of Spark jobs. The math per key is
+    bit-identical to `kmeans_fit` on that key's slice (same lowest-id
+    distinct init, same round-6 assignment with centroid-id tiebreak,
+    same exact-decimal element-wise mean, same empty-bucket
+    carry-forward) — parity-tested — but where m sequential `kmeans_fit`
+    calls cost m × iters × 2 jobs, this costs iters × 2 regardless of m.
+
+    Input: (key, id, vec) rows. Output: (key, id, vec) — k centroid
+    rows per key, labeled by seed id; the whole model is |keys|×k rows
+    (broadcast-sized however big the corpus is).
+
+    Scale notes: the per-key lowest-id top-k init uses the two-phase
+    bucketed rank (local top-k per (key, hash-bucket), then global top-k
+    over ≤ n_init_buckets×k survivors per key) — never a full sort of
+    one key's distinct vectors on a single partition. Each round is one
+    broadcast join (|keys|×k centroid rows) + one partial-aggregated
+    groupBy whose shuffle carries at most |keys|×k×dim rows.
+    """
+    subs = subs.select(
+        F.col(key_col), F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+    )
+    distinct = subs.groupBy(key_col, vec_col).agg(F.min(id_col).alias(id_col))
+    w_local = Window.partitionBy(
+        key_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_init_buckets))
+    ).orderBy(F.col(id_col).asc())
+    w_global = Window.partitionBy(key_col).orderBy(F.col(id_col).asc())
+    cent = (
+        distinct.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .withColumn("_gr", F.row_number().over(w_global))
+        .filter(F.col("_gr") <= k)
+        .select(key_col, id_col, vec_col)
+    )
+    for _ in range(iters):
+        # Assignment: broadcast the |keys|×k model, argmin per (key, id)
+        # under (round-6 distance, centroid id) — identical tiebreak to
+        # `ivf_assign`, one corpus pass, no vector ever shuffled.
+        assign = (
+            subs.join(
+                F.broadcast(cent.select(
+                    F.col(key_col), F.col(id_col).alias("_cent_id"),
+                    F.col(vec_col).alias("_cent_vec"),
+                )),
+                key_col,
+            )
+            .select(
+                key_col, id_col,
+                F.struct(
+                    F.round(sq_euclidean(F.col(vec_col), F.col("_cent_vec")), 6)
+                    .alias("d"),
+                    F.col("_cent_id").alias("cid"),
+                ).alias("_dc"),
+            )
+            .groupBy(key_col, id_col)
+            .agg(F.min("_dc").alias("_best"))
+            .select(key_col, id_col, F.col("_best.cid").alias("bucket"))
+        )
+        means = (
+            subs.join(assign, [key_col, id_col])
+            .select(key_col, "bucket", F.posexplode(F.col(vec_col)))
+            .groupBy(key_col, "bucket", "pos")
+            # Exact-decimal mean (see `kmeans_fit`): order-insensitive,
+            # so the trained model is engine- and partitioning-stable.
+            .agg(
+                (F.sum(F.round(F.col("col"), 9).cast("decimal(38,12)"))
+                 .cast("double") / F.count(F.lit(1))).alias("m"))
+            .groupBy(key_col, "bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select(
+                F.col(key_col),
+                F.col("bucket").alias(id_col),
+                F.transform("_pm", lambda s: s.getField("m")).alias(vec_col),
+            )
+        )
+        cent = (
+            cent.alias("p")
+            .join(means.alias("m"), [key_col, id_col], "left")
+            .select(
+                F.col(key_col),
+                F.col(f"p.{id_col}").alias(id_col),
+                F.coalesce(F.col(f"m.{vec_col}"),
+                           F.col(f"p.{vec_col}")).alias(vec_col),
+            )
+        )
+        # Pin each round's |keys|×k model rows (see `kmeans_fit`): keeps
+        # plan depth constant across rounds.
+        cent = cent.cache()
+    return cent
+
+
 def pq_fit(
     corpus: DataFrame, id_col: str, vec_col: str, m: int = 4, k: int = 8,
     iters: int = 3, cache: bool = True,
 ) -> DataFrame:
     """Product-quantization codebook trainer (Jégou et al., "Product
     Quantization for Nearest Neighbor Search"): split each vector into m
-    subvectors and run the distributed k-means trainer (`kmeans_fit`)
-    independently per subspace. Output: (sub_idx, cent_id, centroid) —
-    m×k rows, the whole codebook is a broadcast-sized table no matter
-    how big the corpus is.
+    subvectors and train k-means independently per subspace. Output:
+    (sub_idx, cent_id, centroid) — m×k rows, the whole codebook is a
+    broadcast-sized table no matter how big the corpus is.
+
+    All m subspaces train in ONE keyed Lloyd's loop (`kmeans_fit_keyed`
+    with sub_idx as the model key): iters × 2 Spark jobs total instead
+    of the m × iters × 2 a per-subspace trainer would issue, with
+    bit-identical codebooks (parity-tested against per-subspace
+    `kmeans_fit`).
 
     PQ is the memory end of the ANN spectrum in this repo: m log2(k)
     bits per vector (m=4,k=8 → 12 bits vs 2048 for a 64-dim float32) at
     the cost of learned, asymmetric distances — against `sq8` (4×
     compression, near-exact) and `ivf` (no compression, scoped search).
     """
-    books = []
-    for j in range(m):
-        sub = corpus.select(F.col(id_col), _subvector(vec_col, j, m).alias(vec_col))
-        cb = kmeans_fit(sub, id_col, vec_col, k=k, iters=iters)
-        books.append(cb.select(
-            F.lit(j).alias("sub_idx"),
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("centroid"),
-        ))
+    subs = _explode_subvectors(corpus, id_col, vec_col, m)
+    book = kmeans_fit_keyed(
+        subs, "sub_idx", id_col, "sv", k=k, iters=iters
+    ).select(
+        "sub_idx", F.col(id_col).alias("cent_id"), F.col("sv").alias("centroid")
+    )
     # The codebook is a MODEL (m×k rows), not data: downstream encode /
-    # ADC reference it several times, and without pinning each reference
-    # re-runs all m k-means trainings. With cache=True each subspace
-    # book is cached AND materialized eagerly on a thread pool — the m
-    # trainings are independent, so their (internally sequential)
-    # Lloyd's rounds overlap instead of queueing: measured 12.4s -> ~4s
-    # for m=4 on local[32]. Same concurrent-jobs pattern as the gold
-    # phase in amt/registry.py::run_all. Callers composing their own
-    # pipelines can pass cache=False and manage persistence themselves.
+    # ADC reference it several times. The trainer already pinned the
+    # final model frame (the projection here is column renames, which
+    # reuse that cache); materialize it eagerly so the training jobs
+    # never re-run under downstream reuse. Callers composing their own
+    # pipelines can pass cache=False and manage materialization.
     if cache:
-        books = [b.cache() for b in books]
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=len(books)) as ex:
-            list(ex.map(lambda b: b.count(), books))
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionAll(b)
-    return out
+        book.count()
+    return book
 
 
 def _explode_subvectors(df: DataFrame, id_col: str, vec_col: str,

@@ -51,6 +51,7 @@ HEADLINE = [
     "q49_grouping_sets",
     "q53_ngram_shingles",
     "q61_funnel",
+    "q63_kmeans_ivf",
     "q62_retention_cohorts",
     "q73_cosine_topk_wide",
     "q87_span_dedup",
@@ -58,6 +59,7 @@ HEADLINE = [
     "q92_neardup_pagerank",
     "q93_corpus_shuffle",
     "q94_crawl_novelty",
+    "q95_pq_ann",
     "q98_doc_chunks",
     "q98b_unigram_surprisal",
     "q99b_cms_frequency",

@@ -554,3 +554,34 @@ def test_pq_adc_recall_contract(spark):
     wrong_cluster = approx.filter(
         F.col("match_id") % 4 != F.col("query_id") % 4).count()
     assert approx.count() == 15 and wrong_cluster == 0
+
+
+def test_keyed_trainer_matches_per_subspace_kmeans(spark):
+    """`pq_fit` (one keyed Lloyd's loop over all subspaces) must produce
+    the exact codebook that m independent `kmeans_fit` runs produce on
+    each subspace slice — same init, tiebreaks, exact-decimal means, and
+    empty-bucket carry-forward, just m× fewer Spark jobs."""
+    import random
+    import pyspark.sql.functions as F
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        _subvector, kmeans_fit, pq_fit)
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    # duplicate vectors to exercise the distinct-init path
+    rows += [(100 + i, list(rows[i][1])) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    m, k, iters = 2, 3, 2
+    keyed = {
+        (r["sub_idx"], r["cent_id"]): [round(v, 9) for v in r["centroid"]]
+        for r in pq_fit(df, "vec_id", "embedding", m=m, k=k,
+                        iters=iters, cache=False).collect()
+    }
+    per_sub = {}
+    for j in range(m):
+        sub = df.select("vec_id",
+                        _subvector("embedding", j, m).alias("embedding"))
+        for r in kmeans_fit(sub, "vec_id", "embedding",
+                            k=k, iters=iters).collect():
+            per_sub[(j, r["vec_id"])] = [round(v, 9) for v in r["embedding"]]
+    assert keyed == per_sub and len(keyed) == m * k
