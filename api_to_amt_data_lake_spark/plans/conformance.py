@@ -2366,6 +2366,93 @@ def q74_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q74b_png_pixel_decode", oracle="""
+SELECT doc_id,
+  CAST(2 + doc_id % 7 AS INTEGER) AS width,
+  CAST(1 + doc_id % 5 AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS channels,
+  CAST((1 + doc_id % 5) * ((2 + doc_id % 7) * (doc_id % 200))
+       + (1 + doc_id % 5) * (((2 + doc_id % 7) * (1 + doc_id % 7)) // 2)
+       AS BIGINT) AS pixel_sum,
+  round(CAST((1 + doc_id % 5) * ((2 + doc_id % 7) * (doc_id % 200))
+             + (1 + doc_id % 5) * (((2 + doc_id % 7) * (1 + doc_id % 7)) // 2)
+        AS DOUBLE) / ((2 + doc_id % 7) * (1 + doc_id % 5)), 6) AS pixel_mean
+FROM documents WHERE doc_id < 150
+""")
+def q74b_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode, end to end, with zero codec libraries:
+    Spark SQL expressions BUILD a complete grayscale PNG per row — IHDR,
+    an IDAT whose deflate stream is a stored block (BTYPE=00) holding
+    Sub- and Up-filtered scanlines, IEND — and
+    `operators/multimodal.py::_decode_png` inflates the IDAT with stdlib
+    zlib and runs the per-scanline unfilter to recover the pixels. Row 0
+    is Sub-filtered (v, +1, +1, …) → the decoded gradient v..v+w-1;
+    every later row is Up-filtered zeros → identical to row 0. The
+    oracle recomputes the pixel sum/mean arithmetically, so a bug in
+    chunk walking, inflation, or either unfilter path breaks the hash."""
+    import numpy as np  # local: Python workers only
+    import pandas as pd
+
+    from api_to_amt_data_lake_spark.operators.multimodal import _decode_pixels
+
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            (F.lit(2) + F.col("doc_id") % 7).cast("int").alias("w"),
+            (F.lit(1) + F.col("doc_id") % 5).cast("int").alias("h"),
+            (F.col("doc_id") % 200).cast("int").alias("v"),
+        )
+    )
+
+    def be32(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    def le16(c):
+        hx = F.lpad(F.hex(c), 4, "0")
+        return F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+
+    w, h, v = F.col("w"), F.col("h"), F.col("v")
+    # Scanlines: filter-1 row (v, then w-1 deltas of +1), then h-1
+    # filter-2 rows of zeros. L = h * (1 + w) raw bytes.
+    row0 = F.concat(F.lit("01"), F.lpad(F.hex(v), 2, "0"),
+                    F.repeat(F.lit("01"), w - F.lit(1)))
+    rows_up = F.repeat(F.concat(F.lit("02"), F.repeat(F.lit("00"), w)),
+                       h - F.lit(1))
+    ln = h * (F.lit(1) + w)
+    # zlib header + stored deflate block (LEN/NLEN) + placeholder Adler
+    # (the decoder's raw-inflate fallback covers struct-built fixtures).
+    idat = F.concat(F.lit("7801"), F.lit("01"), le16(ln),
+                    le16(F.lit(65535) - ln), row0, rows_up, F.lit("00000000"))
+    png = F.unhex(F.concat(
+        F.lit("89504E470D0A1A0A"),
+        F.lit("0000000D" "49484452"), be32(w), be32(h),
+        F.lit("0800000000" "00000000"),
+        be32(F.lit(11) + ln), F.lit("49444154"), idat, F.lit("00000000"),
+        F.lit("00000000" "49454E44" "00000000")))
+    blobs = base.select(F.col("doc_id").alias("id"), png.alias("content"))
+
+    out_schema = ("doc_id long, width int, height int, channels int, "
+                  "pixel_sum long, pixel_mean double")
+
+    def decode(batches):
+        for pdf in batches:
+            px = [_decode_pixels(bytes(b)) for b in pdf["content"]]
+            arrs = [np.frombuffer(p[3], dtype=np.uint8) for p in px]
+            yield pd.DataFrame({
+                "doc_id": pdf["id"],
+                "width": [p[0] for p in px],
+                "height": [p[1] for p in px],
+                "channels": [p[2] for p in px],
+                "pixel_sum": [int(a.sum()) for a in arrs],
+                "pixel_mean": [round(float(a.sum()) / a.size, 6)
+                               for a in arrs],
+            })
+
+    return blobs.mapInPandas(decode, out_schema)
+
+
 @register("q75_feature_ann", oracle=f"""
 WITH feat AS (
   SELECT doc_id AS vec_id,

@@ -130,9 +130,124 @@ def test_decode_bmp_pixels_roundtrip(spark):
     np.testing.assert_array_equal(got, img)  # exact: BGR flip + row flip undone
 
 
-def test_decode_image_rejects_compressed(spark):
+def test_decode_image_rejects_entropy_coded(spark):
     with pytest.raises(Exception, match="codec"):
-        decode_image(_blob_df(spark, [png_bytes(2, 2)])).collect()
+        decode_image(_blob_df(spark, [jpeg_bytes(2, 2)])).collect()
+
+
+def full_png_bytes(pixels: np.ndarray, filters: list[int],
+                   color_type: int = 2, palette: bytes | None = None) -> bytes:
+    """A complete, valid PNG built independently of the decoder: encode
+    each scanline with the requested filter type per the PNG spec, zlib-
+    compress, emit real chunk CRCs."""
+    import zlib as _z
+    h, w = pixels.shape[:2]
+    ch = 1 if pixels.ndim == 2 else pixels.shape[2]
+    flat = pixels.reshape(h, w * ch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur, ft = flat[y], filters[y % len(filters)]
+        if ft == 0:
+            enc = cur.copy()
+        elif ft == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - left) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif ft == 4:
+            enc = np.empty(w * ch, np.int32)
+            for x in range(w * ch):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b_ = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 0xFF
+        raw.append(ft)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", _z.crc32(tag + data)))
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    out = b"\x89PNG\r\n\x1a\x0a" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", _z.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters(spark):
+    """Round-trip RGB pixels through every PNG filter type (None, Sub,
+    Up, Average, Paeth) — a real zlib-compressed, CRC-correct PNG in,
+    the original pixels out."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        blob = full_png_bytes(img, filters)
+        out = decode_image(_blob_df(spark, [blob])).collect()[0]
+        assert (out["width"], out["height"], out["channels"]) == (6, 10, 3)
+        got = np.frombuffer(bytes(out["pixels"]),
+                            dtype=np.uint8).reshape(10, 6, 3)
+        np.testing.assert_array_equal(got, img)
+
+
+def test_decode_png_color_types(spark):
+    """Grayscale stays 1 channel, RGBA keeps alpha, palette expands to
+    RGB via the PLTE lookup."""
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = rng.integers(0, 16, size=(4, 4), dtype=np.uint8)
+    rows = decode_image(_blob_df(spark, [
+        full_png_bytes(gray, [0, 2], color_type=0),
+        full_png_bytes(rgba, [1, 4], color_type=6),
+        full_png_bytes(idx, [0, 1], color_type=3, palette=pal),
+    ])).orderBy("id").collect()
+    g = np.frombuffer(bytes(rows[0]["pixels"]), np.uint8).reshape(4, 5)
+    np.testing.assert_array_equal(g, gray)
+    assert rows[0]["channels"] == 1
+    a = np.frombuffer(bytes(rows[1]["pixels"]), np.uint8).reshape(3, 4, 4)
+    np.testing.assert_array_equal(a, rgba)
+    assert rows[1]["channels"] == 4
+    want = np.frombuffer(pal, np.uint8).reshape(16, 3)[idx]
+    p = np.frombuffer(bytes(rows[2]["pixels"]), np.uint8).reshape(4, 4, 3)
+    np.testing.assert_array_equal(p, want)
+    assert rows[2]["channels"] == 3
+
+
+def test_decode_png_then_resize(spark):
+    """decode_image -> resize_image composes for PNG input exactly as
+    for BMP (same DECODED_IMAGE_SCHEMA contract)."""
+    img = np.repeat(np.repeat(
+        np.array([[[255, 0, 0], [0, 255, 0]],
+                  [[0, 0, 255], [9, 9, 9]]], dtype=np.uint8), 2, 0), 2, 1)
+    out = resize_image(
+        decode_image(_blob_df(spark, [full_png_bytes(img, [4])])), 2, 2
+    ).collect()[0]
+    got = np.frombuffer(bytes(out["pixels"]), np.uint8).reshape(2, 2, 3)
+    np.testing.assert_array_equal(got, img[::2, ::2])
+
+
+def test_decode_png_contract_errors(spark):
+    from api_to_amt_data_lake_spark.operators.multimodal import _decode_png
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    blob = bytearray(full_png_bytes(img, [0]))
+    blob[28] = 1  # Adam7 interlace flag
+    with pytest.raises(ValueError, match="interlace"):
+        _decode_png(bytes(blob))
+    blob = bytearray(full_png_bytes(img, [0]))
+    blob[24] = 16  # bit depth
+    with pytest.raises(ValueError, match="depth"):
+        _decode_png(bytes(blob))
 
 
 def test_resize_image_nearest_neighbor(spark):
