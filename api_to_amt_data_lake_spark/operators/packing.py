@@ -40,13 +40,13 @@ def pack_offsets(df: DataFrame, id_col: str, n_tokens: Column,
         "_local_off", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
 
     totals = base.groupBy("_blk").agg(F.sum("n_tokens").alias("_tot"))
-    # Prefix-sum the per-block totals: #blocks rows — the constant
-    # partition key keeps the plan single-task ONLY for this tiny frame
-    # (and silences no-partition WindowExec warnings).
-    w_blk = (Window.partitionBy(F.lit(0)).orderBy(F.col("_blk").asc())
-             .rowsBetween(Window.unboundedPreceding, -1))
-    bases = totals.select(
-        "_blk", F.coalesce(F.sum("_tot").over(w_blk), F.lit(0)).alias("_base"))
+    # Prefix-sum the per-block totals: #blocks rows — packed into one
+    # row and folded (operators/smallframe.py), so no WindowExec ever
+    # sees a partition-less spec.
+    from api_to_amt_data_lake_spark.operators.smallframe import (
+        exclusive_prefix_sums,
+    )
+    bases = exclusive_prefix_sums(totals, "_blk", {"_tot": "_base"})
 
     win = F.lit(int(window_tokens))
     off = F.col("_base") + F.col("_local_off")

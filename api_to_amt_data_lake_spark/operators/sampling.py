@@ -152,10 +152,10 @@ def deterministic_shuffle(
     w_in = Window.partitionBy("_b").orderBy(F.col("_key").asc())
     local = keyed.withColumn("_local", F.row_number().over(w_in) - 1)
     counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_blk = (Window.partitionBy(F.lit(0)).orderBy(F.col("_b").asc())
-             .rowsBetween(Window.unboundedPreceding, -1))
-    bases = counts.select(
-        "_b", F.coalesce(F.sum("_cnt").over(w_blk), F.lit(0)).alias("_base"))
+    from api_to_amt_data_lake_spark.operators.smallframe import (
+        exclusive_prefix_sums,
+    )
+    bases = exclusive_prefix_sums(counts, "_b", {"_cnt": "_base"})
     return (
         local.join(F.broadcast(bases), "_b")
         .withColumn("shuffle_pos", (F.col("_base") + F.col("_local")).cast("long"))

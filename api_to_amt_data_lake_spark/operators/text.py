@@ -199,13 +199,11 @@ def vocab_coverage(df, text_col: str, coverage: float = 0.95):
     ).withColumn("_rn_in", F.row_number().over(w_in))
     bt = wf.groupBy("_bkt").agg(F.sum("cnt").alias("_bcnt"),
                                 F.count(F.lit(1)).alias("_bwords"))
-    w_blk = (Window.partitionBy(F.lit(0)).orderBy(F.col("_bkt").desc())
-             .rowsBetween(Window.unboundedPreceding, -1))
-    bases = bt.select(
-        "_bkt",
-        F.coalesce(F.sum("_bcnt").over(w_blk), F.lit(0)).alias("_base"),
-        F.coalesce(F.sum("_bwords").over(w_blk), F.lit(0)).alias("_wbase"),
+    from api_to_amt_data_lake_spark.operators.smallframe import (
+        exclusive_prefix_sums,
     )
+    bases = exclusive_prefix_sums(
+        bt, "_bkt", {"_bcnt": "_base", "_bwords": "_wbase"}, descending=True)
     tot = wf.agg(F.sum("cnt").cast("double").alias("_tot"))
     cum = F.col("_base") + F.col("_cum_in")
     return (

@@ -2707,21 +2707,29 @@ FROM m
 """)
 def q85_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period trend: monthly revenue with percent change vs
-    the previous month. The lag window runs over the AGGREGATED rows
-    (one per month — tiny), partitioned by a constant key, so the
-    global ordering never touches the fact table; the heavy lifting is
-    one partial-aggregating groupBy on month."""
+    the previous month. The lag runs over the AGGREGATED rows (one per
+    month — bounded), packed into a single sorted array and indexed
+    (`operators/smallframe.py::ordered_rank_and_lag`) — no WindowExec,
+    no global sort; the heavy lifting is one partial-aggregating
+    groupBy on month."""
+    from api_to_amt_data_lake_spark.operators.smallframe import (
+        ordered_rank_and_lag,
+    )
+
     o = read_table(spark, sf_dir, "orders")
     m = (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
              .cast("double").alias("revenue"))
     )
-    w = Window.partitionBy(F.lit(0)).orderBy("month")
-    prev = F.lag("revenue").over(w)
-    return m.select(
-        "month", "revenue",
-        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"))
+    prev = F.col("_prev_revenue")
+    return (
+        ordered_rank_and_lag(m, ["month"], ["month", "revenue"],
+                             lag_col="revenue")
+        .select(
+            "month", "revenue",
+            F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"))
+    )
 
 
 @register("q84_full_outer_reconcile", oracle="""
@@ -3639,18 +3647,22 @@ def q99e_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 by reciprocal-rank fusion (k=60) — the standard hybrid-search
     ranker, composed entirely from `operators/search.py::bm25_scores`
     and `operators/similarity.py::cosine_topk`. Both ranked lists are
-    produced by scalable TakeOrdered top-k; the final rank assignment
-    windows run over ≤50 rows each (bounded, like the shuffle bucket
-    table)."""
+    produced by scalable TakeOrdered top-k; the final lexical rank is
+    assigned by packing the ≤50 survivors into one sorted array
+    (`operators/smallframe.py`) — no partition-less window."""
     d = read_table(spark, sf_dir, "documents")
     e = read_table(spark, sf_dir, "embeddings")
 
+    from api_to_amt_data_lake_spark.operators.smallframe import (
+        ordered_rank_and_lag,
+    )
+
     bm = bm25_scores(d, "text", "doc_id", ["merge", "stream", "vector"])
-    w50 = Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), F.asc("doc_id"))
     lex = (
-        bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50)
-        .withColumn("rank_lex", F.row_number().over(w50).cast("long"))
-        .select("doc_id", "rank_lex")
+        ordered_rank_and_lag(
+            bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50),
+            [-F.col("bm25"), F.col("doc_id")], ["doc_id"])
+        .select("doc_id", F.col("rank").alias("rank_lex"))
     )
 
     q = e.filter(F.col("vec_id") == 0)

@@ -118,6 +118,30 @@ def test_registry_contract_for_driver_window():
     assert all(n in conformance.ORACLE for n in names[:50])
 
 
+@pytest.mark.parametrize("name", sorted(conformance.QUERIES))
+def test_no_partitionless_window_in_plan(spark, name):
+    """No WindowExec anywhere may have an empty partition spec — that is
+    the 'Moving all data to a single partition' shape. Bounded global
+    ranks/prefix sums go through operators/smallframe.py (packed-array
+    fold) or the two-phase bucket scheme instead, so any hit here is a
+    genuine scale bug, not an accepted warning."""
+    df = conformance.QUERIES[name](spark, SF_DIR)
+
+    def walk(node):
+        yield node
+        it = node.children().iterator()
+        while it.hasNext():
+            yield from walk(it.next())
+
+    offenders = [
+        n.getClass().getSimpleName()
+        for n in walk(df._jdf.queryExecution().executedPlan())
+        if n.getClass().getSimpleName() in ("WindowExec", "WindowInPandasExec")
+        and n.partitionSpec().isEmpty()
+    ]
+    assert not offenders, f"{name}: partition-less window node(s): {offenders}"
+
+
 def test_bench_headline_names_resolve():
     """A renamed query must not silently drop out of the benchmark."""
     import bench
