@@ -3,21 +3,29 @@
 Complements the vector side (`operators/similarity.py`) with the
 term-based ranking a data-curation stack uses for targeted corpus
 probes ("find the docs about X to audit/remove/upsample"). Pure
-relational plan:
+relational plan, ONE corpus pass:
 
-- the token stream is filtered to the query's terms BEFORE any
-  aggregation, so the tf shuffle carries only matching (doc, term) rows
-  — at 100 TB the non-matching 99.99% of tokens never leaves the scan;
-- document length and corpus stats are one global aggregate (broadcast
-  back, a few rows);
-- per-term document frequencies are |query| rows — broadcast.
+- tokenize+explode feeds a single groupBy(id) that computes the document
+  length AND every query term's tf as conditional aggregates — the
+  per-(doc, term) shuffle of a classic two-branch BM25 plan disappears,
+  and the map-side combine means the one shuffle carries one row per
+  (partition, doc);
+- corpus stats (N, total length) and per-term document frequencies all
+  come from ONE single-row aggregate over that per-doc frame, broadcast
+  back; Catalyst's ReuseExchange dedups the per-doc shuffle, so the
+  corpus is scanned exactly once (plan-audited);
+- |query| is small and known, so per-term columns are a fixed-width
+  projection, never a fan-out.
 
 Determinism: each term's BM25 contribution is rounded to 9dp and summed
-in DECIMAL(38,12) (exact, order-insensitive), the same fold contract
-the cosine/surprisal ops use, so results hash-match the SQL oracle.
+in DECIMAL(38,12) (exact, order-fixed row-level fold), the same
+contract the cosine/surprisal ops use, so results hash-match the SQL
+oracle.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,35 +52,41 @@ def bm25_scores(
         )
         .where(F.col("tok") != "")
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[F.count(F.when(F.col("tok") == t, 1)).alias(f"_tf{i}")
+          for i, t in enumerate(terms)],
     )
-    tf = (
-        toks.where(F.col("tok").isin(terms))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.agg(
+        F.sum("dl").alias("sum_dl"),
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.count(F.when(F.col(f"_tf{i}") > 0, 1)).alias(f"_df{i}")
+          for i in range(len(terms))],
     )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
-        / (F.col("df_t") + F.lit(0.5))
-    )
-    term_score = idf * (
-        F.col("tf") * F.lit(k1 + 1.0)
-        / (F.col("tf")
-           + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
-    )
-    return (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(id_col),
-            F.round(term_score, 9).cast("decimal(38,12)").alias("term"),
+    zero = F.lit(0).cast("decimal(38,12)")
+
+    def term_score(i: int):
+        tf = F.col(f"_tf{i}").cast("double")
+        df_t = F.col(f"_df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
         )
-        .groupBy(id_col)
-        .agg(F.round(F.sum("term").cast("double"), 6).alias("bm25"))
+        s = idf * (
+            tf * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+        )
+        return F.when(F.col(f"_tf{i}") > 0,
+                      F.round(s, 9).cast("decimal(38,12)")).otherwise(zero)
+
+    total = reduce(lambda a, c: a + c,
+                   [term_score(i) for i in range(len(terms))])
+    matched = reduce(lambda a, c: a | c,
+                     [F.col(f"_tf{i}") > 0 for i in range(len(terms))])
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(matched)
+        .select(F.col(id_col),
+                F.round(total.cast("double"), 6).alias("bm25"))
     )

@@ -142,6 +142,22 @@ def test_no_partitionless_window_in_plan(spark, name):
     assert not offenders, f"{name}: partition-less window node(s): {offenders}"
 
 
+def test_bm25_scans_corpus_once(spark):
+    """bm25_scores computes dl AND every term tf in one conditional
+    groupBy(id); the corpus-stats branch over the same per-doc frame
+    must then reuse that shuffle at runtime (AQE ReusedExchange), so
+    the documents scan executes exactly once."""
+    df = conformance.QUERIES["q99c_bm25_search"](spark, SF_DIR)
+    df.collect()  # same QueryExecution -> final adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # The stats branch must hit a ReusedExchange instead of a second
+    # scan+shuffle. (The treeString re-prints referenced exchange
+    # definitions at the bottom, so counting FileScan lines overcounts;
+    # the ReusedExchange node is the live-stage evidence.)
+    assert "ReusedExchange" in plan, "per-doc shuffle not reused"
+
+
 def test_bench_headline_names_resolve():
     """A renamed query must not silently drop out of the benchmark."""
     import bench
