@@ -2693,6 +2693,119 @@ def q86_sql_surface_shipping_priority(spark: SparkSession,
     """)
 
 
+@register("q86b_sql_exists_priority", oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate < DATE '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""")
+def q86b_sql_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape on the SQL surface: correlated EXISTS against the
+    fact table. Catalyst must decorrelate the subquery into a LEFT SEMI
+    join on l_orderkey (plan-audited) — per-row subquery execution
+    would be a 100 TB death sentence. The date filter pushes into the
+    orders scan; the semi join's probe side carries only the matching
+    half-year."""
+    for t in ("orders", "lineitem"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q86b_{t}")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM _q86b_orders o
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1995-07-01'
+          AND EXISTS (SELECT 1 FROM _q86b_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """)
+
+
+@register("q86c_sql_sole_blame_supplier", oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC LIMIT 20
+""")
+def q86c_sql_sole_blame_supplier(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS self-joins on
+    the fact table (the sole supplier at fault in a multi-supplier
+    order). The hard decorrelation case — both subqueries correlate on
+    l_orderkey but carry an extra non-equi predicate (suppkey <>), so
+    Catalyst must plan a semi AND an anti join against lineitem, never
+    a per-row loop (plan-audited). Deterministic via the
+    (numwait DESC, name ASC) total order + LIMIT."""
+    for t in ("supplier", "orders", "lineitem"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q86c_{t}")
+    return spark.sql("""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM _q86c_supplier s
+        JOIN _q86c_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN _q86c_orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM _q86c_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM _q86c_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name ASC LIMIT 20
+    """)
+
+
+@register("q86d_sql_dormant_rich_customers", oracle="""
+SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT round(AVG(c2.c_acctbal), 6)
+                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '1995-01-01'
+                    AND o.o_orderdate < DATE '1996-01-01')
+GROUP BY c.c_nationkey
+""")
+def q86d_sql_dormant_rich_customers(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: an uncorrelated scalar subquery (corpus-average
+    account balance — one row, broadcast once, 6dp-rounded so the
+    threshold is engine-stable) plus a correlated NOT EXISTS with extra
+    range predicates, which must decorrelate into an anti join on
+    custkey with the date filter pushed into the orders scan
+    (plan-audited)."""
+    for t in ("customer", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q86d_{t}")
+    return spark.sql("""
+        SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+            AS totacctbal
+        FROM _q86d_customer c
+        WHERE c.c_acctbal > (SELECT round(AVG(c2.c_acctbal), 6)
+                             FROM _q86d_customer c2
+                             WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM _q86d_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= DATE '1995-01-01'
+                            AND o.o_orderdate < DATE '1996-01-01')
+        GROUP BY c.c_nationkey
+    """)
+
+
 @register("q85_month_over_month", oracle="""
 WITH m AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,

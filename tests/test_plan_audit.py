@@ -142,6 +142,23 @@ def test_no_partitionless_window_in_plan(spark, name):
     assert not offenders, f"{name}: partition-less window node(s): {offenders}"
 
 
+@pytest.mark.parametrize("name,want,forbid", [
+    ("q86b_sql_exists_priority", ["LeftSemi"], ["CartesianProduct"]),
+    ("q86c_sql_sole_blame_supplier", ["LeftSemi", "LeftAnti"],
+     ["CartesianProduct"]),
+    ("q86d_sql_dormant_rich_customers", ["LeftAnti"], ["CartesianProduct"]),
+])
+def test_subqueries_decorrelate_to_joins(spark, name, want, forbid):
+    """EXISTS / NOT EXISTS on the SQL surface must reach the physical
+    plan as semi/anti JOINS — Catalyst's subquery decorrelation — never
+    as per-row subquery execution or a cartesian fallback."""
+    plan = _plan(spark, name)
+    for w in want:
+        assert w in plan, f"{name}: expected {w} join in plan"
+    for f in forbid:
+        assert f not in plan, f"{name}: {f} in plan"
+
+
 def test_bm25_scans_corpus_once(spark):
     """bm25_scores computes dl AND every term tf in one conditional
     groupBy(id); the corpus-stats branch over the same per-doc frame
