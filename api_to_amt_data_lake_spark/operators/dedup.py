@@ -113,9 +113,53 @@ def lsh_bands(
     ).select(id_col, "band.band_idx", "band.band_val")
 
 
+# A single task grinding through ~2M candidate pairs is seconds of work
+# — below that, salting only adds shuffle volume and replication.
+_SALT_PAIR_BUDGET = float(1 << 21)
+
+
+def _auto_n_salt(banded: DataFrame, max_salt: int = 64) -> int | None:
+    """Pick a salt factor from a cheap band-cardinality probe: one
+    map-side-combined count per (band_idx, band_val) — the shuffle
+    carries bucket COUNTS, never rows — reduced to two scalars on the
+    driver. That is a planning decision from a runtime statistic, the
+    same kind AQE itself collects.
+
+    Cost model: a band self-join's work is QUADRATIC per bucket (a
+    bucket of m rows probes ~m² pairs), so the probe aggregates
+    max(m)² against the per-task share of Σm² — not row counts. Salt
+    when the hottest bucket's pair work exceeds 2× the per-task target,
+    where the target is the even-spread share floored by an absolute
+    per-task budget (tiny-but-skewed buckets never trigger: a 30-row
+    bucket is 435 pairs of work no matter how skewed the histogram
+    looks). n_salt = ceil(hot_work / target) spreads the hot bucket
+    back to ~target-sized slices, capped at `max_salt` (the replicated
+    side grows with the salt, so unbounded salt is its own skew).
+    Returns None for distributions that don't need salting.
+    """
+    row = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.max("_n").alias("mx"),
+            F.sum((F.col("_n") * F.col("_n")).cast("double")).alias("sq"),
+        )
+        .first()
+    )
+    if not row or row["sq"] is None or row["sq"] == 0:
+        return None
+    parts = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                             "200"))
+    target = max(row["sq"] / max(parts, 1), _SALT_PAIR_BUDGET)
+    hot_work = float(row["mx"]) ** 2
+    if hot_work <= 2 * target:
+        return None
+    return min(int(-(-hot_work // target)), max_salt)
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4,
-    n_salt: int | None = None,
+    n_salt: int | str | None = None,
     pin_signatures: bool = True,
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band are
@@ -131,7 +175,11 @@ def lsh_candidate_pairs(
     Results are identical (tests assert salted == plain on a
     boilerplate-heavy fixture). Prefer AQE skew splitting for plain
     sort-merge joins; salt when one bucket dwarfs the AQE partition
-    threshold or the plan isn't SMJ.
+    threshold or the plan isn't SMJ. Pass n_salt="auto" to decide from
+    a band-cardinality probe (`_auto_n_salt`): uniform corpora get the
+    plain join, hot-bucket corpora get a salt factor sized so the
+    hottest bucket spreads back to per-task granularity — no caller
+    guesswork, one cheap count-aggregate of planning overhead.
 
     pin_signatures materializes `sig` before the self-join (the same
     localCheckpoint discipline as `connected_components`/`pagerank`):
@@ -141,9 +189,14 @@ def lsh_candidate_pairs(
     un-pinned self-join pays ~70 s before joining). Pass False when the
     caller has already materialized `sig`.
     """
-    if pin_signatures:
+    if pin_signatures or n_salt == "auto":
+        # auto mode probes the bands with an action, so the signature
+        # pipeline MUST be pinned first or the probe (and then both
+        # join sides) would each re-run shingling+hashing.
         sig = sig.localCheckpoint()
     banded = lsh_bands(sig, id_col, num_hashes, bands)
+    if n_salt == "auto":
+        n_salt = _auto_n_salt(banded)
     if n_salt:
         from api_to_amt_data_lake_spark.operators.joins import salted_join
 

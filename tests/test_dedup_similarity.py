@@ -315,6 +315,41 @@ def test_lsh_salted_hot_bucket(spark):
     plan = salted_df._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan.split("Exchange hashpartitioning", 1)[1]
 
+    # n_salt="auto" probes the band cardinalities itself and must return
+    # the identical pair set (here the buckets are far below the pair
+    # budget, so auto correctly declines to salt and takes the plain
+    # join path end-to-end).
+    auto = {(r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(sig, "doc_id",
+                                         n_salt="auto").collect()}
+    assert auto == plain
+
+
+def test_auto_salt_heuristic_triggers_on_quadratic_hot_bucket(spark):
+    """_auto_n_salt decides from pair WORK, not row counts: a bucket
+    whose m² dwarfs both the per-task share and the absolute pair
+    budget gets a salt factor sized to spread it back to target slices;
+    small-but-skewed and uniform distributions get None."""
+    from api_to_amt_data_lake_spark.operators.dedup import _auto_n_salt
+
+    hot = spark.createDataFrame(
+        [(i, 0, "HOT") for i in range(3000)]
+        + [(10_000 + i, 0, f"u{i}") for i in range(100)],
+        ["doc_id", "band_idx", "band_val"])
+    chosen = _auto_n_salt(hot)
+    assert chosen is not None and 1 < chosen <= 64
+
+    small_skew = spark.createDataFrame(
+        [(i, 0, "HOT") for i in range(30)]
+        + [(100 + i, 0, f"u{i}") for i in range(10)],
+        ["doc_id", "band_idx", "band_val"])
+    assert _auto_n_salt(small_skew) is None
+
+    uniform = spark.createDataFrame(
+        [(i, 0, f"u{i % 50}") for i in range(500)],
+        ["doc_id", "band_idx", "band_val"])
+    assert _auto_n_salt(uniform) is None
+
 
 def test_aqe_splits_skewed_hot_key_join(spark):
     """The other half of the hot-bucket story: when the skewed side feeds
