@@ -341,7 +341,8 @@ def simhash16(df: DataFrame, id_col: str, content_col: str,
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20,
                          checkpoint_dir: str | None = None,
-                         strict: bool = True) -> DataFrame:
+                         strict: bool = True,
+                         stats: dict | None = None) -> DataFrame:
     """Cluster near-dup pairs into components: (id, cluster_id) where
     cluster_id is the minimum id reachable in the pair graph — the step a
     dedup pipeline runs after LSH/Jaccard pair generation to keep one
@@ -390,7 +391,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                 F.least(F.col("a"), F.col("_mn")).alias("label"))
     )
     changed = -1
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         prop = (
             sym.join(labels, sym["a"] == labels["id"])
             .groupBy(F.col("b").alias("id"))
@@ -429,6 +432,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    if stats is not None:
+        # Observability for scale smokes: how many pointer-jumping
+        # rounds the fixpoint took (expected ~log2(component diameter))
+        # and whether it converged.
+        stats["rounds"] = rounds
+        stats["converged"] = changed == 0
     if changed != 0:
         msg = (f"connected_components did not converge within {max_iter} "
                f"rounds ({changed} labels still changing) — component "

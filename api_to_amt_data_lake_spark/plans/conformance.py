@@ -2768,6 +2768,38 @@ def q86c_sql_sole_blame_supplier(spark: SparkSession,
     """)
 
 
+@register("q86e_sql_small_qty_revenue", oracle="""
+SELECT p.p_brand AS brand, COUNT(*) AS n_small,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+    AS small_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (SELECT round(0.5 * AVG(l2.l_quantity), 6)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+""")
+def q86e_sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a CORRELATED SCALAR subquery (per-part average
+    quantity threshold) — the third decorrelation family after
+    EXISTS/NOT EXISTS (q86b-d). Catalyst must rewrite the per-row
+    subquery into a grouped aggregate over lineitem joined back on
+    l_partkey (plan-audited: joins only, no cartesian, no per-row
+    loop). The threshold is 6dp-rounded so the comparison boundary is
+    engine-stable."""
+    for t in ("lineitem", "part"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q86e_{t}")
+    return spark.sql("""
+        SELECT p.p_brand AS brand, COUNT(*) AS n_small,
+          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            AS small_revenue
+        FROM _q86e_lineitem l JOIN _q86e_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT round(0.5 * AVG(l2.l_quantity), 6)
+                              FROM _q86e_lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p.p_brand
+    """)
+
+
 @register("q86d_sql_dormant_rich_customers", oracle="""
 SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal

@@ -6,6 +6,12 @@ order-insensitive value hash (columns sorted by name, rows sorted, values
 stringified with float rounding).
 
 Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+
+A FULL run (no query-name filter) also persists its results to
+CORRECTNESS_local_rNN.json at the repo root (NN = the round after the
+latest recorded BENCH artifact), in the driver artifact's per-query
+schema — durable recorded evidence for the queries outside the
+driver's 50-query window. Partial runs never write the artifact.
 """
 
 from __future__ import annotations
@@ -67,6 +73,16 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
+
+    def rec(name, *, spark_rows=None, oracle_rows=None, rows_match=None,
+            schema_match=None, hash_match=None, err=None):
+        record[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,10 +91,12 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            rec(name, err=f"spark error: {e}"[:500])
             print(f"FAIL  {name}: spark error: {e}")
             continue
         spark_s = time.time() - t0
         if name not in oracles:
+            rec(name, spark_rows=len(sdf))
             print(f"OK?   {name}: rows={len(sdf)} (no oracle, rows-only) "
                   f"[{spark_s:.1f}s]")
             continue
@@ -86,20 +104,27 @@ def main() -> int:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            rec(name, spark_rows=len(sdf), err=f"oracle error: {e}"[:500])
             print(f"FAIL  {name}: oracle error: {e}")
             continue
         if len(sdf) != len(odf):
             failures.append(name)
+            rec(name, spark_rows=len(sdf), oracle_rows=len(odf),
+                rows_match=False)
             print(f"FAIL  {name}: rowcount spark={len(sdf)} duckdb={len(odf)}")
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
+            rec(name, spark_rows=len(sdf), oracle_rows=len(odf),
+                rows_match=True, schema_match=False)
             print(f"FAIL  {name}: columns spark={sorted(sdf.columns)} "
                   f"duckdb={sorted(odf.columns)}")
             continue
         cs, co = canon(sdf), canon(odf)
         if not cs.equals(co):
             failures.append(name)
+            rec(name, spark_rows=len(sdf), oracle_rows=len(odf),
+                rows_match=True, schema_match=True, hash_match=False)
             diff_mask = (cs != co).any(axis=1)
             print(f"FAIL  {name}: value mismatch in {int(diff_mask.sum())} rows")
             merged = pd.concat(
@@ -107,7 +132,19 @@ def main() -> int:
                  co[diff_mask].head(3).add_suffix("_duck")], axis=1)
             print(merged.to_string())
             continue
+        rec(name, spark_rows=len(sdf), oracle_rows=len(odf),
+            rows_match=True, schema_match=True, hash_match=True)
         print(f"PASS  {name}: rows={len(sdf)} [{spark_s:.1f}s]")
+
+    if not only:
+        import json
+        import re
+        rounds = [int(m.group(1)) for f in REPO.glob("BENCH_r*.json")
+                  if (m := re.match(r"BENCH_r(\d+)", f.name))]
+        nn = (max(rounds) + 1) if rounds else 0
+        out = REPO / f"CORRECTNESS_local_r{nn:02d}.json"
+        out.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+        print(f"wrote {out.name}: {len(record)} queries")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
