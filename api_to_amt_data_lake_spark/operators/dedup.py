@@ -223,6 +223,52 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_lsh_pairs(
+    existing_sig: DataFrame, new_sig: DataFrame, id_col: str,
+    num_hashes: int = 8, bands: int = 4, broadcast_new: bool = True,
+    pin_new: bool = True,
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by a new document batch against an
+    already-indexed corpus: new×new plus new×existing, never
+    existing×existing — those pairs were emitted when the existing batch
+    was indexed, so a daily increment re-pays only the increment's share
+    of the band join, not the whole corpus's.
+
+    This is the maintenance half of the LSH design: `minhash_signatures`
+    over yesterday's corpus is a stored table (the "index"); each new
+    crawl batch computes ONLY its own signatures, probes the stored
+    bands, and appends its signatures to the index afterward. Output is
+    `lsh_candidate_pairs`-shaped — (id_a, id_b), a < b, distinct — so
+    downstream verify/cluster steps compose unchanged; the union of
+    every increment's pairs equals the from-scratch pair set
+    (parity-tested).
+
+    Scale shape: the new batch's band rows are tiny next to the index —
+    broadcast them (`broadcast_new=True`) and the probe is a scan-speed
+    broadcast join over the stored band table with NO shuffle of the
+    index; for large backfill batches pass False to get the plain
+    shuffle join. `pin_new` materializes the new batch's signatures once
+    (they feed both the new-side and the probe-side of new×new pairs).
+    """
+    if pin_new:
+        new_sig = new_sig.localCheckpoint()
+    new_b = lsh_bands(new_sig, id_col, num_hashes, bands)
+    all_b = lsh_bands(existing_sig, id_col, num_hashes, bands) \
+        .unionByName(new_b)
+    probe = new_b.select(F.col(id_col).alias("_nid"), "band_idx", "band_val")
+    if broadcast_new:
+        probe = F.broadcast(probe)
+    return (
+        probe.join(all_b, ["band_idx", "band_val"])
+        .filter(F.col("_nid") != F.col(id_col))
+        .select(
+            F.least(F.col("_nid"), F.col(id_col)).alias("id_a"),
+            F.greatest(F.col("_nid"), F.col(id_col)).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, content_col: str, block_col: str,
     threshold: float = 0.0, dedupe_sets: bool = False,

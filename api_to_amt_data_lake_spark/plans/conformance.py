@@ -4308,6 +4308,62 @@ def q99n_dropout_augmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q99o_incremental_lsh", oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, len(w) - 1),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM ws WHERE len(w) >= 3
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), sig AS (
+  SELECT doc_id,
+    MIN(substr(md5('perm0:' || shingle), 1, 8)) AS sig_0,
+    MIN(substr(md5('perm0:' || shingle), 9, 8)) AS sig_1,
+    MIN(substr(md5('perm0:' || shingle), 17, 8)) AS sig_2,
+    MIN(substr(md5('perm0:' || shingle), 25, 8)) AS sig_3,
+    MIN(substr(md5('perm1:' || shingle), 1, 8)) AS sig_4,
+    MIN(substr(md5('perm1:' || shingle), 9, 8)) AS sig_5,
+    MIN(substr(md5('perm1:' || shingle), 17, 8)) AS sig_6,
+    MIN(substr(md5('perm1:' || shingle), 25, 8)) AS sig_7
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, sig_0 || sig_1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, sig_2 || sig_3 FROM sig
+  UNION ALL SELECT doc_id, 2, sig_4 || sig_5 FROM sig
+  UNION ALL SELECT doc_id, 3, sig_6 || sig_7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  AND a.doc_id < b.doc_id
+WHERE b.doc_id >= 400
+""")
+def q99o_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance: docs ≥400 arrive as a new
+    crawl batch against the already-indexed docs <400. Only the
+    increment's signatures are computed and broadcast-probed against
+    the stored bands — new×new plus new×existing pairs come back,
+    existing×existing never recomputes
+    (`operators/dedup.py::incremental_lsh_pairs`). The oracle is the
+    full from-scratch pair set restricted to pairs touching the new
+    batch (id_a < id_b, so max-id ≥ 400 ⇔ id_b ≥ 400) — exactly the
+    delta an increment must produce."""
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        incremental_lsh_pairs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    esig = minhash_signatures(d.filter(F.col("doc_id") < 400),
+                              "doc_id", "text", num_hashes=8, shingle_n=3)
+    nsig = minhash_signatures(d.filter(F.col("doc_id") >= 400),
+                              "doc_id", "text", num_hashes=8, shingle_n=3)
+    return incremental_lsh_pairs(esig, nsig, "doc_id",
+                                 num_hashes=8, bands=4)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -54,6 +54,7 @@ HEADLINE = [
     "q63_kmeans_ivf",
     "q62_retention_cohorts",
     "q73_cosine_topk_wide",
+    "q86c_sql_sole_blame_supplier",
     "q87_span_dedup",
     "q90_sq8_ann",
     "q92_neardup_pagerank",

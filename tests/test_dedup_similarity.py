@@ -620,3 +620,37 @@ def test_keyed_trainer_matches_per_subspace_kmeans(spark):
                             k=k, iters=iters).collect():
             per_sub[(j, r["vec_id"])] = [round(v, 9) for v in r["embedding"]]
     assert keyed == per_sub and len(keyed) == m * k
+
+
+def test_incremental_lsh_union_equals_from_scratch(spark):
+    """Index batch 1, then apply batch 2 as an increment: the union of
+    batch-1's own pairs and the increment's delta must equal the
+    from-scratch pair set over the whole corpus — and the delta must
+    touch a new doc in every pair."""
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    boiler = "shared licence header words repeated across both batches"
+    rows = [(i, f"{boiler} old {i % 3}") for i in range(12)] + \
+           [(100 + i, f"{boiler} old {i % 3}") for i in range(8)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    old, new = d.filter("doc_id < 100"), d.filter("doc_id >= 100")
+
+    def pairs(df_):
+        return {(r["id_a"], r["id_b"]) for r in df_.collect()}
+
+    esig = minhash_signatures(old, "doc_id", "text")
+    nsig = minhash_signatures(new, "doc_id", "text")
+    base = pairs(lsh_candidate_pairs(esig, "doc_id"))
+    delta = pairs(incremental_lsh_pairs(esig, nsig, "doc_id"))
+    scratch = pairs(lsh_candidate_pairs(
+        minhash_signatures(d, "doc_id", "text"), "doc_id"))
+    assert base | delta == scratch
+    assert all(b >= 100 for _, b in delta) and delta
+    # the non-broadcast path returns the identical delta
+    shuffled = pairs(incremental_lsh_pairs(esig, nsig, "doc_id",
+                                           broadcast_new=False))
+    assert shuffled == delta

@@ -40,9 +40,13 @@ SHOWCASE = [
     ("q99b_cms_frequency", "count-min sketch: the only full-corpus "
      "shuffle carries <= d*w combiner-collapsed cells; estimation joins "
      "are all broadcast"),
-    ("q99c_bm25_search", "query-term filter sits on the token stream "
-     "before the tf shuffle; df/corpus stats broadcast; TakeOrdered "
+    ("q99c_bm25_search", "one conditional groupBy(id) computes dl AND "
+     "every term tf; the stats branch reuses that shuffle at runtime "
+     "(AQE ReusedExchange) so the corpus is scanned once; TakeOrdered "
      "top-k, no global sort"),
+    ("q86c_sql_sole_blame_supplier", "correlated EXISTS + NOT EXISTS "
+     "decorrelated into semi + anti joins on l_orderkey - no per-row "
+     "subquery execution, no cartesian fallback"),
 ]
 
 
