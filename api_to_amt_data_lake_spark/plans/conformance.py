@@ -2800,6 +2800,36 @@ def q86e_sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("q86f_sql_lateral_topn", oracle="""
+SELECT n.n_name AS nation, l.o_orderkey, l.o_totalprice
+FROM nation n,
+LATERAL (SELECT o.o_orderkey, o.o_totalprice
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 3) l
+""")
+def q86f_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery on the SQL surface: top-3 orders per
+    nation via a per-row ORDER BY … LIMIT subquery — the SQL:2016
+    lateral-join shape analysts reach for before discovering window
+    functions. Catalyst must decorrelate it (DecorrelateInnerQuery over
+    the LateralJoin) into a joined rank, never execute the subquery per
+    nation row (plan-audited: no cartesian, joins only). Deterministic
+    via the (totalprice DESC, orderkey ASC) total order inside the
+    lateral."""
+    for t in ("nation", "orders", "customer"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"_q86f_{t}")
+    return spark.sql("""
+        SELECT n.n_name AS nation, l.o_orderkey, l.o_totalprice
+        FROM _q86f_nation n,
+        LATERAL (SELECT o.o_orderkey, o.o_totalprice
+                 FROM _q86f_orders o
+                 JOIN _q86f_customer c ON c.c_custkey = o.o_custkey
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 3) l
+    """)
+
+
 @register("q86d_sql_dormant_rich_customers", oracle="""
 SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal

@@ -148,6 +148,7 @@ def test_no_partitionless_window_in_plan(spark, name):
      ["CartesianProduct"]),
     ("q86d_sql_dormant_rich_customers", ["LeftAnti"], ["CartesianProduct"]),
     ("q86e_sql_small_qty_revenue", ["Join"], ["CartesianProduct"]),
+    ("q86f_sql_lateral_topn", ["Join"], ["CartesianProduct"]),
 ])
 def test_subqueries_decorrelate_to_joins(spark, name, want, forbid):
     """EXISTS / NOT EXISTS on the SQL surface must reach the physical
