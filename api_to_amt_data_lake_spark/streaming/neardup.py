@@ -1,0 +1,117 @@
+"""Streaming near-dup detection: maintain an LSH signature index from a
+document stream and emit each micro-batch's candidate-pair DELTA.
+
+The streaming face of `operators/dedup.py::incremental_lsh_pairs`: every
+micro-batch computes MinHash signatures for ITS documents only, probes
+the accumulated signature index (new×new plus new×stored pairs — the
+exact pairs this batch introduces), appends the delta to a pairs
+directory, then folds its signatures into the index. Across batches the
+union of deltas equals the from-scratch LSH pair set over everything
+seen (tested), so a crawler can stream documents in and act on near-dup
+hits batch by batch instead of re-pairing the corpus nightly.
+
+Crash/replay safety mirrors `streaming/sink.py`: both the per-batch
+pairs output and the per-batch signature fold write to batch-id-keyed
+partition directories with overwrite, and a marker file records the
+last fully applied batch — a replayed batch id is skipped outright; a
+crash between the two writes re-runs both overwrites, which is
+content-idempotent (probing an index that already holds this batch's
+own signatures yields the same pair set: the self-pairs are the
+new×new pairs the delta contains anyway).
+
+At 100 TB the index is a partitioned parquet (or Delta/Iceberg) table
+of one row per document — ~100 bytes each, orders of magnitude smaller
+than the corpus — and each batch's probe is a broadcast join against
+it, so steady-state cost tracks the INCREMENT size, not corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from api_to_amt_data_lake_spark.operators.dedup import (
+    incremental_lsh_pairs,
+    minhash_signatures,
+)
+
+
+def _marker_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_last_batch")
+
+
+def last_applied_batch(index_dir: str) -> int:
+    try:
+        with open(_marker_path(index_dir)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def read_signature_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The accumulated signature index (batch partition column dropped),
+    or None before any batch has folded."""
+    sig_dir = os.path.join(index_dir, "sigs")
+    if not os.path.isdir(sig_dir) or not any(
+            e.startswith("batch=") for e in os.listdir(sig_dir)):
+        return None
+    return spark.read.parquet(sig_dir).drop("batch")
+
+
+def fold_neardup_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int,
+    index_dir: str, pairs_dir: str, id_col: str, content_col: str,
+    num_hashes: int = 8, bands: int = 4,
+) -> bool:
+    """Probe-then-fold one micro-batch; returns False on a replayed
+    batch id (skipped)."""
+    if batch_id <= last_applied_batch(index_dir):
+        return False
+    nsig = minhash_signatures(batch_df, id_col, content_col,
+                              num_hashes=num_hashes).localCheckpoint()
+    esig = read_signature_index(spark, index_dir)
+    if esig is None:
+        esig = nsig.limit(0)
+    delta = incremental_lsh_pairs(
+        esig, nsig, id_col, num_hashes=num_hashes, bands=bands,
+        pin_new=False)  # already pinned above
+    delta.write.mode("overwrite").parquet(
+        os.path.join(pairs_dir, f"batch={batch_id}"))
+    nsig.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "sigs", f"batch={batch_id}"))
+    tmp = _marker_path(index_dir) + ".tmp"
+    os.makedirs(index_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, _marker_path(index_dir))
+    return True
+
+
+def stream_neardup_pairs(
+    stream_df: DataFrame, index_dir: str, pairs_dir: str,
+    id_col: str, content_col: str, checkpoint_dir: str,
+    num_hashes: int = 8, bands: int = 4,
+):
+    """Attach the probe-then-fold step to a document stream via
+    foreachBatch (the only sink shape that can both read and extend the
+    index transactionally per batch). Returns the started query."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_neardup_batch(
+            batch_df.sparkSession, batch_df, batch_id, index_dir,
+            pairs_dir, id_col, content_col,
+            num_hashes=num_hashes, bands=bands)
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_all_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """Union of every batch's delta (batch partition column dropped) —
+    equals the from-scratch LSH pair set over all streamed documents."""
+    return spark.read.parquet(pairs_dir).drop("batch").distinct()

@@ -334,3 +334,66 @@ def test_stream_budget_filter_state_spans_batches(spark, tmp_path):
     finally:
         spark.catalog.dropTempView("budget_out") if "budget_out" in [
             t.name for t in spark.catalog.listTables()] else None
+
+
+def test_stream_neardup_pairs_deltas_union_to_from_scratch(spark, tmp_path):
+    """Stream documents in two micro-batches through the LSH index
+    maintainer: every batch's emitted delta touches only that batch's
+    docs, replayed batch ids are skipped, and the union of deltas equals
+    the from-scratch LSH pair set over everything streamed."""
+    import json as _json
+
+    from api_to_amt_data_lake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from api_to_amt_data_lake_spark.streaming.neardup import (
+        fold_neardup_batch,
+        last_applied_batch,
+        read_all_pairs,
+        stream_neardup_pairs,
+    )
+
+    boiler = "common licence header shared by every near duplicate here"
+    b1 = [{"doc_id": i, "text": f"{boiler} variant {i % 2}"}
+          for i in range(6)]
+    b2 = [{"doc_id": 100 + i, "text": f"{boiler} variant {i % 2}"}
+          for i in range(4)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(map(_json.dumps, b1)))
+    (src / "b2.json").write_text("\n".join(map(_json.dumps, b2)))
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    q = stream_neardup_pairs(stream, index_dir, pairs_dir,
+                             "doc_id", "text",
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=300)
+    if q.isActive:
+        q.stop()
+
+    assert last_applied_batch(index_dir) == 1
+    got = {(r["id_a"], r["id_b"])
+           for r in read_all_pairs(spark, pairs_dir).collect()}
+    everything = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b1 + b2], ["doc_id", "text"])
+    scratch = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(
+        minhash_signatures(everything, "doc_id", "text"),
+        "doc_id").collect()}
+    assert got == scratch and scratch
+
+    # batch 2's delta involves a batch-2 doc in every pair
+    delta2 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(
+        str(tmp_path / "pairs" / "batch=1")).collect()}
+    assert delta2 and all(b >= 100 for _, b in delta2)
+
+    # replayed batch id is skipped outright
+    replay = spark.createDataFrame([(999, "anything else")],
+                                   ["doc_id", "text"])
+    assert fold_neardup_batch(spark, replay, 1, index_dir, pairs_dir,
+                              "doc_id", "text") is False
+    assert {(r["id_a"], r["id_b"])
+            for r in read_all_pairs(spark, pairs_dir).collect()} == scratch
