@@ -559,6 +559,118 @@ def pq_encode(
     )
 
 
+def ivf_residuals(
+    corpus: DataFrame, coarse: DataFrame, id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, bucket, residual): assign every vector to its nearest coarse
+    centroid (`ivf_assign` semantics — round-6 distance, centroid-id
+    tiebreak) and subtract that centroid. The residual space is what
+    IVF-PQ quantizes: residuals cluster near the origin, so a small PQ
+    codebook covers them far better than it covers raw vectors.
+    Centroids broadcast; the subtraction is a scan-level zip_with."""
+    assign = ivf_assign(corpus, coarse, id_col, vec_col)
+    cents = F.broadcast(coarse.select(
+        F.col(id_col).alias("bucket"), _as_double(F.col(vec_col)).alias("_cv")
+    ))
+    return (
+        corpus.join(assign, id_col).join(cents, "bucket")
+        .select(
+            F.col(id_col), F.col("bucket"),
+            F.zip_with(_as_double(F.col(vec_col)), F.col("_cv"),
+                       lambda a, b: a - b).alias(vec_col),
+        )
+    )
+
+
+def ivfpq_fit(
+    corpus: DataFrame, id_col: str, vec_col: str, kc: int = 4,
+    coarse_iters: int = 2, m: int = 2, k: int = 4, iters: int = 2,
+    pin: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """FAISS-style IVFPQ index build: coarse k-means over the full
+    vectors scopes the search (IVF), product quantization over the
+    RESIDUALS compresses what's stored per vector (PQ). Returns
+    (coarse centroids, PQ codebook, codes) where codes =
+    (id, bucket, sub_idx, code) — m small ints plus a bucket per
+    vector, the complete compressed index.
+
+    This is the tier that actually ships at 100 TB: IVF alone stores
+    full vectors; PQ alone scans every code; IVFPQ stores m log2(k)
+    bits per vector AND probes only nprobe/kc of them. Both models
+    (kc×dim coarse table, m×k codebook) stay broadcast-sized. `pin`
+    materializes the residual frame once — the PQ trainer iterates over
+    it, and every unpinned iteration would re-run the coarse
+    assignment join.
+    """
+    coarse = kmeans_fit(corpus, id_col, vec_col, k=kc, iters=coarse_iters)
+    res = ivf_residuals(corpus, coarse, id_col, vec_col)
+    if pin:
+        res = res.localCheckpoint()
+    rvecs = res.select(id_col, vec_col)
+    book = pq_fit(rvecs, id_col, vec_col, m=m, k=k, iters=iters)
+    codes = pq_encode(rvecs, book, id_col, vec_col, m=m) \
+        .join(res.select(id_col, "bucket"), id_col)
+    return coarse, book, codes
+
+
+def ivfpq_topk(
+    queries: DataFrame, coarse: DataFrame, book: DataFrame,
+    codes: DataFrame, id_col: str, vec_col: str, m: int = 2, k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVFPQ search: probe each query's `nprobe` nearest coarse buckets,
+    compute the query's PER-BUCKET residual, and rank the bucket's codes
+    by asymmetric distance against the residual's per-subspace distance
+    table. Output: (query_id, match_id, adc_dist, rank).
+
+    Plan shape: the distance table is Q × nprobe × m × k rows — tiny,
+    broadcast; the corpus side streams its (id, bucket, sub, code)
+    quadruples through one broadcast join, and the only shuffle carries
+    (query, match, partial-sum) rows. Same exact-decimal ADC fold as
+    `pq_adc_topk`, so results are engine-stable.
+    """
+    probes = ivf_probe_buckets(queries, coarse, id_col, vec_col, nprobe)
+    cents = F.broadcast(coarse.select(
+        F.col(id_col).alias("bucket"), _as_double(F.col(vec_col)).alias("_cv")
+    ))
+    qres = (
+        queries.join(probes, id_col).join(cents, "bucket")
+        .select(
+            F.col(id_col).alias("query_id"), F.col("bucket"),
+            F.zip_with(_as_double(F.col(vec_col)), F.col("_cv"),
+                       lambda a, b: a - b).alias("_rv"),
+        )
+    )
+    structs = [
+        F.struct(F.lit(j).alias("sub_idx"),
+                 _subvector("_rv", j, m).alias("sv"))
+        for j in range(m)
+    ]
+    qsubs = qres.select(
+        "query_id", "bucket", F.explode(F.array(*structs)).alias("_s")
+    ).select("query_id", "bucket", F.col("_s.sub_idx").alias("sub_idx"),
+             F.col("_s.sv").alias("sv"))
+    dist_tab = (
+        qsubs.join(book, "sub_idx")
+        .select("query_id", "bucket", "sub_idx",
+                F.col("cent_id").alias("code"),
+                F.round(sq_euclidean(F.col("sv"), F.col("centroid")), 9)
+                .alias("_d"))
+    )
+    return (
+        codes.withColumnRenamed(id_col, "match_id")
+        .join(F.broadcast(dist_tab), ["bucket", "sub_idx", "code"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id")
+        .agg(F.round(F.sum(F.col("_d").cast("decimal(38,12)"))
+                     .cast("double"), 6).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("adc_dist").asc(), F.col("match_id").asc())))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame, codes: DataFrame, codebook: DataFrame,
     id_col: str, vec_col: str, m: int = 4, k: int = 3,

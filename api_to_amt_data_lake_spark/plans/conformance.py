@@ -3504,6 +3504,117 @@ SELECT query_id, match_id, adc_dist, CAST(rank AS INT) AS rank FROM (
     return "".join(head)
 
 
+def _ivfpq_oracle(kc: int = 4, coarse_iters: int = 2, m: int = 2,
+                  k: int = 4, iters: int = 2, dim: int = 64,
+                  topk: int = 3) -> str:
+    """Unrolled IVFPQ in SQL: coarse Lloyd's k-means on full vectors,
+    round-6 assignment, residual subtraction, per-subspace Lloyd's on
+    the residuals, raw-distance code assignment, per-bucket ADC with
+    the exact-decimal fold. With nprobe=1 a query's probed bucket IS
+    its assignment bucket (identical round-6 + bucket-ASC ordering), so
+    the query residual is its own residual row."""
+    sub = dim // m
+    head = [f"""WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cpositions AS (
+  SELECT unnest(range(1, {dim + 1})) AS pos
+), positions AS (
+  SELECT unnest(range(1, {sub + 1})) AS pos
+)"""]
+    head.append(_kmeans_ctes("c_", "v", "cpositions", kc, coarse_iters))
+    head.append(f""",
+afinal AS (
+  SELECT vec_id, bucket FROM (
+    SELECT p.vec_id, s.bucket,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        round(list_sum(list_transform(range(1, len(p.v) + 1),
+          j -> (p.v[j] - s.v[j]) * (p.v[j] - s.v[j]))), 6) ASC,
+        s.bucket ASC) AS rn
+    FROM v p CROSS JOIN cc_{coarse_iters} s
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT p.vec_id, a.bucket,
+    list_transform(range(1, len(p.v) + 1), i -> p.v[i] - s.v[i]) AS v
+  FROM v p JOIN afinal a USING (vec_id)
+  JOIN cc_{coarse_iters} s ON s.bucket = a.bucket
+)""")
+    for j in range(m):
+        head.append(f""",
+r{j} AS (
+  SELECT vec_id, v[{j * sub + 1}:{(j + 1) * sub}] AS v FROM res
+)""")
+        head.append(_kmeans_ctes(f"s{j}_", f"r{j}", "positions", k, iters))
+        head.append(f""",
+code{j} AS (
+  SELECT vec_id, {j} AS sub_idx, bucket AS code FROM (
+    SELECT p.vec_id, s.bucket,
+      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        list_sum(list_transform(range(1, len(p.v) + 1),
+          j -> (p.v[j] - s.v[j]) * (p.v[j] - s.v[j]))) ASC,
+        s.bucket ASC) AS rn
+    FROM r{j} p CROSS JOIN cs{j}_{iters} s
+  ) WHERE rn = 1
+),
+dist{j} AS (
+  SELECT q.vec_id AS query_id, a.bucket, {j} AS sub_idx,
+    s.bucket AS code,
+    round(list_sum(list_transform(range(1, len(q.v) + 1),
+      j -> (q.v[j] - s.v[j]) * (q.v[j] - s.v[j]))), 9) AS _d
+  FROM (SELECT * FROM r{j} WHERE vec_id < 5) q
+  JOIN afinal a USING (vec_id)
+  CROSS JOIN cs{j}_{iters} s
+)""")
+    codes = " UNION ALL ".join(f"SELECT * FROM code{j}" for j in range(m))
+    dists = " UNION ALL ".join(f"SELECT * FROM dist{j}" for j in range(m))
+    head.append(f""",
+codes AS ({codes}), dists AS ({dists}),
+codeswb AS (
+  SELECT c.vec_id, a.bucket, c.sub_idx, c.code
+  FROM codes c JOIN afinal a USING (vec_id)
+),
+adc AS (
+  SELECT d.query_id, c.vec_id AS match_id,
+    round(CAST(SUM(CAST(d._d AS DECIMAL(38,12))) AS DOUBLE), 6)
+      AS adc_dist
+  FROM codeswb c JOIN dists d
+    ON d.bucket = c.bucket AND d.sub_idx = c.sub_idx AND d.code = c.code
+  WHERE d.query_id != c.vec_id
+  GROUP BY d.query_id, c.vec_id
+)
+SELECT query_id, match_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY adc_dist ASC, match_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {topk}""")
+    return "".join(head)
+
+
+@register("q95b_ivfpq_ann", oracle=_ivfpq_oracle())
+def q95b_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVFPQ, fully composed: 4 coarse IVF buckets scope the
+    search, product quantization of the RESIDUALS (2 subspaces × 4
+    centroids) compresses the stored index to a bucket id plus 4 bits
+    per vector, asymmetric-distance top-3 for queries vec_id < 5 —
+    `operators/similarity.py::ivfpq_fit/ivfpq_topk`. The oracle unrolls
+    the whole thing: coarse Lloyd's, round-6 assignment, residuals,
+    per-subspace Lloyd's, raw-distance codes, per-bucket exact-decimal
+    ADC."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse, book, codes = ivfpq_fit(e, "vec_id", "embedding", kc=4,
+                                    coarse_iters=2, m=2, k=4, iters=2)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(q, coarse, book, codes, "vec_id", "embedding",
+                      m=2, k=3, nprobe=1) \
+        .select("query_id", "match_id", "adc_dist",
+                F.col("rank").cast("int").alias("rank"))
+
+
 @register("q95_pq_ann", oracle=_pq_ann_oracle())
 def q95_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 4 subspaces × 8 learned centroids

@@ -61,6 +61,7 @@ HEADLINE = [
     "q93_corpus_shuffle",
     "q94_crawl_novelty",
     "q95_pq_ann",
+    "q95b_ivfpq_ann",
     "q98_doc_chunks",
     "q98b_unigram_surprisal",
     "q99b_cms_frequency",

@@ -654,3 +654,60 @@ def test_incremental_lsh_union_equals_from_scratch(spark):
     shuffled = pairs(incremental_lsh_pairs(esig, nsig, "doc_id",
                                            broadcast_new=False))
     assert shuffled == delta
+
+
+def test_ivfpq_kc1_matches_plain_pq_on_residuals(spark):
+    """With a single coarse centroid (kc=1) IVFPQ degenerates to PQ over
+    mean-centered vectors: ivfpq_topk must return exactly what the plain
+    PQ pipeline returns on the residual frame."""
+    import random
+    import pyspark.sql.functions as F
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivfpq_fit, ivfpq_topk, pq_adc_topk, pq_encode, pq_fit,
+        ivf_residuals, kmeans_fit)
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse, book, codes = ivfpq_fit(df, "vec_id", "embedding", kc=1,
+                                    coarse_iters=2, m=2, k=4, iters=2)
+    q = df.filter(F.col("vec_id") < 3)
+    got = {(r["query_id"], r["rank"]): (r["match_id"], r["adc_dist"])
+           for r in ivfpq_topk(q, coarse, book, codes, "vec_id",
+                               "embedding", m=2, k=3, nprobe=1).collect()}
+
+    res = ivf_residuals(
+        df, kmeans_fit(df, "vec_id", "embedding", k=1, iters=2),
+        "vec_id", "embedding").select("vec_id", "embedding")
+    book2 = pq_fit(res, "vec_id", "embedding", m=2, k=4, iters=2)
+    codes2 = pq_encode(res, book2, "vec_id", "embedding", m=2)
+    want = {(r["query_id"], r["rank"]): (r["match_id"], r["adc_dist"])
+            for r in pq_adc_topk(res.filter(F.col("vec_id") < 3), codes2,
+                                 book2, "vec_id", "embedding",
+                                 m=2, k=3).collect()}
+    assert got == want and len(got) == 9
+
+
+def test_ivfpq_recall_within_clusters(spark):
+    """Well-separated clusters: every IVFPQ top-k match must come from
+    the query's own cluster (the coarse quantizer scopes the search and
+    residual codes resolve membership)."""
+    import random
+    import pyspark.sql.functions as F
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivfpq_fit, ivfpq_topk)
+
+    rng = random.Random(17)
+    centers = [[10.0 * c + rng.uniform(-0.5, 0.5) for _ in range(8)]
+               for c in range(4)]
+    rows = [(i, [v + rng.gauss(0, 0.05) for v in centers[i % 4]])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse, book, codes = ivfpq_fit(df, "vec_id", "embedding", kc=4,
+                                    coarse_iters=3, m=2, k=4, iters=2)
+    q = df.filter(F.col("vec_id") < 4)
+    out = ivfpq_topk(q, coarse, book, codes, "vec_id", "embedding",
+                     m=2, k=3, nprobe=1)
+    rows_out = out.collect()
+    assert len(rows_out) == 12
+    assert all(r["match_id"] % 4 == r["query_id"] % 4 for r in rows_out)
