@@ -92,3 +92,59 @@ def pagerank(
             .select(F.col("t").alias("id"), "r")
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "id_a",
+                    dst: str = "id_b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list — the clustering-structure primitive (cohesion of near-dup
+    clusters, community density). Output: (id, n_triangles), nodes in
+    ≥1 triangle.
+
+    Degree-ordered orientation (the classic distributed formulation):
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher one, so each triangle {x ≺ y ≺ z} is found EXACTLY once as
+    the wedge x→y, x→z closed by y→z — and, crucially, every node's
+    oriented out-degree is O(√m), which bounds the wedge join's
+    per-key fan-out even at power-law degree skew (a naive a<b-id
+    orientation lets one low-id hub own quadratic wedge work). Two
+    shuffle joins on node keys + one closing join on the (y, z) pair;
+    nothing driver-side. Parity-tested against a naive enumeration.
+    """
+    e = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                     F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keyed = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")),
+               "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")),
+              "b")
+    )
+    a_first = (F.struct(F.col("_da"), F.col("a"))
+               < F.struct(F.col("_db"), F.col("b")))
+    o = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dt"),
+    )
+    wedge = (
+        o.alias("e1").join(o.alias("e2"), "s")
+        .filter(F.struct(F.col("e1._dt"), F.col("e1.t"))
+                < F.struct(F.col("e2._dt"), F.col("e2.t")))
+        .select(F.col("s").alias("x"), F.col("e1.t").alias("y"),
+                F.col("e2.t").alias("z"))
+    )
+    tri = wedge.join(
+        o.select(F.col("s").alias("y"), F.col("t").alias("z")), ["y", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

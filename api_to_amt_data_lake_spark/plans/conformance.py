@@ -4505,6 +4505,57 @@ def q99o_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  num_hashes=8, bands=4)
 
 
+@register("q99p_triangle_census", oracle="""
+WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+e AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents, mx
+  WHERE doc_id + 1 <= mx
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents, mx WHERE doc_id + 2 <= mx
+  UNION ALL
+  SELECT 0, doc_id FROM documents WHERE doc_id % 7 = 3
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT id, COUNT(*) AS n_triangles FROM nodes GROUP BY id
+""")
+def q99p_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over a deterministic rings+hub graph
+    built from doc ids (two overlay rings i→i+1 / i→i+2 give every
+    interior node three triangles; a hub node collects every id≡3 mod 7
+    for degree skew). Exercises the degree-ordered orientation
+    (`operators/graph.py::triangle_counts`) — each triangle found once
+    as a wedge from its lowest-(deg, id) corner, per-node out-degree
+    bounded O(√m) — against the naive id-ordered SQL enumeration."""
+    from api_to_amt_data_lake_spark.operators.graph import triangle_counts
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    ring = d.crossJoin(F.broadcast(mx))
+    e = (
+        ring.filter(F.col("doc_id") + 1 <= F.col("mx"))
+        .select(F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 1).alias("id_b"))
+        .unionByName(
+            ring.filter(F.col("doc_id") + 2 <= F.col("mx"))
+            .select(F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 2).alias("id_b")))
+        .unionByName(
+            d.filter(F.col("doc_id") % 7 == 3)
+            .select(F.lit(0).cast("long").alias("id_a"),
+                    F.col("doc_id").alias("id_b")))
+    )
+    return triangle_counts(e)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

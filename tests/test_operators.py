@@ -306,3 +306,46 @@ def test_jaccard_verify_matches_prefix_filter_path(spark):
                            threshold=0.5, dedupe_sets=True)
     assert sorted(map(tuple, direct.collect())) == \
         sorted(map(tuple, prefix.collect()))
+
+
+def test_triangle_counts_matches_naive_enumeration(spark):
+    """Degree-oriented triangle counting must equal the naive
+    id-ordered enumeration on a random graph with a deliberate hub
+    (the skew case the orientation exists for), and count the known
+    triangles of a hand-built fixture."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from api_to_amt_data_lake_spark.operators.graph import triangle_counts
+
+    # hand-built: one triangle (1,2,3) + a pendant edge
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["id_a", "id_b"])
+    got = {r["id"]: r["n_triangles"]
+           for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    rng = random.Random(23)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    edges |= {(0, i) for i in range(1, 25)}  # hub
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["n_triangles"]
+           for r in triangle_counts(df).collect()}
+
+    canon = df.select(F.least("id_a", "id_b").alias("a"),
+                      F.greatest("id_a", "id_b").alias("b")).distinct()
+    tri = (
+        canon.alias("e1")
+        .join(canon.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(canon.alias("e3"),
+              (F.col("e3.a") == F.col("e1.a"))
+              & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"))
+    )
+    want = {r["id"]: r["n"] for r in tri.select(
+        F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and sum(want.values()) % 3 == 0 and want
