@@ -133,3 +133,54 @@ def asof_join(
     if matched_ts_col is not None:
         return out.withColumnRenamed(_MATCH, matched_ts_col)
     return out.drop(_MATCH)
+
+
+def resample_locf(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward —
+    the gap-filling step feature pipelines run before as-of joins or
+    model training: one row per `unit` slot per key between the key's
+    first and last observation, carrying the latest value forward
+    through empty slots. Output: (key, slot, value).
+
+    Plan shape: one groupBy(key, slot) reduces the raw events to at
+    most one row per slot map-side (deterministic within-slot winner:
+    max over (ts, value) — latest timestamp, value as tiebreak); the
+    grid materializes via sequence+explode from each key's (min, max)
+    bounds — generated, never shuffled; the carry-forward is one
+    last(ignorenulls) window PARTITIONED BY KEY (bounded per-key state,
+    the same shape `asof_join` uses). Nothing global, nothing
+    driver-side; per-key slot counts are span/unit — callers resampling
+    years at second granularity should pick a coarser unit, same as any
+    resampler.
+    """
+    slot = F.date_trunc(unit, F.col(ts_col))
+    last_per_slot = (
+        df.select(
+            F.col(key_col), slot.alias("slot"),
+            F.struct(F.col(ts_col).alias("ts"),
+                     F.col(value_col).alias("v")).alias("_tv"),
+        )
+        .groupBy(key_col, "slot")
+        .agg(F.max("_tv").alias("_m"))
+        .select(key_col, "slot", F.col("_m.v").alias("_v"))
+    )
+    grid = (
+        df.groupBy(key_col)
+        .agg(F.min(slot).alias("_lo"), F.max(slot).alias("_hi"))
+        .select(
+            F.col(key_col),
+            F.explode(F.sequence(
+                F.col("_lo"), F.col("_hi"),
+                F.expr(f"INTERVAL 1 {unit}"))).alias("slot"),
+        )
+    )
+    w = (Window.partitionBy(key_col).orderBy(F.col("slot").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        grid.join(last_per_slot, [key_col, "slot"], "left")
+        .select(key_col, "slot",
+                F.last("_v", ignorenulls=True).over(w).alias(value_col))
+    )

@@ -4556,6 +4556,49 @@ def q99p_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(e)
 
 
+@register("q99q_resample_locf", oracle="""
+WITH slotted AS (
+  SELECT user_id, slot, v FROM (
+    SELECT user_id, date_trunc('hour', ts) AS slot, value AS v,
+      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                         ORDER BY ts DESC, value DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(date_trunc('hour', ts)) AS lo,
+         max(date_trunc('hour', ts)) AS hi
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot
+  FROM bounds
+)
+SELECT g.user_id,
+  strftime(g.slot, '%Y-%m-%d %H:%M:%S') AS slot,
+  last_value(s.v IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.slot
+    ROWS UNBOUNDED PRECEDING) AS value
+FROM grid g LEFT JOIN slotted s
+  ON s.user_id = g.user_id AND s.slot = g.slot
+""")
+def q99q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled resampling of the event stream: one row per
+    user per hour between their first and last event, latest value
+    carried forward through empty hours
+    (`operators/asof.py::resample_locf`). The grid generates from
+    per-key bounds (sequence+explode — never shuffled), events collapse
+    to one row per slot map-side, and the carry-forward window
+    partitions by user."""
+    from api_to_amt_data_lake_spark.operators.asof import resample_locf
+
+    e = read_table(spark, sf_dir, "events")
+    out = resample_locf(e, "user_id", "ts", "value", unit="hour")
+    return out.select(
+        "user_id",
+        F.date_format("slot", "yyyy-MM-dd HH:mm:ss").alias("slot"),
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -349,3 +349,28 @@ def test_triangle_counts_matches_naive_enumeration(spark):
         F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want and sum(want.values()) % 3 == 0 and want
+
+
+def test_resample_locf_fills_gaps_per_key(spark):
+    """Hourly grid spans each key's own bounds; empty slots carry the
+    latest earlier value; within-slot winner is the latest timestamp."""
+    from datetime import datetime
+
+    from api_to_amt_data_lake_spark.operators.asof import resample_locf
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (1, datetime(2024, 1, 1, 0, 50), 11.0),   # same slot, later ts wins
+        (1, datetime(2024, 1, 1, 3, 5), 30.0),    # hours 1-2 are gaps
+        (2, datetime(2024, 1, 1, 5, 0), 99.0),    # different bounds
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {(r["k"], str(r["slot"])): r["v"]
+           for r in resample_locf(df, "k", "ts", "v").collect()}
+    assert got == {
+        (1, "2024-01-01 00:00:00"): 11.0,
+        (1, "2024-01-01 01:00:00"): 11.0,
+        (1, "2024-01-01 02:00:00"): 11.0,
+        (1, "2024-01-01 03:00:00"): 30.0,
+        (2, "2024-01-01 05:00:00"): 99.0,
+    }
