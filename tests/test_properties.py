@@ -332,3 +332,69 @@ class TestCmsProperties:
         for tok, n in exact.items():
             assert est[tok] >= n          # never underestimates
             assert est[tok] <= total      # cell sum can't exceed stream
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 1000)),
+    min_size=0, max_size=40,
+))
+@SETTINGS
+def test_exclusive_prefix_sums_matches_python_model(spark, rows):
+    """smallframe.exclusive_prefix_sums == a plain Python running total
+    over keys sorted ascending (and descending), for arbitrary keyed
+    count frames — including empty input and single-key frames."""
+    from api_to_amt_data_lake_spark.operators.smallframe import (
+        exclusive_prefix_sums,
+    )
+
+    agg: dict[int, int] = {}
+    for k, v in rows:
+        agg[k] = agg.get(k, 0) + v
+    df = spark.createDataFrame(
+        [(k, v) for k, v in agg.items()], "k int, cnt long") \
+        if agg else spark.createDataFrame([], "k int, cnt long")
+    for desc in (False, True):
+        got = {r["k"]: r["base"] for r in exclusive_prefix_sums(
+            df, "k", {"cnt": "base"}, descending=desc).collect()}
+        want, run = {}, 0
+        for k in sorted(agg, reverse=desc):
+            want[k] = run
+            run += agg[k]
+        assert got == want
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 72), st.integers(-5, 5)),
+    min_size=1, max_size=30,
+))
+@SETTINGS
+def test_resample_locf_matches_python_model(spark, rows):
+    """resample_locf == a per-key Python walk over the hourly grid with
+    carry-forward, for arbitrary (key, hour-offset, value) events."""
+    from datetime import datetime, timedelta
+
+    from api_to_amt_data_lake_spark.operators.asof import resample_locf
+
+    base = datetime(2024, 3, 1)
+    ev = [(k, base + timedelta(hours=h, minutes=k % 60), float(v))
+          for k, h, v in rows]
+    df = spark.createDataFrame(ev, "k int, ts timestamp, v double")
+    got = {(r["k"], str(r["slot"])): r["v"]
+           for r in resample_locf(df, "k", "ts", "v").collect()}
+
+    want = {}
+    bykey: dict[int, list] = {}
+    for k, ts, v in ev:
+        bykey.setdefault(k, []).append((ts, v))
+    for k, evs in bykey.items():
+        slots = sorted({ts.replace(minute=0, second=0) for ts, _ in evs})
+        lo, hi = slots[0], slots[-1]
+        cur, s = None, lo
+        while s <= hi:
+            inslot = [(ts, v) for ts, v in evs
+                      if ts.replace(minute=0, second=0) == s]
+            if inslot:
+                cur = max(inslot)[1]  # (ts, v) max == latest ts, v tiebreak
+            want[(k, str(s))] = cur
+            s += timedelta(hours=1)
+    assert got == want

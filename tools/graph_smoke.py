@@ -36,7 +36,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from api_to_amt_data_lake_spark.operators.dedup import (  # noqa: E402
     connected_components,
 )
-from api_to_amt_data_lake_spark.operators.graph import pagerank  # noqa: E402
+from api_to_amt_data_lake_spark.operators.graph import (  # noqa: E402
+    pagerank,
+    triangle_counts,
+)
 from api_to_amt_data_lake_spark.session import get_spark  # noqa: E402
 
 CHAIN_LEN = 1 << 16
@@ -105,6 +108,17 @@ def main() -> int:
         src="id_a", dst="id_b", iters=5)
     out["pr_rows"] = pr.count()
     out["pr_sec"] = round(time.time() - t0, 1)
+
+    # Triangles: paths contribute none; every blob node closes
+    # (node, hub, peer) when its stride-7 peer is not the hub itself —
+    # and the hub is each blob's highest-degree node, so the
+    # degree-ordered orientation keeps its wedge fan-out tiny (the
+    # skew case the orientation exists for, at volume).
+    t0 = time.time()
+    tri = triangle_counts(edges)
+    out["tri_nodes"] = tri.count()
+    out["tri_total"] = tri.agg(F.sum("n_triangles")).first()[0] // 3
+    out["tri_sec"] = round(time.time() - t0, 1)
 
     print(json.dumps(out))
     return 0
