@@ -12,9 +12,11 @@ pure-Python (`struct` + numpy over Arrow batches):
   extraction is a chunk walk, no codec; the sampled frames stay encoded.
 
 - PNG pixel decode with nothing but stdlib zlib: IDAT inflate +
-  per-scanline unfilter (all five filter types), palette expansion.
+  per-scanline unfilter (all five filter types), palette expansion,
+- GIF pixel decode with a pure-Python LZW decompressor (first frame,
+  local/global color tables).
 
-Only entropy-coded *pixel* decode that needs an actual codec (JPEG
+Only pixel decode that needs an actual DCT/entropy codec (JPEG
 huffman/DCT, H.264) raises a clearly worded ValueError naming the
 contract; everything else is decoded for real.
 
@@ -376,19 +378,134 @@ def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
     return (w, h, channels, np.ascontiguousarray(out).tobytes())
 
 
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW decompression — pure Python, the whole codec.
+
+    Codes are packed LSB-first at a width that starts at
+    min_code_size+1 and grows as the string table fills (cap 12 bits);
+    the CLEAR code resets the table, END terminates. Each received
+    code appends one table entry (prev string + first symbol of the
+    current), except the first code after a clear.
+    """
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def reset():
+        return [bytes([i]) for i in range(clear)] + [b"", b""], \
+            min_code_size + 1
+
+    table, code_size = reset()
+    prev: bytes | None = None
+    while bitpos + code_size <= nbits and len(out) < n_pixels:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table, code_size = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream: code {code} "
+                             f"with table size {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == 1 << code_size and code_size < 12:
+            code_size += 1
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW stream ended early: {len(out)}/{n_pixels} pixels")
+    return bytes(out[:n_pixels])
+
+
+def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
+    """GIF → (w, h, 3, RGB bytes) with a pure-Python LZW decoder — no
+    codec library. Decodes the FIRST image frame (animations: frame 0),
+    honoring a local color table when present, falling back to the
+    global one. Adam-style interlaced frames raise (a row-reorder pass,
+    deliberately out of scope); so do frames smaller than the logical
+    screen (compositing belongs to an animation pipeline)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF blob")
+    sw, sh = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    off = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[off:off + 3 * n]
+        off += 3 * n
+    while off < len(b):
+        marker = b[off]
+        if marker == 0x21:  # extension: label + length-prefixed sub-blocks
+            off += 2
+            while off < len(b) and b[off] != 0:
+                off += 1 + b[off]
+            off += 1
+        elif marker == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack("<HHHH", b[off + 1:off + 9])
+            ipacked = b[off + 9]
+            off += 10
+            lct = None
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                lct = b[off:off + 3 * n]
+                off += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported here")
+            if (left, top, w, h) != (0, 0, sw, sh):
+                raise ValueError("partial-frame GIF needs compositing; "
+                                 "only full-screen frames decode here")
+            min_code = b[off]
+            off += 1
+            lzw = bytearray()
+            while off < len(b) and b[off] != 0:
+                ln = b[off]
+                lzw += b[off + 1:off + 1 + ln]
+                off += 1 + ln
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            idx = np.frombuffer(
+                _lzw_decode(min_code, bytes(lzw), w * h), np.uint8)
+            colors = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+            if int(idx.max(initial=0)) >= len(colors):
+                raise ValueError("GIF pixel index exceeds color table")
+            rgb = colors[idx].reshape(h, w, 3)
+            return (w, h, 3, np.ascontiguousarray(rgb).tobytes())
+        elif marker == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def _decode_pixels(b: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch real pixel decode by magic bytes: BMP (struct+numpy) and
-    PNG (stdlib zlib inflate + unfilter) decode for real; only formats
-    whose pixel data is behind an entropy codec (JPEG, video bitstreams)
-    raise."""
+    """Dispatch real pixel decode by magic bytes: BMP (struct+numpy),
+    PNG (stdlib zlib inflate + unfilter), and GIF (pure-Python LZW)
+    decode for real; only formats whose pixel data is behind a
+    DCT/entropy codec (JPEG, video bitstreams) raise."""
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:8] == b"\x89PNG\r\n\x1a\x0a":
         return _decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(b)
     raise ValueError(
-        "pixel decode is real for BMP and PNG; JPEG / H.264 entropy "
-        "decode needs a codec library — contract: (id, content) -> "
-        "(id, width, height, channels, pixels)")
+        "pixel decode is real for BMP, PNG, and GIF; JPEG / H.264 "
+        "entropy decode needs a codec library — contract: "
+        "(id, content) -> (id, width, height, channels, pixels)")
 
 
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:

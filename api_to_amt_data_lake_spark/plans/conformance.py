@@ -2453,6 +2453,97 @@ def q74b_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(decode, out_schema)
 
 
+def _gif_hex(v: int, w: int = 4, h: int = 3) -> str:
+    """Hex of a complete single-frame GIF whose w×h pixels all carry
+    palette index v (palette: 4 fixed RGB colors) — LZW-encoded with
+    literal codes at the decoder's exact width-growth rule. Constant
+    fixture bytes for q74c, built at plan time from constants only."""
+    palette = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+    min_code, clear, end = 2, 4, 5
+    bits = [(clear, 3)]
+    table_len, code_size, first = end + 1, 3, True
+    for _ in range(w * h):
+        bits.append((v, code_size))
+        if first:
+            first = False
+        else:
+            table_len += 1
+            if table_len == 1 << code_size and code_size < 12:
+                code_size += 1
+    bits.append((end, code_size))
+    stream, acc, nacc = bytearray(), 0, 0
+    for code, width in bits:
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        stream.append(acc & 0xFF)
+    import struct as _s
+    gif = (b"GIF89a" + _s.pack("<HH", w, h) + bytes([0x81, 0, 0])
+           + palette + b"\x2C" + _s.pack("<HHHH", 0, 0, w, h) + b"\x00"
+           + bytes([min_code]) + bytes([len(stream)]) + bytes(stream)
+           + b"\x00" + b"\x3B")
+    return gif.hex().upper()
+
+
+@register("q74c_gif_pixel_decode", oracle="""
+SELECT doc_id,
+  CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(12 * (CASE doc_id % 4 WHEN 0 THEN 60 WHEN 1 THEN 150
+             WHEN 2 THEN 240 ELSE 630 END) AS BIGINT) AS pixel_sum,
+  round((CASE doc_id % 4 WHEN 0 THEN 60 WHEN 1 THEN 150
+         WHEN 2 THEN 240 ELSE 630 END) / 3.0, 6) AS pixel_mean
+FROM documents WHERE doc_id < 120
+""")
+def q74c_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode: each row picks one of four constant-color
+    LZW-encoded GIFs (palette RGB sums 60/150/240/630), and
+    `operators/multimodal.py::_decode_gif` runs the
+    pure-Python LZW decompressor + palette mapping inside the usual
+    Arrow-batched pass. The oracle recomputes the pixel sums
+    arithmetically — a bug anywhere in the LZW table handling, width
+    growth, or palette lookup breaks the hash."""
+    import numpy as np  # local: Python workers only
+    import pandas as pd
+
+    from api_to_amt_data_lake_spark.operators.multimodal import _decode_pixels
+
+    variants = F.array(*[F.lit(_gif_hex(v)) for v in range(4)])
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.unhex(F.element_at(variants,
+                                 (F.col("doc_id") % 4 + 1).cast("int")))
+            .alias("content"),
+        )
+    )
+
+    out_schema = ("doc_id long, width int, height int, channels int, "
+                  "pixel_sum long, pixel_mean double")
+
+    def decode(batches):
+        for pdf in batches:
+            px = [_decode_pixels(bytes(b)) for b in pdf["content"]]
+            arrs = [np.frombuffer(p[3], dtype=np.uint8) for p in px]
+            yield pd.DataFrame({
+                "doc_id": pdf["id"],
+                "width": [p[0] for p in px],
+                "height": [p[1] for p in px],
+                "channels": [p[2] for p in px],
+                "pixel_sum": [int(a.sum()) for a in arrs],
+                "pixel_mean": [round(float(a.sum()) / a.size, 6)
+                               for a in arrs],
+            })
+
+    return d.mapInPandas(decode, out_schema)
+
+
 @register("q75_feature_ann", oracle=f"""
 WITH feat AS (
   SELECT doc_id AS vec_id,

@@ -236,6 +236,93 @@ def test_decode_png_then_resize(spark):
     np.testing.assert_array_equal(got, img[::2, ::2])
 
 
+def full_gif_bytes(idx: np.ndarray, palette: bytes) -> bytes:
+    """A complete GIF built independently of the decoder, using the
+    classic 'uncompressed' LZW encoding: every pixel emitted as a
+    literal code, with the code width grown exactly as the LZW table
+    fills (one implicit entry per literal after the first) and a CLEAR
+    emitted whenever the table would overflow 12 bits."""
+    h, w = idx.shape
+    n_colors = len(palette) // 3
+    min_code = max(2, (n_colors - 1).bit_length())
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    bits: list[tuple[int, int]] = []  # (code, width)
+    table_len, code_size = end + 1, min_code + 1
+    bits.append((clear, code_size))
+    first = True
+    for px in idx.flatten():
+        if table_len == 4096:
+            bits.append((clear, code_size))
+            table_len, code_size, first = end + 1, min_code + 1, True
+        bits.append((int(px), code_size))
+        if first:
+            first = False
+        else:
+            table_len += 1
+            if table_len == 1 << code_size and code_size < 12:
+                code_size += 1
+    bits.append((end, code_size))
+
+    stream, acc, nacc = bytearray(), 0, 0
+    for code, width in bits:
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        stream.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+
+    gct_size = max(1, (n_colors - 1).bit_length() - 1) if n_colors > 2 \
+        else 0
+    while (2 << gct_size) < n_colors:
+        gct_size += 1
+    pal = palette + b"\x00" * (3 * (2 << gct_size) - len(palette))
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | gct_size, 0, 0]) + pal
+            + b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + bytes([min_code]) + blocks + b"\x3B")
+
+
+def test_decode_gif_lzw_roundtrip(spark):
+    """Real LZW: an independently-encoded GIF (literal codes, growing
+    widths, mid-stream CLEARs) decodes back to the exact palette-mapped
+    pixels — including a large frame that forces width growth past 9
+    bits and at least one table-overflow CLEAR."""
+    rng = np.random.default_rng(19)
+    pal16 = bytes(rng.integers(0, 256, 48, dtype=np.uint8))
+    small = rng.integers(0, 16, size=(5, 7), dtype=np.uint8)
+    big = rng.integers(0, 16, size=(64, 90), dtype=np.uint8)  # >4096 px
+    rows = decode_image(_blob_df(spark, [
+        full_gif_bytes(small, pal16), full_gif_bytes(big, pal16),
+    ])).orderBy("id").collect()
+    want_pal = np.frombuffer(pal16, np.uint8).reshape(16, 3)
+    for row, idx in zip(rows, (small, big)):
+        h, w = idx.shape
+        assert (row["width"], row["height"], row["channels"]) == (w, h, 3)
+        got = np.frombuffer(bytes(row["pixels"]), np.uint8).reshape(h, w, 3)
+        np.testing.assert_array_equal(got, want_pal[idx])
+
+
+def test_decode_gif_contract_errors():
+    from api_to_amt_data_lake_spark.operators.multimodal import _decode_gif
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    blob = bytearray(full_gif_bytes(idx, bytes(12)))
+    # image descriptor packed byte: set interlace flag
+    pos = blob.index(0x2C, 10) + 9
+    blob[pos] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        _decode_gif(bytes(blob))
+
+
 def test_decode_png_contract_errors(spark):
     from api_to_amt_data_lake_spark.operators.multimodal import _decode_png
     rng = np.random.default_rng(5)
