@@ -14,6 +14,8 @@ Stages timed (each is the registered operator, not a re-implementation):
   gen        materialize the corpus (noop-cached baseline scan cost)
   exact      exact_dedup_groups — one md5 shuffle
   minhash    MinHash signatures + LSH candidate pairs
+  index_build / increment — incremental LSH maintenance: index the
+             first 90%, then probe a 10% batch (steady-state daily cost)
   gopher     Gopher rule battery + per-source pass counts
   chunks     sliding-window chunking (shuffle-free explode)
   cms        count-min sketch build (bounded-state shuffle)
@@ -38,6 +40,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from api_to_amt_data_lake_spark.operators.chunking import chunk_spans  # noqa: E402
 from api_to_amt_data_lake_spark.operators.dedup import (  # noqa: E402
     exact_dedup_groups,
+    incremental_lsh_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
 )
@@ -129,6 +132,23 @@ def main() -> None:
     rows["minhash"] = lsh_candidate_pairs(sig, "doc_id",
                                           num_hashes=8, bands=4).count()
     t["minhash"] = round(time.time() - t0, 2)
+
+    # Incremental maintenance: the last 10% of doc ids arrive as a new
+    # crawl batch against an already-built signature index. Steady-state
+    # daily cost = increment signature build + broadcast band probe —
+    # compare t["increment"] against t["minhash"] (the full pairing).
+    t0 = time.time()
+    esig = minhash_signatures(
+        corpus.filter(F.col("doc_id") < int(n * 0.9)), "doc_id", "text",
+        num_hashes=8, shingle_n=3).localCheckpoint()
+    t["index_build"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    nsig = minhash_signatures(
+        corpus.filter(F.col("doc_id") >= int(n * 0.9)), "doc_id", "text",
+        num_hashes=8, shingle_n=3)
+    rows["increment"] = incremental_lsh_pairs(
+        esig, nsig, "doc_id", num_hashes=8, bands=4).count()
+    t["increment"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     flags = gopher_flags(F.col("text"), min_words=30, min_stopwords=1)
