@@ -1,0 +1,396 @@
+"""Baseline JPEG codec — pure Python + numpy, no codec library.
+
+Closes the last pixel-decode boundary in `operators/multimodal.py`:
+BMP, PNG (stdlib zlib), and GIF (pure-Python LZW) already decode for
+real; this module adds baseline sequential DCT JPEG.
+
+Decoder scope: 8-bit baseline (SOF0), grayscale or 4:4:4 color (all
+sampling factors 1×1), no restart markers, no progressive — anything
+else raises a named ValueError. The pieces:
+
+- segment walk: DQT (8-bit precision), DHT (canonical Huffman), SOF0,
+  SOS; APPn/COM skipped by length,
+- MSB-first bit reader over the 0xFF00-unstuffed entropy stream,
+- per-block decode: DC category + difference with prediction, AC
+  run/size symbols with EOB and ZRL, dezigzag, dequantize,
+- exact orthonormal inverse DCT as two 8×8 matrix multiplies,
+- level shift + clip; JFIF full-range YCbCr→RGB for 3 components.
+
+Encoder (`encode_jpeg_baseline`): the sink half — writing an image
+column back out as standards-compliant JPEG bytes — and the fixture
+builder for verification. It emits simple, provably legal Huffman
+tables (all 4-bit DC codes, all 9-bit AC codes — canonical, never
+all-ones) rather than the Annex K defaults; any conformant decoder
+reads the tables from the DHT segments it writes.
+
+Verification is NOT just encoder↔decoder round-trip (symmetric bugs
+would cancel): tests also pin the IDCT against the direct O(N⁴)
+cosine-sum definition and decode single-coefficient streams into
+their analytic cosine patterns, which catches zigzag/scale/basis
+errors asymmetrically. With a flat quantization table the lossy steps
+reduce to DCT-coefficient rounding, so round-trips assert tight ±
+tolerances.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Zigzag: scan-order index -> (row, col). Odd diagonals walk down-right,
+# even walk up-right, clipped to the 8x8 block.
+ZIGZAG: list[tuple[int, int]] = []
+for _s in range(15):
+    _rng = range(_s + 1) if _s % 2 else reversed(range(_s + 1))
+    for _r in _rng:
+        _c = _s - _r
+        if _r < 8 and _c < 8:
+            ZIGZAG.append((_r, _c))
+
+# Orthonormal 8-point DCT-II matrix: forward F = C @ f @ C.T, inverse
+# f = C.T @ F @ C. JPEG's normalization matches the orthonormal form.
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else np.sqrt(0.25)
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _C.T @ block @ _C
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _build_decode_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman: {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+class _Bits:
+    """MSB-first reader over an already-unstuffed entropy buffer."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.i = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self.i >> 3
+        if byte >= len(self.d):
+            raise ValueError("JPEG entropy stream ended early")
+        b = (self.d[byte] >> (7 - (self.i & 7))) & 1
+        self.i += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _unstuff(b: bytes, pos: int) -> bytes:
+    out = bytearray()
+    while pos < len(b):
+        c = b[pos]
+        if c == 0xFF:
+            nxt = b[pos + 1] if pos + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                out.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError("JPEG restart markers not supported here")
+            break  # trailing marker (EOI)
+        out.append(c)
+        pos += 1
+    return bytes(out)
+
+
+def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes]:
+    """JPEG → (w, h, channels, row-major sample bytes). Grayscale stays
+    1 channel; 4:4:4 color returns RGB."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG blob")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    w = h = None
+    comps: list[tuple[int, int]] = []  # (comp_id, quant table id)
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG segment misalignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+        seg = b[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros((8, 8))
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = seg[off + 1 + i]
+                qt[tq] = tbl
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                counts = list(seg[off + 1:off + 17])
+                n = sum(counts)
+                symbols = list(seg[off + 17:off + 17 + n])
+                huff[(tc, th)] = _build_decode_table(counts, symbols)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError(f"JPEG precision {prec} not supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError(
+                        "only 1x1 sampling (grayscale / 4:4:4) decodes here")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) JPEG "
+                             "decodes here")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                idx = next(j for j, (c, _) in enumerate(comps) if c == cid)
+                scan.append((idx, tabs >> 4, tabs & 0x0F))
+            data = _unstuff(b, pos + 2 + ln)
+            return _decode_scan(data, w, h, comps, scan, qt, huff)
+        pos += 2 + ln
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(data, w, h, comps, scan, qt, huff):
+    bits = _Bits(data)
+    nc = len(scan)
+    bx, by = -(-w // 8), -(-h // 8)
+    planes = [np.zeros((by * 8, bx * 8)) for _ in range(nc)]
+    pred = [0] * nc
+    for my in range(by):
+        for mx in range(bx):
+            for s_i, (ci, dc_id, ac_id) in enumerate(scan):
+                dct = huff[(0, dc_id)]
+                act = huff[(1, ac_id)]
+                coeffs = np.zeros(64)
+                t = bits.huff(dct)
+                diff = _extend(bits.bits(t), t)
+                pred[s_i] += diff
+                coeffs[0] = pred[s_i]
+                k = 1
+                while k < 64:
+                    sym = bits.huff(act)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63 or size == 0:
+                        raise ValueError("corrupt JPEG AC coefficients")
+                    coeffs[k] = _extend(bits.bits(size), size)
+                    k += 1
+                block = np.zeros((8, 8))
+                for i, (r, c) in enumerate(ZIGZAG):
+                    block[r, c] = coeffs[i]
+                block *= qt[comps[ci][1]]
+                px = _idct2(block) + 128.0
+                planes[s_i][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = px
+    planes = [p[:h, :w] for p in planes]
+    if nc == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return (w, h, 1, gray.tobytes())
+    if nc != 3:
+        raise ValueError(f"{nc}-component JPEG not supported")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, bl], axis=-1)), 0, 255) \
+        .astype(np.uint8)
+    return (w, h, 3, np.ascontiguousarray(rgb).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Encoder — the sink half, and the independent fixture builder.
+# ---------------------------------------------------------------------------
+
+# Legal-by-construction canonical tables: 12 DC symbols at 4 bits
+# (codes 0..11 — never all-ones), 255 AC symbols at 9 bits + 1 at 10
+# (a DHT count byte caps at 255 per length; the canonical 10-bit code
+# is 0b1111111100 — not all-ones). Wasteful vs Annex K, trivially
+# correct.
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_DC_SYMBOLS = list(range(12))
+_AC_COUNTS = [0] * 8 + [255, 1] + [0] * 6
+_AC_SYMBOLS = list(range(256))
+
+
+def _encode_codes(counts, symbols):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[symbols[k]] = (ln, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+_AC_CODES = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _mag_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _encode_block(wtr: _BitWriter, block: np.ndarray, quant: np.ndarray,
+                  pred: int) -> int:
+    coeffs = np.round(_dct2(block - 128.0) / quant).astype(int)
+    zz = [int(coeffs[r, c]) for (r, c) in ZIGZAG]
+    diff = zz[0] - pred
+    t = _category(diff)
+    ln, code = _DC_CODES[t]
+    wtr.write(code, ln)
+    if t:
+        wtr.write(_mag_bits(diff, t), t)
+    k, run = 1, 0
+    while k < 64:
+        v = zz[k]
+        if v == 0:
+            run += 1
+        else:
+            while run > 15:
+                ln, code = _AC_CODES[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            s = _category(v)
+            ln, code = _AC_CODES[(run << 4) | s]
+            wtr.write(code, ln)
+            wtr.write(_mag_bits(v, s), s)
+            run = 0
+        k += 1
+    if run:
+        ln, code = _AC_CODES[0x00]
+        wtr.write(code, ln)
+    return zz[0]
+
+
+def encode_jpeg_baseline(pixels: np.ndarray,
+                         quant: np.ndarray | None = None) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as
+    baseline JPEG. Default quantization is the flat all-ones table —
+    near-lossless (DCT rounding only), the right setting for fixture
+    bytes and archival sinks; pass a real table for compression."""
+    if quant is None:
+        quant = np.ones((8, 8))
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        p = pixels.astype(np.float64)
+        r, g, bl = p[..., 0], p[..., 1], p[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * bl,
+            -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0,
+        ]
+    bx, by = -(-w // 8), -(-h // 8)
+    padded = []
+    for pl in planes:
+        pad = np.pad(pl, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
+        padded.append(pad)
+
+    wtr = _BitWriter()
+    pred = [0] * len(padded)
+    for my in range(by):
+        for mx in range(bx):
+            for ci, pl in enumerate(padded):
+                block = pl[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                pred[ci] = _encode_block(wtr, block, quant, pred[ci])
+    data = wtr.flush()
+
+    zz_quant = bytes(int(quant[r, c]) for (r, c) in ZIGZAG)
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_quant
+    nc = 1 if gray else 3
+    sof_comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    sof = (b"\xff\xc0" + struct.pack(">H", 8 + 3 * nc) + b"\x08"
+           + struct.pack(">HH", h, w) + bytes([nc]) + sof_comp)
+
+    def dht(tc, th, counts, symbols):
+        payload = bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    dhts = dht(0, 0, _DC_COUNTS, _DC_SYMBOLS) \
+        + dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
+    sos_comp = b"".join(bytes([i + 1, 0x00]) for i in range(nc))
+    sos = (b"\xff\xda" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
+           + sos_comp + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dhts + sos + data + b"\xff\xd9"

@@ -14,11 +14,13 @@ pure-Python (`struct` + numpy over Arrow batches):
 - PNG pixel decode with nothing but stdlib zlib: IDAT inflate +
   per-scanline unfilter (all five filter types), palette expansion,
 - GIF pixel decode with a pure-Python LZW decompressor (first frame,
-  local/global color tables).
+  local/global color tables),
+- baseline JPEG decode — canonical Huffman + exact orthonormal IDCT —
+  and the matching encoder, in `operators/jpeg.py`.
 
-Only pixel decode that needs an actual DCT/entropy codec (JPEG
-huffman/DCT, H.264) raises a clearly worded ValueError naming the
-contract; everything else is decoded for real.
+Only video bitstream decode (H.264) and the exotic JPEG modes
+(progressive, subsampled chroma) raise a clearly worded ValueError
+naming the contract; everything else is decoded for real.
 
 Scale shape: every step is Arrow-batched `mapInPandas` over
 (id, content) — batch-at-a-time Python, no shuffle, runs at scan speed;
@@ -493,18 +495,24 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
 
 def _decode_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch real pixel decode by magic bytes: BMP (struct+numpy),
-    PNG (stdlib zlib inflate + unfilter), and GIF (pure-Python LZW)
-    decode for real; only formats whose pixel data is behind a
-    DCT/entropy codec (JPEG, video bitstreams) raise."""
+    PNG (stdlib zlib inflate + unfilter), GIF (pure-Python LZW), and
+    baseline JPEG (pure-Python Huffman + numpy IDCT,
+    `operators/jpeg.py`) all decode for real. Progressive/subsampled
+    JPEG and video bitstreams (H.264) raise named contracts."""
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:8] == b"\x89PNG\r\n\x1a\x0a":
         return _decode_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(b)
+    if b[:2] == b"\xff\xd8":
+        from api_to_amt_data_lake_spark.operators.jpeg import (
+            decode_jpeg_baseline,
+        )
+        return decode_jpeg_baseline(b)
     raise ValueError(
-        "pixel decode is real for BMP, PNG, and GIF; JPEG / H.264 "
-        "entropy decode needs a codec library — contract: "
+        "pixel decode is real for BMP, PNG, GIF, and baseline JPEG; "
+        "video bitstreams (H.264) need a codec library — contract: "
         "(id, content) -> (id, width, height, channels, pixels)")
 
 

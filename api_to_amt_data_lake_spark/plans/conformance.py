@@ -2544,6 +2544,69 @@ def q74c_gif_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode, out_schema)
 
 
+@register("q74d_jpeg_pixel_decode", oracle="""
+SELECT doc_id,
+  CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(128 * 30 * (doc_id % 8) AS BIGINT) AS pixel_sum,
+  round(30.0 * (doc_id % 8), 6) AS pixel_mean
+FROM documents WHERE doc_id < 120
+""")
+def q74d_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode: each row picks one of eight
+    constant-gray 16×8 JPEGs (value 30·(doc_id%8)) encoded by
+    `operators/jpeg.py::encode_jpeg_baseline` at plan time, and
+    `decode_jpeg_baseline` runs the pure-Python Huffman decode + exact
+    IDCT inside the usual Arrow-batched pass. Constant blocks are
+    DC-only with a flat quantization table, so the round-trip is EXACT
+    and the oracle is pure arithmetic — a bug in segment parsing,
+    Huffman tables, DC prediction, dezigzag, or the IDCT breaks the
+    hash. (The AC/zigzag paths are pinned analytically in
+    tests/test_multimodal_decode.py.)"""
+    import numpy as np  # local: plan-time fixtures + Python workers
+    import pandas as pd
+
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from api_to_amt_data_lake_spark.operators.multimodal import _decode_pixels
+
+    variants = F.array(*[
+        F.lit(encode_jpeg_baseline(
+            np.full((8, 16), 30 * v, dtype=np.uint8)).hex().upper())
+        for v in range(8)
+    ])
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.unhex(F.element_at(variants,
+                                 (F.col("doc_id") % 8 + 1).cast("int")))
+            .alias("content"),
+        )
+    )
+
+    out_schema = ("doc_id long, width int, height int, channels int, "
+                  "pixel_sum long, pixel_mean double")
+
+    def decode(batches):
+        for pdf in batches:
+            px = [_decode_pixels(bytes(b)) for b in pdf["content"]]
+            arrs = [np.frombuffer(p[3], dtype=np.uint8) for p in px]
+            yield pd.DataFrame({
+                "doc_id": pdf["id"],
+                "width": [p[0] for p in px],
+                "height": [p[1] for p in px],
+                "channels": [p[2] for p in px],
+                "pixel_sum": [int(a.sum()) for a in arrs],
+                "pixel_mean": [round(float(a.sum()) / a.size, 6)
+                               for a in arrs],
+            })
+
+    return d.mapInPandas(decode, out_schema)
+
+
 @register("q75_feature_ann", oracle=f"""
 WITH feat AS (
   SELECT doc_id AS vec_id,

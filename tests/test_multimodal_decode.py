@@ -130,8 +130,15 @@ def test_decode_bmp_pixels_roundtrip(spark):
     np.testing.assert_array_equal(got, img)  # exact: BGR flip + row flip undone
 
 
-def test_decode_image_rejects_entropy_coded(spark):
+def test_decode_image_rejects_video_bitstreams(spark):
     with pytest.raises(Exception, match="codec"):
+        decode_image(_blob_df(spark, [b"\x00\x00\x00\x01h264 nalu"])) \
+            .collect()
+
+
+def test_decode_image_rejects_scanless_jpeg(spark):
+    # header-only JPEG (no SOS): a named JPEG error, not a crash
+    with pytest.raises(Exception, match="scan"):
         decode_image(_blob_df(spark, [jpeg_bytes(2, 2)])).collect()
 
 
@@ -375,3 +382,110 @@ def test_sample_video_frames_avi(spark):
 def test_sample_video_frames_rejects_non_avi(spark):
     with pytest.raises(Exception, match="AVI"):
         sample_video_frames(_blob_df(spark, [b"mp4 junk"]), 2).collect()
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (operators/jpeg.py) — verified against the MATH, not just
+# encoder<->decoder round-trip (symmetric bugs would cancel).
+# --------------------------------------------------------------------------
+
+def test_jpeg_idct_matches_cosine_sum_definition():
+    from api_to_amt_data_lake_spark.operators.jpeg import _idct2
+
+    rng = np.random.default_rng(2)
+    F = rng.uniform(-100, 100, (8, 8))
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.125) if u == 0 else np.sqrt(0.25)
+                    cv = np.sqrt(0.125) if v == 0 else np.sqrt(0.25)
+                    s += (cu * cv * F[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            direct[x, y] = s
+    np.testing.assert_allclose(_idct2(F), direct, atol=1e-9)
+
+
+def test_jpeg_zigzag_is_the_standard_order():
+    from api_to_amt_data_lake_spark.operators.jpeg import ZIGZAG
+    assert len(ZIGZAG) == 64 and len(set(ZIGZAG)) == 64
+    assert ZIGZAG[:10] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+                           (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+    assert ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+
+
+def test_jpeg_single_coefficient_decodes_to_analytic_pattern():
+    """Encode images that are exactly the IDCT of one nonzero AC
+    coefficient at several (u, v) positions: the decoded pixels must
+    reproduce the analytic cosine pattern exactly (flat quant). A
+    zigzag or basis error on either side cannot cancel here — the
+    assertion is against the mathematical pattern, not the encoder."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        _idct2, decode_jpeg_baseline, encode_jpeg_baseline)
+
+    for (u, v) in [(0, 1), (1, 0), (3, 2), (7, 7), (0, 5)]:
+        F = np.zeros((8, 8))
+        F[u, v] = 40.0
+        img = np.clip(np.round(_idct2(F) + 128.0), 0, 255).astype(np.uint8)
+        w, h, ch, px = decode_jpeg_baseline(encode_jpeg_baseline(img))
+        got = np.frombuffer(px, np.uint8).reshape(8, 8)
+        assert (w, h, ch) == (8, 8, 1)
+        np.testing.assert_array_equal(got, img)
+
+
+def test_jpeg_roundtrip_gray_and_color(spark):
+    """Non-multiple-of-8 sizes (edge padding), random content, flat
+    quantization: decoded pixels within DCT-rounding tolerance; runs
+    through the Spark decode_image path end to end."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        encode_jpeg_baseline)
+
+    rng = np.random.default_rng(29)
+    gray = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    color = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    rows = decode_image(_blob_df(spark, [
+        encode_jpeg_baseline(gray), encode_jpeg_baseline(color),
+    ])).orderBy("id").collect()
+    g = np.frombuffer(bytes(rows[0]["pixels"]), np.uint8).reshape(13, 21)
+    assert rows[0]["channels"] == 1
+    assert np.abs(g.astype(int) - gray.astype(int)).max() <= 2
+    c = np.frombuffer(bytes(rows[1]["pixels"]), np.uint8).reshape(10, 9, 3)
+    assert rows[1]["channels"] == 3
+    assert np.abs(c.astype(int) - color.astype(int)).max() <= 4
+
+
+def test_jpeg_real_quant_table_still_close():
+    """A genuinely lossy table (flat 16s) keeps smooth content close —
+    the codec is a real JPEG, not a fixture format."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_baseline)
+
+    x = np.arange(32)
+    img = np.clip(np.round(
+        128 + 60 * np.sin(np.pi * x / 16))[None, :].repeat(16, 0),
+        0, 255).astype(np.uint8)
+    blob = encode_jpeg_baseline(img, quant=np.full((8, 8), 16.0))
+    w, h, ch, px = decode_jpeg_baseline(blob)
+    got = np.frombuffer(px, np.uint8).reshape(16, 32)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 24
+    assert np.abs(got.astype(float) - img.astype(float)).mean() <= 6
+
+
+def test_jpeg_contract_errors():
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_baseline)
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(encode_jpeg_baseline(img))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # progressive
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_baseline(bytes(blob))
+    blob = bytearray(encode_jpeg_baseline(img))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 11] = 0x22  # 2x2 sampling
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg_baseline(bytes(blob))
