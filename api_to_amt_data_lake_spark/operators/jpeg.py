@@ -5,8 +5,9 @@ BMP, PNG (stdlib zlib), and GIF (pure-Python LZW) already decode for
 real; this module adds baseline sequential DCT JPEG.
 
 Decoder scope: 8-bit baseline (SOF0), grayscale or 4:4:4 color (all
-sampling factors 1×1), no restart markers, no progressive — anything
-else raises a named ValueError. The pieces:
+sampling factors 1×1), restart markers honored (DRI + RSTn prediction
+resets), no progressive — anything else raises a named ValueError. The
+pieces:
 
 - segment walk: DQT (8-bit precision), DHT (canonical Huffman), SOF0,
   SOS; APPn/COM skipped by length,
@@ -114,22 +115,26 @@ class _Bits:
         raise ValueError("invalid JPEG Huffman code")
 
 
-def _unstuff(b: bytes, pos: int) -> bytes:
-    out = bytearray()
+def _unstuff_segments(b: bytes, pos: int) -> list[bytes]:
+    """Entropy data split at restart markers, 0xFF00 unstuffed: one
+    buffer per restart interval (a single buffer when DRI is unused)."""
+    segs = [bytearray()]
     while pos < len(b):
         c = b[pos]
         if c == 0xFF:
             nxt = b[pos + 1] if pos + 1 < len(b) else 0xD9
             if nxt == 0x00:
-                out.append(0xFF)
+                segs[-1].append(0xFF)
                 pos += 2
                 continue
-            if 0xD0 <= nxt <= 0xD7:
-                raise ValueError("JPEG restart markers not supported here")
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: new interval
+                segs.append(bytearray())
+                pos += 2
+                continue
             break  # trailing marker (EOI)
-        out.append(c)
+        segs[-1].append(c)
         pos += 1
-    return bytes(out)
+    return [bytes(s) for s in segs]
 
 
 def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes]:
@@ -140,6 +145,7 @@ def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes]:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     w = h = None
+    dri = 0
     comps: list[tuple[int, int]] = []  # (comp_id, quant table id)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
     pos = 2
@@ -187,26 +193,38 @@ def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes]:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) JPEG "
                              "decodes here")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 idx = next(j for j, (c, _) in enumerate(comps) if c == cid)
                 scan.append((idx, tabs >> 4, tabs & 0x0F))
-            data = _unstuff(b, pos + 2 + ln)
-            return _decode_scan(data, w, h, comps, scan, qt, huff)
+            segs = _unstuff_segments(b, pos + 2 + ln)
+            return _decode_scan(segs, w, h, comps, scan, qt, huff, dri)
         pos += 2 + ln
     raise ValueError("JPEG has no scan data")
 
 
-def _decode_scan(data, w, h, comps, scan, qt, huff):
-    bits = _Bits(data)
+def _decode_scan(segs, w, h, comps, scan, qt, huff, dri=0):
+    bits = _Bits(segs[0])
     nc = len(scan)
     bx, by = -(-w // 8), -(-h // 8)
     planes = [np.zeros((by * 8, bx * 8)) for _ in range(nc)]
     pred = [0] * nc
+    mcu = seg_i = 0
     for my in range(by):
         for mx in range(bx):
+            if dri and mcu and mcu % dri == 0:
+                # restart: next interval segment, byte-aligned, DC
+                # predictions reset
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing restart interval data")
+                bits = _Bits(segs[seg_i])
+                pred = [0] * nc
+            mcu += 1
             for s_i, (ci, dc_id, ac_id) in enumerate(scan):
                 dct = huff[(0, dc_id)]
                 act = huff[(1, ac_id)]
@@ -296,9 +314,16 @@ class _BitWriter:
                     self.out.append(0x00)  # byte stuffing
                 self.acc, self.n = 0, 0
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.n:
             self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+
+    def raw(self, bts: bytes) -> None:
+        assert self.n == 0
+        self.out += bts
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -343,11 +368,15 @@ def _encode_block(wtr: _BitWriter, block: np.ndarray, quant: np.ndarray,
 
 
 def encode_jpeg_baseline(pixels: np.ndarray,
-                         quant: np.ndarray | None = None) -> bytes:
+                         quant: np.ndarray | None = None,
+                         restart_interval: int = 0) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as
     baseline JPEG. Default quantization is the flat all-ones table —
     near-lossless (DCT rounding only), the right setting for fixture
-    bytes and archival sinks; pass a real table for compression."""
+    bytes and archival sinks; pass a real table for compression.
+    `restart_interval` > 0 writes a DRI segment and RSTn markers every
+    that many MCUs (what camera/scanner JPEGs do for error resilience —
+    and the decoder-side path that exercises prediction resets)."""
     if quant is None:
         quant = np.ones((8, 8))
     gray = pixels.ndim == 2
@@ -370,8 +399,15 @@ def encode_jpeg_baseline(pixels: np.ndarray,
 
     wtr = _BitWriter()
     pred = [0] * len(padded)
+    mcu = 0
     for my in range(by):
         for mx in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.byte_align()
+                n = (mcu // restart_interval - 1) % 8
+                wtr.raw(bytes([0xFF, 0xD0 + n]))
+                pred = [0] * len(padded)
+            mcu += 1
             for ci, pl in enumerate(padded):
                 block = pl[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
                 pred[ci] = _encode_block(wtr, block, quant, pred[ci])
@@ -390,7 +426,11 @@ def encode_jpeg_baseline(pixels: np.ndarray,
 
     dhts = dht(0, 0, _DC_COUNTS, _DC_SYMBOLS) \
         + dht(1, 0, _AC_COUNTS, _AC_SYMBOLS)
+    dri_seg = b""
+    if restart_interval:
+        dri_seg = b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos_comp = b"".join(bytes([i + 1, 0x00]) for i in range(nc))
     sos = (b"\xff\xda" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
            + sos_comp + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dhts + sos + data + b"\xff\xd9"
+    return (b"\xff\xd8" + dqt + sof + dhts + dri_seg + sos + data
+            + b"\xff\xd9")

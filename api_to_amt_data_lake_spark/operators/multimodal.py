@@ -288,56 +288,16 @@ def _inflate_idat(data: bytes) -> bytes:
         return zlib.decompress(bytes(memoryview(data)[2:]), -15)
 
 
-def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
-    """PNG → (w, h, channels, top-down row-major sample bytes) with
-    stdlib only: chunk walk → IDAT zlib inflate → per-scanline unfilter
-    (filters 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) → palette
-    expansion for color type 3. Gray stays 1 channel, gray+alpha 2,
-    RGB 3, RGBA 4, palette expands to RGB 3.
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass.
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    Supports the overwhelmingly common 8-bit-depth non-interlaced case;
-    other bit depths and Adam7 interlace raise ValueError (they need a
-    bit-unpacking pass, not a codec — narrow, named contract). Chunk
-    CRCs are not verified: decode is content-addressed, integrity
-    checking belongs to the storage layer.
 
-    Sub/Up/cumsum-able filters vectorize per scanline; Average/Paeth are
-    sequential within a row by definition (each pixel depends on the
-    just-reconstructed left neighbor), so those rows fall back to a
-    per-byte loop — still batch-local, no shuffle.
-    """
-    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\x0a" or b[12:16] != b"IHDR":
-        raise ValueError(
-            "not a PNG blob — contract: (id, content) -> "
-            "(id, width, height, channels, pixels)")
-    w, h = struct.unpack(">II", b[16:24])
-    depth, ctype, _comp, _filt, interlace = b[24], b[25], b[26], b[27], b[28]
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} needs a bit-unpacking pass; "
-                         f"only depth 8 decodes here")
-    if interlace:
-        raise ValueError("Adam7-interlaced PNG not supported here")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"unknown PNG color type {ctype}")
-    idat, plte, off = bytearray(), None, 8
-    while off + 8 <= len(b):
-        (ln,) = struct.unpack(">I", b[off:off + 4])
-        tag = b[off + 4:off + 8]
-        if tag == b"IDAT":
-            idat += b[off + 8:off + 8 + ln]
-        elif tag == b"PLTE":
-            plte = b[off + 8:off + 8 + ln]
-        elif tag == b"IEND":
-            break
-        off += 12 + ln  # len + tag + data + crc
-    raw = _inflate_idat(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG scanline data is {len(raw)} bytes, expected "
-            f"{h * (1 + stride)} for {w}x{h}x{channels}")
-    bpp = channels  # bytes per pixel at depth 8
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering over `h` lines of `stride` sample
+    bytes (each prefixed by its filter-type byte). Shared by the
+    sequential and Adam7 paths — an interlace pass is just a smaller
+    image with its own filter chain."""
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -371,6 +331,81 @@ def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = cur
         prev = cur.astype(np.int32)
+    return out
+
+
+def _decode_png(b: bytes) -> tuple[int, int, int, bytes]:
+    """PNG → (w, h, channels, top-down row-major sample bytes) with
+    stdlib only: chunk walk → IDAT zlib inflate → per-scanline unfilter
+    (filters 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) → palette
+    expansion for color type 3. Gray stays 1 channel, gray+alpha 2,
+    RGB 3, RGBA 4, palette expands to RGB 3.
+
+    Supports 8-bit depth, both non-interlaced AND Adam7-interlaced
+    (each of the seven sub-images unfilters independently, then
+    scatters onto the full grid); other bit depths raise ValueError
+    (they need a bit-unpacking pass, not a codec — narrow, named
+    contract). Chunk CRCs are not verified: decode is
+    content-addressed, integrity checking belongs to the storage layer.
+
+    Sub/Up/cumsum-able filters vectorize per scanline; Average/Paeth are
+    sequential within a row by definition (each pixel depends on the
+    just-reconstructed left neighbor), so those rows fall back to a
+    per-byte loop — still batch-local, no shuffle.
+    """
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\x0a" or b[12:16] != b"IHDR":
+        raise ValueError(
+            "not a PNG blob — contract: (id, content) -> "
+            "(id, width, height, channels, pixels)")
+    w, h = struct.unpack(">II", b[16:24])
+    depth, ctype, _comp, _filt, interlace = b[24], b[25], b[26], b[27], b[28]
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} needs a bit-unpacking pass; "
+                         f"only depth 8 decodes here")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    idat, plte, off = bytearray(), None, 8
+    while off + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[off:off + 4])
+        tag = b[off + 4:off + 8]
+        if tag == b"IDAT":
+            idat += b[off + 8:off + 8 + ln]
+        elif tag == b"PLTE":
+            plte = b[off + 8:off + 8 + ln]
+        elif tag == b"IEND":
+            break
+        off += 12 + ln  # len + tag + data + crc
+    raw = _inflate_idat(bytes(idat))
+    bpp = channels  # bytes per pixel at depth 8
+    if interlace == 0:
+        if len(raw) != h * (1 + w * bpp):
+            raise ValueError(
+                f"PNG scanline data is {len(raw)} bytes, expected "
+                f"{h * (1 + w * bpp)} for {w}x{h}x{channels}")
+        out = _png_unfilter(raw, h, w * bpp, bpp)
+    else:
+        # Adam7: seven sub-images, each filtered as its own image, then
+        # scattered to (y0 + i*dy, x0 + j*dx) on the full grid.
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub_len = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[pos:pos + sub_len], ph, pw * bpp, bpp)
+            pos += sub_len
+            cols = np.arange(pw) * dx + x0
+            rows = np.arange(ph) * dy + y0
+            px = sub.reshape(ph, pw, bpp)
+            for ci in range(bpp):
+                out[np.ix_(rows, cols * bpp + ci)] = px[:, :, ci]
+        if pos != len(raw):
+            raise ValueError("Adam7 PNG data length mismatch")
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -435,9 +470,9 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
     """GIF → (w, h, 3, RGB bytes) with a pure-Python LZW decoder — no
     codec library. Decodes the FIRST image frame (animations: frame 0),
     honoring a local color table when present, falling back to the
-    global one. Adam-style interlaced frames raise (a row-reorder pass,
-    deliberately out of scope); so do frames smaller than the logical
-    screen (compositing belongs to an animation pipeline)."""
+    global one. Interlaced frames are deinterlaced (the GIF 4-pass row
+    order); frames smaller than the logical screen raise (compositing
+    belongs to an animation pipeline)."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF blob")
     sw, sh = struct.unpack("<HH", b[6:10])
@@ -464,8 +499,7 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
                 n = 2 << (ipacked & 0x07)
                 lct = b[off:off + 3 * n]
                 off += 3 * n
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported here")
+            interlaced = bool(ipacked & 0x40)
             if (left, top, w, h) != (0, 0, sw, sh):
                 raise ValueError("partial-frame GIF needs compositing; "
                                  "only full-screen frames decode here")
@@ -484,7 +518,18 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
             colors = np.frombuffer(pal, np.uint8).reshape(-1, 3)
             if int(idx.max(initial=0)) >= len(colors):
                 raise ValueError("GIF pixel index exceeds color table")
-            rgb = colors[idx].reshape(h, w, 3)
+            rows = idx.reshape(h, w)
+            if interlaced:
+                # GIF 4-pass interlace: the decoded stream carries rows
+                # 0,8,16…, then 4,12…, then 2,6…, then 1,3,5… — scatter
+                # them back to their display positions.
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2)])
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            rgb = colors[rows]
             return (w, h, 3, np.ascontiguousarray(rgb).tobytes())
         elif marker == 0x3B:
             break

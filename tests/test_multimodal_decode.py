@@ -319,14 +319,21 @@ def test_decode_gif_lzw_roundtrip(spark):
         np.testing.assert_array_equal(got, want_pal[idx])
 
 
+def _gif_descriptor_offset(blob: bytes) -> int:
+    """Offset of the image descriptor (0x2C block) in a full_gif_bytes
+    output: 13-byte header + the global color table."""
+    gct_size = blob[10] & 0x07
+    return 13 + 3 * (2 << gct_size)
+
+
 def test_decode_gif_contract_errors():
     from api_to_amt_data_lake_spark.operators.multimodal import _decode_gif
     idx = np.zeros((2, 2), dtype=np.uint8)
     blob = bytearray(full_gif_bytes(idx, bytes(12)))
-    # image descriptor packed byte: set interlace flag
-    pos = blob.index(0x2C, 10) + 9
-    blob[pos] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
+    pos = _gif_descriptor_offset(blob)
+    assert blob[pos] == 0x2C
+    blob[pos + 1] = 1  # left offset: a partial (composited) frame
+    with pytest.raises(ValueError, match="compositing"):
         _decode_gif(bytes(blob))
 
 
@@ -335,13 +342,103 @@ def test_decode_png_contract_errors(spark):
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
     blob = bytearray(full_png_bytes(img, [0]))
-    blob[28] = 1  # Adam7 interlace flag
+    blob[28] = 2  # unknown interlace method
     with pytest.raises(ValueError, match="interlace"):
         _decode_png(bytes(blob))
     blob = bytearray(full_png_bytes(img, [0]))
     blob[24] = 16  # bit depth
     with pytest.raises(ValueError, match="depth"):
         _decode_png(bytes(blob))
+
+
+def adam7_png_bytes(pixels: np.ndarray, color_type: int = 2) -> bytes:
+    """Adam7-interlaced PNG built independently of the decoder: slice
+    the seven sub-images per the pass geometry, filter each pass's
+    scanlines (None on the first row, Up after), deflate, real CRCs."""
+    import zlib as _z
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    h, w = pixels.shape[:2]
+    ch = 1 if pixels.ndim == 2 else pixels.shape[2]
+    flat = pixels.reshape(h, w, ch)
+    raw = bytearray()
+    for (x0, y0, dx, dy) in passes:
+        rows = list(range(y0, h, dy))
+        cols = list(range(x0, w, dx))
+        if not rows or not cols:
+            continue
+        sub = flat[np.ix_(rows, cols)]
+        prev = np.zeros(len(cols) * ch, np.int32)
+        for y in range(len(rows)):
+            line = sub[y].reshape(-1).astype(np.int32)
+            if y == 0:
+                raw.append(0)
+                raw += line.astype(np.uint8).tobytes()
+            else:
+                raw.append(2)  # Up
+                raw += ((line - prev) & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", _z.crc32(tag + data)))
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 1])
+    return (b"\x89PNG\r\n\x1a\x0a" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_adam7_interlaced(spark):
+    """Adam7 PNGs deinterlace to the exact original pixels — including
+    sizes where late passes are empty (1x1) and non-multiples of 8."""
+    rng = np.random.default_rng(37)
+    rgb = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 5), dtype=np.uint8)
+    tiny = rng.integers(0, 256, (1, 1, 3), dtype=np.uint8)
+    rows = decode_image(_blob_df(spark, [
+        adam7_png_bytes(rgb), adam7_png_bytes(gray, color_type=0),
+        adam7_png_bytes(tiny),
+    ])).orderBy("id").collect()
+    got = np.frombuffer(bytes(rows[0]["pixels"]), np.uint8).reshape(11, 13, 3)
+    np.testing.assert_array_equal(got, rgb)
+    g = np.frombuffer(bytes(rows[1]["pixels"]), np.uint8).reshape(9, 5)
+    np.testing.assert_array_equal(g, gray)
+    t = np.frombuffer(bytes(rows[2]["pixels"]), np.uint8).reshape(1, 1, 3)
+    np.testing.assert_array_equal(t, tiny)
+
+
+def test_decode_gif_interlaced(spark):
+    """An interlaced GIF (rows streamed in 4-pass order) deinterlaces
+    to the original row order."""
+    rng = np.random.default_rng(41)
+    pal = bytes(rng.integers(0, 256, 48, dtype=np.uint8))
+    idx = rng.integers(0, 16, size=(13, 6), dtype=np.uint8)
+    order = np.concatenate([np.arange(0, 13, 8), np.arange(4, 13, 8),
+                            np.arange(2, 13, 4), np.arange(1, 13, 2)])
+    blob = bytearray(full_gif_bytes(idx[order], pal))
+    pos = _gif_descriptor_offset(blob)
+    assert blob[pos] == 0x2C
+    blob[pos + 9] |= 0x40  # interlace flag on the image descriptor
+    out = decode_image(_blob_df(spark, [bytes(blob)])).collect()[0]
+    want = np.frombuffer(pal, np.uint8).reshape(16, 3)[idx]
+    got = np.frombuffer(bytes(out["pixels"]), np.uint8).reshape(13, 6, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jpeg_restart_markers_roundtrip(spark):
+    """DRI + RSTn: encoder emits restart markers, decoder resets DC
+    predictions per interval — pixels still round-trip tightly."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        encode_jpeg_baseline)
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    blob = encode_jpeg_baseline(img, restart_interval=4)
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+    out = decode_image(_blob_df(spark, [blob])).collect()[0]
+    got = np.frombuffer(bytes(out["pixels"]), np.uint8).reshape(24, 40)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
 
 
 def test_resize_image_nearest_neighbor(spark):
