@@ -5,9 +5,11 @@ engine-side equivalent is a plain CLI the host scheduler (cron, Airflow,
 Dagster) invokes — scheduling stays out of the engine (SURVEY.md §7).
 
 Subcommands:
-  run     silver → gold: build all 41 AMT views for a school year
-  views   list registered views (name, collection)
-  sql     run a SQL statement against the gold views of a school year
+  run       silver → gold: build all 41 AMT views for a school year
+  views     list registered views (name, collection)
+  sql       run a SQL statement against the gold views of a school year
+  validate  post-build gold checks (referential integrity, key
+            uniqueness/completeness); exit 1 on any FAIL
 """
 
 from __future__ import annotations
@@ -35,6 +37,10 @@ def _parser() -> argparse.ArgumentParser:
     sql.add_argument("--school-year", required=True)
     sql.add_argument("query", help="SQL text, e.g. 'SELECT * FROM schoolDim'")
     sql.add_argument("--limit", type=int, default=20)
+
+    val = sub.add_parser("validate", help="run gold-layer checks")
+    val.add_argument("--gold", required=True)
+    val.add_argument("--school-year", required=True)
     return p
 
 
@@ -69,6 +75,18 @@ def main(argv: list[str] | None = None) -> int:
         for line in df.limit(args.limit).toJSON().collect():
             print(line)
         return 0
+
+    if args.cmd == "validate":
+        from api_to_amt_data_lake_spark.amt.validate import validate_gold
+
+        report = validate_gold(spark, args.gold, args.school_year).collect()
+        failed = 0
+        for r in report:
+            print(f"{r['status']:7s} {r['kind']:12s} {r['check']}"
+                  + (f"  ({r['violations']} violations)"
+                     if r["status"] == "FAIL" else ""))
+            failed += r["status"] == "FAIL"
+        return 1 if failed else 0
 
     return 2
 

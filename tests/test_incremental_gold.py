@@ -156,3 +156,48 @@ def test_cli_views_run_and_sql(spark, tmp_path, capsys):
     assert main(["sql", "--gold", str(gold), "--school-year", str(SY),
                  "SELECT DateKey FROM dateDim"]) == 0
     assert "20230815" in capsys.readouterr().out
+
+
+def test_validate_gold_reports_orphans_dupes_and_skips(spark, tmp_path):
+    """amt/validate.py: referential orphans and duplicate/blank keys are
+    counted per check; views missing from the gold folder are SKIPPED,
+    and a clean lake is all-PASS."""
+    from api_to_amt_data_lake_spark.amt.validate import validate_gold
+
+    gold = tmp_path / "gold" / str(SY)
+
+    def write(name, rows, schema):
+        spark.createDataFrame(rows, schema).write.mode("overwrite") \
+            .parquet(str(gold / name))
+
+    write("schoolDim", [("s1",), ("s2",)], "SchoolKey string")
+    write("studentSchoolDim",
+          [("st1-s1", "st1", "s1"), ("st2-s9", "st2", "s9"),  # orphan s9
+           ("st1-s1", "st1", "s1")],                          # dup key
+          "StudentSchoolKey string, StudentKey string, SchoolKey string")
+    write("dateDim", [("20230815",), ("",)], "DateKey string")  # blank key
+
+    rep = {r["check"]: (r["status"], r["violations"])
+           for r in validate_gold(spark, str(tmp_path / "gold"),
+                                  SY).collect()}
+    assert rep["studentSchoolDim.SchoolKey -> schoolDim.SchoolKey"] == \
+        ("FAIL", 1)
+    assert rep["schoolDim(SchoolKey) unique"] == ("PASS", 0)
+    assert rep["studentSchoolDim(StudentSchoolKey) unique"] == ("FAIL", 1)
+    assert rep["dateDim(DateKey) non-null"] == ("FAIL", 1)
+    # absent views are SKIPPED, not failed
+    assert rep["sectionDim(SectionKey) unique"] == ("SKIPPED", 0)
+    assert rep[("ews_studentSectionGradeFact.StudentSectionKey -> "
+                "studentSectionDim.StudentSectionKey")] == ("SKIPPED", 0)
+
+    # repair the lake -> the previously failing checks pass
+    write("studentSchoolDim",
+          [("st1-s1", "st1", "s1"), ("st2-s2", "st2", "s2")],
+          "StudentSchoolKey string, StudentKey string, SchoolKey string")
+    write("dateDim", [("20230815",), ("20230816",)], "DateKey string")
+    rep2 = {r["check"]: r["status"]
+            for r in validate_gold(spark, str(tmp_path / "gold"),
+                                   SY).collect()}
+    assert rep2["studentSchoolDim.SchoolKey -> schoolDim.SchoolKey"] == "PASS"
+    assert rep2["studentSchoolDim(StudentSchoolKey) unique"] == "PASS"
+    assert rep2["dateDim(DateKey) non-null"] == "PASS"
