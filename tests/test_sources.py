@@ -458,3 +458,47 @@ def test_read_collection_drops_corrupt_pages(spark, tmp_path):
     rows = {(r["id"], r["v"]) for r in df.collect()}
     assert rows == {("a", 1), ("b", 2)}
     assert "_corrupt_record" not in df.columns
+
+
+def test_export_webdataset_shards(spark, tmp_path):
+    """WebDataset export: samples grouped by basename with one member
+    per payload extension, members adjacent and id-ordered, shards
+    bounded by shard_size, atomic files, byte-identical on re-export."""
+    import hashlib
+    import tarfile
+
+    from api_to_amt_data_lake_spark.sources.webdataset import (
+        export_webdataset,
+        read_webdataset_manifest,
+    )
+
+    rows = [(i, bytes([i % 256]) * (10 + i), f"caption {i}")
+            for i in range(25)]
+    df = spark.createDataFrame(rows, "id long, img binary, txt string")
+    out = str(tmp_path / "wds")
+    manifest = {r["shard"]: (r["n_samples"], r["path"])
+                for r in export_webdataset(
+                    df, out, "id", {"jpg": "img", "txt": "txt"},
+                    shard_size=10).collect()}
+    assert {s: n for s, (n, _) in manifest.items()} == {0: 10, 1: 10, 2: 5}
+
+    with tarfile.open(manifest[1][1]) as tar:
+        names = tar.getnames()
+        # adjacency + order: jpg then txt per id, ids ascending
+        assert names == [f"{i:012d}.{e}" for i in range(10, 20)
+                         for e in ("jpg", "txt")]
+        got = tar.extractfile("000000000012.jpg").read()
+        assert got == bytes([12]) * 22
+        assert tar.extractfile("000000000012.txt").read() == b"caption 12"
+
+    digests = {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+               for _, p in manifest.values()}
+    # re-export: byte-identical shards (fixed tar metadata, no clock)
+    export_webdataset(df, out, "id", {"jpg": "img", "txt": "txt"},
+                      shard_size=10).collect()
+    for p, d in digests.items():
+        assert hashlib.md5(open(p, "rb").read()).hexdigest() == d
+
+    audit = {r["shard"]: r["n_members"]
+             for r in read_webdataset_manifest(spark, out).collect()}
+    assert audit == {0: 20, 1: 20, 2: 10}
