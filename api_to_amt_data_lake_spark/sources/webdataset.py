@@ -112,3 +112,31 @@ def read_webdataset_manifest(spark, out_dir: str) -> DataFrame:
         rows.append((int(name[6:-4]), n, os.path.getsize(path), path))
     return spark.createDataFrame(
         rows, "shard long, n_members long, n_bytes long, path string")
+
+
+def read_webdataset(spark, out_dir: str) -> DataFrame:
+    """Distributed WebDataset reader: one row per member —
+    (id, ext, content) — via the binaryFile source (each task untars
+    the shards it was assigned; shards stream independently, which is
+    the whole point of the format). Reassemble samples with
+    `groupBy(id).pivot(ext)` or a self-join on id."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile") \
+        .load(os.path.join(out_dir, "shard-*.tar")) \
+        .select("path", "content")
+
+    def untar(batches):
+        for pdf in batches:
+            ids, exts, blobs = [], [], []
+            for blob in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar.getmembers():
+                        stem, _, ext = m.name.partition(".")
+                        ids.append(int(stem))
+                        exts.append(ext)
+                        blobs.append(tar.extractfile(m).read())
+            yield pd.DataFrame({"id": pd.array(ids, dtype="Int64"),
+                                "ext": exts, "content": blobs})
+
+    return files.mapInPandas(untar, "id long, ext string, content binary")

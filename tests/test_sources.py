@@ -502,3 +502,22 @@ def test_export_webdataset_shards(spark, tmp_path):
     audit = {r["shard"]: r["n_members"]
              for r in read_webdataset_manifest(spark, out).collect()}
     assert audit == {0: 20, 1: 20, 2: 10}
+
+
+def test_read_webdataset_roundtrip(spark, tmp_path):
+    from api_to_amt_data_lake_spark.sources.webdataset import (
+        export_webdataset,
+        read_webdataset,
+    )
+
+    rows = [(i, bytes([i]) * 5, f"t{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, img binary, txt string")
+    out = str(tmp_path / "wds")
+    export_webdataset(df, out, "id", {"jpg": "img", "txt": "txt"},
+                      shard_size=5).collect()
+    back = read_webdataset(spark, out)
+    got = {(r["id"], r["ext"]): bytes(r["content"])
+           for r in back.collect()}
+    assert len(got) == 24
+    assert got[(3, "jpg")] == bytes([3]) * 5
+    assert got[(11, "txt")] == b"t11"
