@@ -54,6 +54,9 @@ HEADLINE = [
     "q63_kmeans_ivf",
     "q62_retention_cohorts",
     "q73_cosine_topk_wide",
+    "q74b_png_pixel_decode",
+    "q74c_gif_pixel_decode",
+    "q74d_jpeg_pixel_decode",
     "q86c_sql_sole_blame_supplier",
     "q87_span_dedup",
     "q90_sq8_ann",
