@@ -4,8 +4,9 @@ Closes the last pixel-decode boundary in `operators/multimodal.py`:
 BMP, PNG (stdlib zlib), and GIF (pure-Python LZW) already decode for
 real; this module adds baseline sequential DCT JPEG.
 
-Decoder scope: 8-bit baseline (SOF0), grayscale or 4:4:4 color (all
-sampling factors 1×1), restart markers honored (DRI + RSTn prediction
+Decoder scope: 8-bit baseline (SOF0), grayscale and 4:4:4 / 4:2:2 /
+4:2:0 color (sampling factors up to 2×2, interleaved MCUs, nearest
+chroma upsampling), restart markers honored (DRI + RSTn prediction
 resets), no progressive — anything else raises a named ValueError. The
 pieces:
 
@@ -185,10 +186,12 @@ def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes]:
             nc = seg[5]
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "only 1x1 sampling (grayscale / 4:4:4) decodes here")
-                comps.append((cid, tq))
+                        f"JPEG sampling factor {hi}x{vi} not supported "
+                        f"(1x1 / 2x1 / 1x2 / 2x2 decode here)")
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) JPEG "
@@ -199,7 +202,7 @@ def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes]:
             ns = seg[0]
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
-                idx = next(j for j, (c, _) in enumerate(comps) if c == cid)
+                idx = next(j for j, c in enumerate(comps) if c[0] == cid)
                 scan.append((idx, tabs >> 4, tabs & 0x0F))
             segs = _unstuff_segments(b, pos + 2 + ln)
             return _decode_scan(segs, w, h, comps, scan, qt, huff, dri)
@@ -207,15 +210,46 @@ def decode_jpeg_baseline(b: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("JPEG has no scan data")
 
 
+def _read_block(bits, dct, act, pred_val, quant):
+    """One 8x8 block: DC diff + AC run/size stream -> spatial pixels
+    (level-shifted). Returns (pixel block, new DC prediction)."""
+    coeffs = np.zeros(64)
+    t = bits.huff(dct)
+    pred_val += _extend(bits.bits(t), t)
+    coeffs[0] = pred_val
+    k = 1
+    while k < 64:
+        sym = bits.huff(act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63 or size == 0:
+            raise ValueError("corrupt JPEG AC coefficients")
+        coeffs[k] = _extend(bits.bits(size), size)
+        k += 1
+    block = np.zeros((8, 8))
+    for i, (r, c) in enumerate(ZIGZAG):
+        block[r, c] = coeffs[i]
+    return _idct2(block * quant) + 128.0, pred_val
+
+
 def _decode_scan(segs, w, h, comps, scan, qt, huff, dri=0):
     bits = _Bits(segs[0])
     nc = len(scan)
-    bx, by = -(-w // 8), -(-h // 8)
-    planes = [np.zeros((by * 8, bx * 8)) for _ in range(nc)]
+    hmax = max(comps[ci][2] for ci, _, _ in scan)
+    vmax = max(comps[ci][3] for ci, _, _ in scan)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # per-scan-component plane at ITS OWN resolution (hi/hmax of full)
+    planes = [np.zeros((mcuy * 8 * comps[ci][3], mcux * 8 * comps[ci][2]))
+              for ci, _, _ in scan]
     pred = [0] * nc
     mcu = seg_i = 0
-    for my in range(by):
-        for mx in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 # restart: next interval segment, byte-aligned, DC
                 # predictions reset
@@ -225,35 +259,29 @@ def _decode_scan(segs, w, h, comps, scan, qt, huff, dri=0):
                 bits = _Bits(segs[seg_i])
                 pred = [0] * nc
             mcu += 1
+            # MCU = vi x hi blocks per component, components in scan
+            # order, blocks raster order within the component
             for s_i, (ci, dc_id, ac_id) in enumerate(scan):
-                dct = huff[(0, dc_id)]
-                act = huff[(1, ac_id)]
-                coeffs = np.zeros(64)
-                t = bits.huff(dct)
-                diff = _extend(bits.bits(t), t)
-                pred[s_i] += diff
-                coeffs[0] = pred[s_i]
-                k = 1
-                while k < 64:
-                    sym = bits.huff(act)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63 or size == 0:
-                        raise ValueError("corrupt JPEG AC coefficients")
-                    coeffs[k] = _extend(bits.bits(size), size)
-                    k += 1
-                block = np.zeros((8, 8))
-                for i, (r, c) in enumerate(ZIGZAG):
-                    block[r, c] = coeffs[i]
-                block *= qt[comps[ci][1]]
-                px = _idct2(block) + 128.0
-                planes[s_i][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = px
-    planes = [p[:h, :w] for p in planes]
+                _, tq, hi, vi = comps[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        px, pred[s_i] = _read_block(
+                            bits, huff[(0, dc_id)], huff[(1, ac_id)],
+                            pred[s_i], qt[tq])
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[s_i][y0:y0 + 8, x0:x0 + 8] = px
+    # upsample every component to full resolution (nearest), then crop
+    full = []
+    for s_i, (ci, _, _) in enumerate(scan):
+        _, _, hi, vi = comps[ci]
+        p = planes[s_i]
+        if hi != hmax or vi != vmax:
+            rows = np.arange(mcuy * 8 * vmax) * vi // vmax
+            cols = np.arange(mcux * 8 * hmax) * hi // hmax
+            p = p[np.ix_(rows, cols)]
+        full.append(p[:h, :w])
+    planes = full
     if nc == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return (w, h, 1, gray.tobytes())
@@ -367,22 +395,34 @@ def _encode_block(wtr: _BitWriter, block: np.ndarray, quant: np.ndarray,
     return zz[0]
 
 
+_SUBSAMPLING = {
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+}
+
+
 def encode_jpeg_baseline(pixels: np.ndarray,
                          quant: np.ndarray | None = None,
-                         restart_interval: int = 0) -> bytes:
+                         restart_interval: int = 0,
+                         subsampling: str = "444") -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as
     baseline JPEG. Default quantization is the flat all-ones table —
     near-lossless (DCT rounding only), the right setting for fixture
     bytes and archival sinks; pass a real table for compression.
     `restart_interval` > 0 writes a DRI segment and RSTn markers every
     that many MCUs (what camera/scanner JPEGs do for error resilience —
-    and the decoder-side path that exercises prediction resets)."""
+    and the decoder-side path that exercises prediction resets).
+    `subsampling` is "444", "422", or "420" for color input — "420"
+    box-averages chroma 2x2 (the camera default, half the chroma
+    blocks of 4:4:4)."""
     if quant is None:
         quant = np.ones((8, 8))
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if gray:
         planes = [pixels.astype(np.float64)]
+        samps = [(1, 1)]
     else:
         p = pixels.astype(np.float64)
         r, g, bl = p[..., 0], p[..., 1], p[..., 2]
@@ -391,32 +431,51 @@ def encode_jpeg_baseline(pixels: np.ndarray,
             -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0,
         ]
-    bx, by = -(-w // 8), -(-h // 8)
+        samps = _SUBSAMPLING[subsampling]
+    hmax = max(hv[0] for hv in samps)
+    vmax = max(hv[1] for hv in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     padded = []
-    for pl in planes:
-        pad = np.pad(pl, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge")
-        padded.append(pad)
+    for pl, (hi, vi) in zip(planes, samps):
+        if (hi, vi) != (hmax, vmax):
+            # box-average downsample to this component's resolution
+            fy, fx = vmax // vi, hmax // hi
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
+            fullp = np.pad(pl, ((0, ph - h), (0, pw - w)), mode="edge")
+            pl = fullp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        ch, cw = pl.shape
+        th, tw = mcuy * 8 * vi, mcux * 8 * hi
+        padded.append(np.pad(pl, ((0, th - ch), (0, tw - cw)),
+                             mode="edge"))
 
     wtr = _BitWriter()
     pred = [0] * len(padded)
     mcu = 0
-    for my in range(by):
-        for mx in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 wtr.byte_align()
                 n = (mcu // restart_interval - 1) % 8
                 wtr.raw(bytes([0xFF, 0xD0 + n]))
                 pred = [0] * len(padded)
             mcu += 1
-            for ci, pl in enumerate(padded):
-                block = pl[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-                pred[ci] = _encode_block(wtr, block, quant, pred[ci])
+            for ci, (pl, (hi, vi)) in enumerate(zip(padded, samps)):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        block = pl[y0:y0 + 8, x0:x0 + 8]
+                        pred[ci] = _encode_block(wtr, block, quant,
+                                                 pred[ci])
     data = wtr.flush()
 
     zz_quant = bytes(int(quant[r, c]) for (r, c) in ZIGZAG)
     dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_quant
     nc = 1 if gray else 3
-    sof_comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    sof_comp = b"".join(
+        bytes([i + 1, (samps[i][0] << 4) | samps[i][1], 0])
+        for i in range(nc))
     sof = (b"\xff\xc0" + struct.pack(">H", 8 + 3 * nc) + b"\x08"
            + struct.pack(">HH", h, w) + bytes([nc]) + sof_comp)
 

@@ -583,6 +583,46 @@ def test_jpeg_contract_errors():
         decode_jpeg_baseline(bytes(blob))
     blob = bytearray(encode_jpeg_baseline(img))
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 11] = 0x22  # 2x2 sampling
+    blob[sof + 11] = 0x33  # 3x3 sampling: beyond the 2x2 envelope
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg_baseline(bytes(blob))
+
+
+def test_jpeg_chroma_subsampling_420_and_422():
+    """4:2:0 / 4:2:2: interleaved multi-block MCUs decode correctly.
+    With spatially-constant chroma the box downsample/upsample is
+    lossless, so the full round-trip stays within DCT rounding; with
+    random chroma the luma channel must still carry through (mean
+    recomputed-luma error small — chroma clipping is the only leak)."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_baseline)
+
+    rng = np.random.default_rng(43)
+    y = rng.integers(30, 220, (19, 22)).astype(float)
+    cb, cr = 140.0, 110.0
+    img = np.clip(np.round(np.stack([
+        y + 1.402 * (cr - 128),
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+        y + 1.772 * (cb - 128)], -1)), 0, 255).astype(np.uint8)
+    for sub in ("420", "422"):
+        blob = encode_jpeg_baseline(img, subsampling=sub)
+        w, h, ch, px = decode_jpeg_baseline(blob)
+        got = np.frombuffer(px, np.uint8).reshape(19, 22, 3)
+        assert (w, h, ch) == (22, 19, 3)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+    # 420 writes a quarter of the chroma blocks -> smaller than 444
+    # once the image dwarfs MCU padding
+    big = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    assert len(encode_jpeg_baseline(big, subsampling="420")) < \
+        len(encode_jpeg_baseline(big, subsampling="444"))
+
+    cimg = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    blob = encode_jpeg_baseline(cimg, subsampling="420",
+                                restart_interval=2)
+    w, h, ch, px = decode_jpeg_baseline(blob)
+    got = np.frombuffer(px, np.uint8).reshape(24, 17, 3).astype(float)
+
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    assert np.abs(luma(got) - luma(cimg.astype(float))).mean() <= 3.0
