@@ -59,12 +59,41 @@ def current_version(snapshot_root: str, school_year: str | int,
     return max(versions) if versions else None
 
 
+def list_versions(snapshot_root: str, school_year: str | int,
+                  endpoint: str) -> list[int]:
+    """All complete, un-pruned snapshot versions, ascending — the
+    time-travel surface (version retention is `refresh_snapshot`'s
+    keep_versions)."""
+    base = _snapshot_dir(snapshot_root, school_year, endpoint)
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(base)
+        if (m := _VERSION_RE.match(d))
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    )
+
+
 def read_snapshot(spark: SparkSession, snapshot_root: str,
-                  school_year: str | int, endpoint: str) -> DataFrame | None:
-    """The current snapshot DataFrame, or None before the first refresh."""
-    v = current_version(snapshot_root, school_year, endpoint)
-    if v is None:
-        return None
+                  school_year: str | int, endpoint: str,
+                  version: int | None = None) -> DataFrame | None:
+    """The current snapshot DataFrame — or, with `version`, that older
+    complete version (time travel within the retention window; raises
+    if it was pruned or never completed). None before the first
+    refresh."""
+    if version is not None:
+        if version not in list_versions(snapshot_root, school_year,
+                                        endpoint):
+            raise ValueError(
+                f"snapshot v{version} of {endpoint}/{school_year} is not "
+                f"available (pruned or incomplete); kept versions: "
+                f"{list_versions(snapshot_root, school_year, endpoint)}")
+        v = version
+    else:
+        v = current_version(snapshot_root, school_year, endpoint)
+        if v is None:
+            return None
     return spark.read.parquet(
         os.path.join(_snapshot_dir(snapshot_root, school_year, endpoint),
                      f"v{v}"))

@@ -521,3 +521,39 @@ def test_read_webdataset_roundtrip(spark, tmp_path):
     assert len(got) == 24
     assert got[(3, "jpg")] == bytes([3]) * 5
     assert got[(11, "txt")] == b"t11"
+
+
+def test_snapshot_time_travel_reads_older_version(spark, tmp_path):
+    """read_snapshot(version=) returns the pre-refresh state while the
+    version is retained, and raises once pruned."""
+    import pytest as _pytest
+
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        current_version,
+        list_versions,
+        read_snapshot,
+        refresh_snapshot,
+    )
+
+    root = str(tmp_path / "snap")
+
+    def inc(rows):
+        return spark.createDataFrame(rows, "id string, v long, x string")
+
+    refresh_snapshot(spark, inc([("a", 1, "old")]), None, root, 2023,
+                     "ep", key_col="id", version_col="v", keep_versions=2)
+    v1 = current_version(root, 2023, "ep")
+    refresh_snapshot(spark, inc([("a", 2, "new")]), None, root, 2023,
+                     "ep", key_col="id", version_col="v", keep_versions=2)
+
+    assert {r["x"] for r in read_snapshot(spark, root, 2023,
+                                          "ep").collect()} == {"new"}
+    old = read_snapshot(spark, root, 2023, "ep", version=v1)
+    assert {r["x"] for r in old.collect()} == {"old"}
+
+    # another refresh prunes v1 (keep_versions=2)
+    refresh_snapshot(spark, inc([("a", 3, "newer")]), None, root, 2023,
+                     "ep", key_col="id", version_col="v", keep_versions=2)
+    assert v1 not in list_versions(root, 2023, "ep")
+    with _pytest.raises(ValueError, match="pruned"):
+        read_snapshot(spark, root, 2023, "ep", version=v1)
