@@ -126,6 +126,7 @@ def weighted_sample_keys(
 
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: int = 42,
+    strata_col: str | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle order for training-data serving: adds
     `shuffle_pos` (0-based, dense, gap-free) = the row's position under
@@ -133,20 +134,32 @@ def deterministic_shuffle(
     every engine, at any parallelism, across retries; a new seed is a
     fresh epoch-level reshuffle.
 
+    With `strata_col` the order becomes (strata ASC, md5 key) — the
+    CURRICULUM shape: stages served in order (easy→hard difficulty
+    buckets, clean→noisy sources), rows within a stage in seeded random
+    order, positions still globally dense. Strata cardinality must be
+    small (it multiplies the bucket table: |strata| × 256 rows).
+
     The global rank is computed with the two-phase scheme (same idea as
     `operators/packing.py::pack_offsets`), NOT a partition-less window:
-    the first two hex chars of the key split the order into 256 buckets
-    whose lexicographic bucket order equals the key order, so
-    within-bucket ranks run fully parallel and only the 256-row bucket
-    count table takes a single-task prefix sum before being broadcast
-    back. No stage ever holds more than ~1/256 of the data — this is
-    the shape that survives 100 TB, where `row_number() OVER (ORDER BY
-    hash)` would collapse onto one task.
+    (strata,) + the first two hex chars of the key split the order into
+    buckets whose struct sort order equals the row order, so
+    within-bucket ranks run fully parallel and only the bucket count
+    table takes a single packed-array prefix fold before being
+    broadcast back. No stage ever holds more than ~1/256 of the data —
+    this is the shape that survives 100 TB, where `row_number() OVER
+    (ORDER BY hash)` would collapse onto one task.
     """
     key = F.md5(F.concat_ws(
         ":", F.col(id_col).cast("string"), F.lit(str(seed))))
-    keyed = df.withColumn("_key", key).withColumn(
-        "_b", F.substring("_key", 1, 2))
+    # bucket struct: leading strata (if any) then the 2-hex-char prefix;
+    # array_sort's struct order == the intended global row order.
+    if strata_col is not None:
+        bucket = F.struct(F.col(strata_col).alias("s"),
+                          F.substring("_key", 1, 2).alias("hb"))
+    else:
+        bucket = F.struct(F.substring("_key", 1, 2).alias("hb"))
+    keyed = df.withColumn("_key", key).withColumn("_b", bucket)
     from pyspark.sql import Window
 
     w_in = Window.partitionBy("_b").orderBy(F.col("_key").asc())

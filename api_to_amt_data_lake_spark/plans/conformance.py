@@ -4753,6 +4753,23 @@ def q99q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q99r_curriculum_order", oracle="""
+SELECT doc_id, lang,
+  CAST(row_number() OVER (ORDER BY lang, md5(doc_id || ':7')) - 1
+       AS BIGINT) AS shuffle_pos
+FROM documents
+""")
+def q99r_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum serving order: stages (language strata, standing in
+    for difficulty buckets) in order, rows WITHIN each stage in seeded
+    random order, positions globally dense — the schedule a curriculum
+    trainer consumes. `deterministic_shuffle(strata_col=)` computes it
+    with the two-phase (strata, hash-bucket) scheme; the oracle is the
+    naive global window."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_shuffle(d, "doc_id", seed=7, strata_col="lang")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -374,3 +374,35 @@ def test_resample_locf_fills_gaps_per_key(spark):
         (1, "2024-01-01 03:00:00"): 30.0,
         (2, "2024-01-01 05:00:00"): 99.0,
     }
+
+
+def test_deterministic_shuffle_strata_matches_naive_window(spark):
+    """Curriculum ordering: two-phase (strata, hash-bucket) positions
+    equal the naive global row_number over (strata, key); strata stay
+    contiguous and internally seed-shuffled."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["easy", "mid", "hard"][i % 3]) for i in range(300)],
+        ["id", "stage"])
+    got = {r["id"]: r["shuffle_pos"]
+           for r in deterministic_shuffle(df, "id", seed=5,
+                                          strata_col="stage").collect()}
+    key = F.md5(F.concat_ws(":", F.col("id").cast("string"), F.lit("5")))
+    want = {r["id"]: r["pos"] for r in df.select(
+        "id", (F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy("stage", key)) - 1)
+        .alias("pos")).collect()}
+    assert got == want
+    # stages are contiguous blocks of 100 in stage order
+    by_stage = {}
+    for r in df.collect():
+        by_stage.setdefault(r["stage"], []).append(got[r["id"]])
+    assert sorted(by_stage["easy"]) == list(range(100))
+    assert sorted(by_stage["hard"]) == list(range(100, 200))
+    assert sorted(by_stage["mid"]) == list(range(200, 300))
