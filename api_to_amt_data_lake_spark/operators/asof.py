@@ -156,6 +156,9 @@ def resample_locf(
     years at second granularity should pick a coarser unit, same as any
     resampler.
     """
+    if unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"resample unit {unit!r} not supported "
+                         f"(minute/hour/day/week/month)")
     slot = F.date_trunc(unit, F.col(ts_col))
     last_per_slot = (
         df.select(

@@ -49,6 +49,8 @@ def export_webdataset(
     """
     import pandas as pd
 
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
     os.makedirs(out_dir, exist_ok=True)
     exts = sorted(payloads)
     sel = df.select(
