@@ -136,7 +136,10 @@ def main() -> int:
             rows_match=True, schema_match=True, hash_match=True)
         print(f"PASS  {name}: rows={len(sdf)} [{spark_s:.1f}s]")
 
-    if not only:
+    if not only and sf_dir.rstrip("/").endswith("sf0.01"):
+        # persist only the canonical-SF run: the artifact mirrors the
+        # driver's sf0.01 gate, and a full sf0.001/sf0.1 sweep must not
+        # overwrite it with different row counts
         import json
         import re
         rounds = [int(m.group(1)) for f in REPO.glob("BENCH_r*.json")
