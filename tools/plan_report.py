@@ -47,6 +47,9 @@ SHOWCASE = [
     ("q86c_sql_sole_blame_supplier", "correlated EXISTS + NOT EXISTS "
      "decorrelated into semi + anti joins on l_orderkey - no per-row "
      "subquery execution, no cartesian fallback"),
+    ("q95b_ivfpq_ann", "IVFPQ search: coarse centroids, PQ codebook and "
+     "per-bucket ADC tables all broadcast; the only shuffle carries "
+     "(query, match, partial-sum) rows"),
 ]
 
 
