@@ -4,10 +4,15 @@ before pointing analysts at a refresh.
 The reference has no analog (its CI is lint-only — BASELINE.md); these
 are the standard warehouse invariants over the AMT star schema:
 
-- referential integrity: every fact/bridge foreign key resolves to its
-  dimension (anti join — the violating side is counted, never collected),
+- referential integrity: every NON-BLANK fact/bridge foreign key
+  resolves to its dimension (anti join — the violating side is counted,
+  never collected),
 - key uniqueness: dimension primary keys appear exactly once,
-- key completeness: no null/empty primary or foreign keys.
+- key completeness: no null/empty primary keys (dimension PKs from
+  UNIQUE_KEYS) and no null/empty foreign keys (every RI_CHECKS child FK
+  column gets its own blank-count row, so a fact full of null
+  SchoolKeys FAILs completeness even though the RI anti join skips
+  blank keys by design).
 
 Every check is one distributed aggregate; the driver only collects one
 scalar per check, so the report costs a handful of broadcast-sized anti
@@ -70,23 +75,41 @@ def validate_gold(spark: SparkSession, gold_root: str,
     def blank(col: str):
         return F.col(col).isNull() | (F.trim(F.col(col).cast("string")) == "")
 
-    for child, fk, parent, pk in (ri_checks or RI_CHECKS):
+    # `is None` (not `or`): an explicitly-passed empty list means
+    # "run no checks of this kind", never "fall back to the defaults".
+    ri_checks = RI_CHECKS if ri_checks is None else ri_checks
+    unique_keys = UNIQUE_KEYS if unique_keys is None else unique_keys
+
+    fk_seen: set[tuple[str, str]] = set()
+    for child, fk, parent, pk in ri_checks:
         name = f"{child}.{fk} -> {parent}.{pk}"
         if child not in present or parent not in present:
             rows.append((name, "referential", "SKIPPED", 0))
+        else:
+            orphans = (
+                spark.table(child)
+                .filter(~blank(fk))
+                .join(spark.table(parent)
+                      .select(F.col(pk).alias(fk)).distinct(),
+                      fk, "left_anti")
+                .count()
+            )
+            rows.append((name, "referential",
+                         "PASS" if orphans == 0 else "FAIL", orphans))
+        # FK completeness: the RI check above deliberately skips blank
+        # keys, so count them here — once per (child, fk) column.
+        if (child, fk) in fk_seen:
             continue
-        orphans = (
-            spark.table(child)
-            .filter(~blank(fk))
-            .join(spark.table(parent)
-                  .select(F.col(pk).alias(fk)).distinct(),
-                  fk, "left_anti")
-            .count()
-        )
-        rows.append((name, "referential",
-                     "PASS" if orphans == 0 else "FAIL", orphans))
+        fk_seen.add((child, fk))
+        if child not in present:
+            rows.append((f"{child}.{fk} non-null", "completeness",
+                         "SKIPPED", 0))
+        else:
+            blanks = spark.table(child).filter(blank(fk)).count()
+            rows.append((f"{child}.{fk} non-null", "completeness",
+                         "PASS" if blanks == 0 else "FAIL", blanks))
 
-    for view, keys in (unique_keys or UNIQUE_KEYS):
+    for view, keys in unique_keys:
         kname = ",".join(keys)
         if view not in present:
             rows.append((f"{view}({kname}) unique", "uniqueness",

@@ -18,9 +18,10 @@ pure-Python (`struct` + numpy over Arrow batches):
 - baseline JPEG decode — canonical Huffman + exact orthonormal IDCT —
   and the matching encoder, in `operators/jpeg.py`.
 
-Only video bitstream decode (H.264) and the exotic JPEG modes
-(progressive, subsampled chroma) raise a clearly worded ValueError
-naming the contract; everything else is decoded for real.
+Baseline JPEG decode covers 4:4:4, 4:2:2 and 4:2:0 chroma subsampling
+plus restart markers; only video bitstream decode (H.264) and
+progressive JPEG (SOF2) raise a clearly worded ValueError naming the
+contract; everything else is decoded for real.
 
 Scale shape: every step is Arrow-batched `mapInPandas` over
 (id, content) — batch-at-a-time Python, no shuffle, runs at scan speed;
@@ -562,15 +563,17 @@ def _decode_pixels(b: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Decode BMP (uncompressed 24/32-bit) and PNG (8-bit depth, any
-    color type, stdlib-zlib inflate + unfilter) blobs to raw pixel
-    buffers — (id, width, height, channels, pixels: binary),
-    Arrow-batched.
+    """Decode BMP (uncompressed 24/32-bit), PNG (8-bit depth, any color
+    type, stdlib-zlib inflate + unfilter, incl. Adam7 interlace), GIF
+    (pure-Python LZW, first frame) and baseline JPEG (Huffman + IDCT,
+    4:4:4/4:2:2/4:2:0, restart markers) blobs to raw pixel buffers —
+    (id, width, height, channels, pixels: binary), Arrow-batched.
 
-    Formats whose pixels sit behind an entropy codec (JPEG, H.264) raise
-    ValueError naming the contract; swap `_decode_pixels` for a codec
-    call on a cluster with image libraries installed — the batch shape,
-    schema, and partitioning stay identical.
+    The remaining named boundaries are H.264 video bitstreams and
+    progressive JPEG (SOF2): those raise ValueError naming the contract;
+    swap `_decode_pixels` for a codec call on a cluster with media
+    libraries installed — the batch shape, schema, and partitioning stay
+    identical.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -270,6 +270,7 @@ def kmeans_fit(
         .orderBy(F.col(id_col).asc()).limit(k)
         .select(id_col, vec_col)
     )
+    prev = None
     for _ in range(iters):
         assign = ivf_assign(corpus, cent, id_col, vec_col)
         means = (
@@ -306,9 +307,15 @@ def kmeans_fit(
         # Pin each round's k centroids (k rows — a model, not data):
         # iteration i+1's assignment references cent twice, so without
         # the cache the logical plan doubles per round and analysis time
-        # dominates long before any data does. The cached frame keeps
-        # every round's plan depth constant.
+        # dominates long before any data does. Materialize eagerly so
+        # the cache actually truncates lineage, then release the
+        # previous round's pinned frame — otherwise `iters` model
+        # frames accumulate in executor storage.
         cent = cent.cache()
+        cent.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cent
     return cent
 
 
@@ -425,6 +432,7 @@ def kmeans_fit_keyed(
         .filter(F.col("_gr") <= k)
         .select(key_col, id_col, vec_col)
     )
+    prev = None
     for _ in range(iters):
         # Assignment: broadcast the |keys|×k model, argmin per (key, id)
         # under (round-6 distance, centroid id) — identical tiebreak to
@@ -476,9 +484,14 @@ def kmeans_fit_keyed(
                            F.col(f"p.{vec_col}")).alias(vec_col),
             )
         )
-        # Pin each round's |keys|×k model rows (see `kmeans_fit`): keeps
-        # plan depth constant across rounds.
+        # Pin each round's |keys|×k model rows (see `kmeans_fit`):
+        # eager materialize to truncate lineage, unpersist the previous
+        # round's frame so only one model frame stays resident.
         cent = cent.cache()
+        cent.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cent
     return cent
 
 

@@ -53,11 +53,16 @@ def export_webdataset(
         raise ValueError("shard_size must be positive")
     os.makedirs(out_dir, exist_ok=True)
     exts = sorted(payloads)
+    # Shard id = floor(id / shard_size) in pure INTEGER arithmetic:
+    # (id - pmod(id, n)) is exactly divisible, and `div` never routes
+    # through a double — so negative ids floor (not truncate toward
+    # zero) and ids beyond 2^53 keep full precision.
     sel = df.select(
         F.col(id_col).cast("long").alias("_id"),
-        (F.col(id_col).cast("long") / shard_size).cast("long")
-        .alias("_shard"),
         *[F.col(col).alias(f"_p_{ext}") for ext, col in payloads.items()],
+    ).withColumn(
+        "_shard",
+        F.expr(f"(_id - pmod(_id, {shard_size})) div {shard_size}"),
     )
 
     def write(batches):
