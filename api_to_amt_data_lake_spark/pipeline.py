@@ -40,13 +40,15 @@ def run_full_pipeline(
 
     With `cfg` set, every endpoint is paged to silver first (EP1, REST
     client with version gate/retries); with cfg=None the silver layer is
-    assumed landed (the common test/replay path). Gold builds run with
-    the parallel writer by default — shared upstreams cached once.
+    assumed landed (the common test/replay path). `endpoints=None`
+    pages the packaged 80-endpoint catalog (`sources/endpoints.py`) —
+    the reference's zero-config `api_async` behavior. Gold builds run
+    with the parallel writer by default — shared upstreams cached once.
     """
     out: dict[str, dict[str, str]] = {}
     for year in school_years:
         if cfg is not None:
-            land_all(cfg, endpoints or [], silver_root, year,
+            land_all(cfg, endpoints, silver_root, year,
                      with_deletes=with_deletes, session=session)
         out[str(year)] = registry.run_all(
             spark, silver_root, gold_root, year,

@@ -109,8 +109,15 @@ def land_collection(
     school_year: str | int, deletes: bool = False, session=None, **cv,
 ) -> int:
     """Land one endpoint: one JSON file per page under
-    `{silver_root}/{school_year}/{endpoint}/`. Returns document count."""
-    name = f"deletes_{endpoint}" if deletes else endpoint
+    `{silver_root}/{school_year}/{collection}/` where collection is the
+    route's last path segment (ref `api/api.py:126` names landed files
+    by `url.split("/")[-1]`, so "ed-fi/students" lands as "students" —
+    the name every AMT view reads back). Returns document count."""
+    from api_to_amt_data_lake_spark.sources.endpoints import collection_name
+
+    name = collection_name(endpoint)
+    if deletes:
+        name = f"deletes_{name}"
     out_dir = os.path.join(str(silver_root), str(school_year), name)
     os.makedirs(out_dir, exist_ok=True)
     total = 0
@@ -125,11 +132,22 @@ def land_collection(
 
 
 def land_all(
-    cfg: OdsConfig, endpoints: list[str], silver_root: str,
-    school_year: str | int, with_deletes: bool = True, session=None,
+    cfg: OdsConfig, endpoints: list[str] | None = None,
+    silver_root: str = "silver", school_year: str | int = "",
+    with_deletes: bool = True, session=None,
     validate_api: bool = True,
 ) -> dict[str, int]:
     """EP1: fetch every endpoint (+ deletes) concurrently.
+
+    `endpoints=None` pages the full packaged 80-endpoint catalog
+    (`sources/endpoints.py`, the reference's `helper/endpoint/
+    endpoint.json` consumed at `api/api.py:120-137`) — the `tpdm/`
+    routes are skipped automatically when the ODS doesn't advertise the
+    TPDM extension model (ref `is_tpdm_supported`, `api/api.py:80-83`).
+    Catalog routes carry their data-model prefix ("ed-fi/...",
+    "tpdm/..."), so point `base_url` at the `.../data/v3` root for
+    catalog runs; explicit bare names ("students") against an
+    `.../data/v3/ed-fi` base keep working unchanged.
 
     `validate_api` checks the ODS data-model version first and refuses
     unsupported models (ref `api/api.py:26-78` validate_supported_api).
@@ -139,6 +157,13 @@ def land_all(
         raise RuntimeError(
             f"unsupported Ed-Fi data model version {version!r}; supported: "
             f"{', '.join(SUPPORTED_DATA_MODEL_VERSIONS)}")
+    if endpoints is None:
+        from api_to_amt_data_lake_spark.sources.endpoints import (
+            default_endpoints,
+        )
+        tpdm = is_tpdm_supported(cfg, session=session) if validate_api \
+            else True
+        endpoints = default_endpoints(include_tpdm=tpdm)
     token = fetch_token(cfg, session=session)
     results: dict[str, int] = {}
     with ThreadPoolExecutor(max_workers=cfg.max_workers) as pool:
