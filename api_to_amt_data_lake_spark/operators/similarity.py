@@ -237,8 +237,36 @@ def ivf_topk(
     )
 
 
+def _training_sample(
+    corpus: DataFrame, id_col: str, sample_frac: float | None,
+) -> DataFrame:
+    """Deterministic training subset for codebook fitting: keep rows
+    whose id hash-bucket falls under `sample_frac` (sampling.py's
+    Knuth-hash scheme — a pure SARGABLE filter, pushed into the scan).
+
+    This is the 100 TB lever for every Lloyd's trainer here: each
+    iteration re-scans its training frame, so fitting on the full
+    corpus costs iters × full passes while the standard practice
+    (FAISS `train()` on a sample) bounds every iteration to the sample
+    and pays ONE full-corpus pass at encode time. The subset is
+    partitioning- and engine-independent, so sampled fits stay
+    oracle-reproducible. None (default) keeps the exact full-corpus
+    behavior."""
+    if sample_frac is None or sample_frac >= 1.0:
+        return corpus
+    if sample_frac <= 0.0:
+        raise ValueError("sample_frac must be in (0, 1]")
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        _M32,
+        hash_bucket,
+    )
+    return corpus.filter(
+        hash_bucket(F.col(id_col).cast("long")) < int(sample_frac * _M32))
+
+
 def kmeans_fit(
     corpus: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 3,
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column — the centroid
     trainer for `ivf_topk` (real IVF indexes train centroids, they don't
@@ -263,7 +291,13 @@ def kmeans_fit(
     Output: (bucket, centroid vec) with `id_col`/`vec_col` names so it
     plugs straight into `ivf_topk(..., centroids=...)`. Bucket labels are
     seed ids (stable, deterministic), not 0..k-1.
+
+    `sample_frac` fits the centroids on a deterministic id-hash subset
+    (`_training_sample`) — at 100 TB every Lloyd's iteration then scans
+    the bounded sample instead of the corpus; assignment/encode of the
+    full corpus is the caller's single full pass.
     """
+    corpus = _training_sample(corpus, id_col, sample_frac)
     cent = (
         corpus.select(id_col, _as_double(F.col(vec_col)).alias(vec_col))
         .groupBy(vec_col).agg(F.min(id_col).alias(id_col))
@@ -397,6 +431,7 @@ def _subvector(vec_col: str, sub_idx: int, m: int) -> Column:
 def kmeans_fit_keyed(
     subs: DataFrame, key_col: str, id_col: str, vec_col: str,
     k: int = 8, iters: int = 3, n_init_buckets: int = 256,
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Keyed distributed Lloyd's: train an INDEPENDENT k-means model per
     value of `key_col` in ONE set of Spark jobs. The math per key is
@@ -416,7 +451,12 @@ def kmeans_fit_keyed(
     one key's distinct vectors on a single partition. Each round is one
     broadcast join (|keys|×k centroid rows) + one partial-aggregated
     groupBy whose shuffle carries at most |keys|×k×dim rows.
+    `sample_frac` bounds every iteration to a deterministic id-hash
+    subset (`_training_sample`; id-keyed, so all m subspaces of a kept
+    vector stay together) — the full corpus is only touched by the
+    caller's one encode pass.
     """
+    subs = _training_sample(subs, id_col, sample_frac)
     subs = subs.select(
         F.col(key_col), F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
     )
@@ -497,7 +537,7 @@ def kmeans_fit_keyed(
 
 def pq_fit(
     corpus: DataFrame, id_col: str, vec_col: str, m: int = 4, k: int = 8,
-    iters: int = 3, cache: bool = True,
+    iters: int = 3, cache: bool = True, sample_frac: float | None = None,
 ) -> DataFrame:
     """Product-quantization codebook trainer (Jégou et al., "Product
     Quantization for Nearest Neighbor Search"): split each vector into m
@@ -518,7 +558,8 @@ def pq_fit(
     """
     subs = _explode_subvectors(corpus, id_col, vec_col, m)
     book = kmeans_fit_keyed(
-        subs, "sub_idx", id_col, "sv", k=k, iters=iters
+        subs, "sub_idx", id_col, "sv", k=k, iters=iters,
+        sample_frac=sample_frac,
     ).select(
         "sub_idx", F.col(id_col).alias("cent_id"), F.col("sv").alias("centroid")
     )
@@ -598,7 +639,7 @@ def ivf_residuals(
 def ivfpq_fit(
     corpus: DataFrame, id_col: str, vec_col: str, kc: int = 4,
     coarse_iters: int = 2, m: int = 2, k: int = 4, iters: int = 2,
-    pin: bool = True,
+    pin: bool = True, sample_frac: float | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """FAISS-style IVFPQ index build: coarse k-means over the full
     vectors scopes the search (IVF), product quantization over the
@@ -614,13 +655,22 @@ def ivfpq_fit(
     materializes the residual frame once — the PQ trainer iterates over
     it, and every unpinned iteration would re-run the coarse
     assignment join.
+
+    `sample_frac` is the production shape: BOTH trainers (coarse
+    Lloyd's and residual-PQ Lloyd's) iterate over the deterministic
+    id-hash sample only; the full corpus is touched exactly twice — the
+    residual/assignment pass and the code/encode pass — instead of
+    (coarse_iters + iters) × full scans. Index layout and search are
+    unchanged; recall vs the full-corpus fit is contract-tested.
     """
-    coarse = kmeans_fit(corpus, id_col, vec_col, k=kc, iters=coarse_iters)
+    coarse = kmeans_fit(corpus, id_col, vec_col, k=kc, iters=coarse_iters,
+                        sample_frac=sample_frac)
     res = ivf_residuals(corpus, coarse, id_col, vec_col)
     if pin:
         res = res.localCheckpoint()
     rvecs = res.select(id_col, vec_col)
-    book = pq_fit(rvecs, id_col, vec_col, m=m, k=k, iters=iters)
+    book = pq_fit(rvecs, id_col, vec_col, m=m, k=k, iters=iters,
+                  sample_frac=sample_frac)
     codes = pq_encode(rvecs, book, id_col, vec_col, m=m) \
         .join(res.select(id_col, "bucket"), id_col)
     return coarse, book, codes
