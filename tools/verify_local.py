@@ -95,18 +95,34 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             continue
         spark_s = time.time() - t0
-        if name not in oracles:
+        from api_to_amt_data_lake_spark.plans.conformance import (
+            PARITY_BASELINES,
+        )
+        if name not in oracles and name in PARITY_BASELINES:
+            # Non-SQL-expressible query with a deterministic in-engine
+            # baseline (e.g. q59's stream vs the oracle-verified batch
+            # binding): hash-compare exactly like the oracle path.
+            try:
+                odf = PARITY_BASELINES[name](spark, sf_dir).toPandas()
+            except Exception as e:
+                failures.append(name)
+                rec(name, spark_rows=len(sdf),
+                    err=f"parity baseline error: {e}"[:500])
+                print(f"FAIL  {name}: parity baseline error: {e}")
+                continue
+        elif name not in oracles:
             rec(name, spark_rows=len(sdf))
             print(f"OK?   {name}: rows={len(sdf)} (no oracle, rows-only) "
                   f"[{spark_s:.1f}s]")
             continue
-        try:
-            odf = con.sql(oracles[name]).df()
-        except Exception as e:
-            failures.append(name)
-            rec(name, spark_rows=len(sdf), err=f"oracle error: {e}"[:500])
-            print(f"FAIL  {name}: oracle error: {e}")
-            continue
+        else:
+            try:
+                odf = con.sql(oracles[name]).df()
+            except Exception as e:
+                failures.append(name)
+                rec(name, spark_rows=len(sdf), err=f"oracle error: {e}"[:500])
+                print(f"FAIL  {name}: oracle error: {e}")
+                continue
         if len(sdf) != len(odf):
             failures.append(name)
             rec(name, spark_rows=len(sdf), oracle_rows=len(odf),
