@@ -15,13 +15,14 @@ pure-Python (`struct` + numpy over Arrow batches):
   per-scanline unfilter (all five filter types), palette expansion,
 - GIF pixel decode with a pure-Python LZW decompressor (first frame,
   local/global color tables),
-- baseline JPEG decode — canonical Huffman + exact orthonormal IDCT —
-  and the matching encoder, in `operators/jpeg.py`.
+- baseline (SOF0) AND progressive (SOF2) JPEG decode — canonical
+  Huffman + exact orthonormal IDCT, spectral selection + successive
+  approximation — and the matching encoders, in `operators/jpeg.py`.
 
-Baseline JPEG decode covers 4:4:4, 4:2:2 and 4:2:0 chroma subsampling
-plus restart markers; only video bitstream decode (H.264) and
-progressive JPEG (SOF2) raise a clearly worded ValueError naming the
-contract; everything else is decoded for real.
+JPEG decode covers 4:4:4, 4:2:2 and 4:2:0 chroma subsampling, restart
+markers, and progressive multi-scan streams; only video bitstream
+decode (H.264) raises a clearly worded ValueError naming the contract;
+every image format here is decoded for real.
 
 Scale shape: every step is Arrow-batched `mapInPandas` over
 (id, content) — batch-at-a-time Python, no shuffle, runs at scan speed;
@@ -542,9 +543,9 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
 def _decode_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch real pixel decode by magic bytes: BMP (struct+numpy),
     PNG (stdlib zlib inflate + unfilter), GIF (pure-Python LZW), and
-    baseline JPEG (pure-Python Huffman + numpy IDCT,
-    `operators/jpeg.py`) all decode for real. Progressive/subsampled
-    JPEG and video bitstreams (H.264) raise named contracts."""
+    baseline + progressive JPEG (pure-Python Huffman + numpy IDCT,
+    `operators/jpeg.py`) all decode for real. Video bitstreams (H.264)
+    raise a named contract."""
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:8] == b"\x89PNG\r\n\x1a\x0a":
@@ -557,23 +558,25 @@ def _decode_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         )
         return decode_jpeg_baseline(b)
     raise ValueError(
-        "pixel decode is real for BMP, PNG, GIF, and baseline JPEG; "
-        "video bitstreams (H.264) need a codec library — contract: "
+        "pixel decode is real for BMP, PNG, GIF, and baseline + "
+        "progressive JPEG; video bitstreams (H.264) need a codec "
+        "library — contract: "
         "(id, content) -> (id, width, height, channels, pixels)")
 
 
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Decode BMP (uncompressed 24/32-bit), PNG (8-bit depth, any color
     type, stdlib-zlib inflate + unfilter, incl. Adam7 interlace), GIF
-    (pure-Python LZW, first frame) and baseline JPEG (Huffman + IDCT,
-    4:4:4/4:2:2/4:2:0, restart markers) blobs to raw pixel buffers —
-    (id, width, height, channels, pixels: binary), Arrow-batched.
+    (pure-Python LZW, first frame) and JPEG — baseline SOF0 and
+    progressive SOF2 (Huffman + IDCT, 4:4:4/4:2:2/4:2:0, restart
+    markers, spectral selection + successive approximation) — blobs to
+    raw pixel buffers: (id, width, height, channels, pixels: binary),
+    Arrow-batched.
 
-    The remaining named boundaries are H.264 video bitstreams and
-    progressive JPEG (SOF2): those raise ValueError naming the contract;
-    swap `_decode_pixels` for a codec call on a cluster with media
-    libraries installed — the batch shape, schema, and partitioning stay
-    identical.
+    The one remaining named boundary is H.264 video bitstreams: those
+    raise ValueError naming the contract; swap `_decode_pixels` for a
+    codec call on a cluster with media libraries installed — the batch
+    shape, schema, and partitioning stay identical.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2655,6 +2655,77 @@ def q74d_jpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(decode, out_schema)
 
 
+@register("q74e_progressive_jpeg_decode", oracle="""
+SELECT doc_id,
+  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(64 * (460 + 5 * (doc_id % 8)) AS BIGINT) AS pixel_sum,
+  round(64 * (460 + 5 * (doc_id % 8)) / 256.0, 6) AS pixel_mean
+FROM documents WHERE doc_id < 120
+""")
+def q74e_progressive_jpeg_decode(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) pixel decode (VERDICT r4 item 6):
+    each row picks one of eight 16×16 four-block grayscale images
+    encoded by `operators/jpeg.py::encode_jpeg_progressive` with FULL
+    successive approximation (DC Al=1 first scan + bit refinement, AC
+    band scans 1-5/6-63 at Al=1 + the G.1.2.3 correction-bit
+    refinement) — six scans per image — and the pure-Python Annex G
+    decoder reassembles the coefficients inside the usual Arrow-batched
+    pass. Block-constant values with a flat quantization table make the
+    round trip EXACT, so the oracle is pure arithmetic: block values
+    (15+30v, 240-30v, 5+25v, 200-20v) sum to 64·(460+5v). (Nonzero-AC
+    progressive transport is pinned analytically against hand-built
+    SOF2 bit streams in tests/test_multimodal_decode.py.)"""
+    import numpy as np  # local: plan-time fixtures + Python workers
+    import pandas as pd
+
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from api_to_amt_data_lake_spark.operators.multimodal import _decode_pixels
+
+    def fixture(v: int) -> str:
+        img = np.zeros((16, 16), dtype=np.uint8)
+        img[:8, :8] = 15 + 30 * v
+        img[:8, 8:] = 240 - 30 * v
+        img[8:, :8] = 5 + 25 * v
+        img[8:, 8:] = 200 - 20 * v
+        return encode_jpeg_progressive(
+            img, successive=True, split_bands=True).hex().upper()
+
+    variants = F.array(*[F.lit(fixture(v)) for v in range(8)])
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.unhex(F.element_at(variants,
+                                 (F.col("doc_id") % 8 + 1).cast("int")))
+            .alias("content"),
+        )
+    )
+
+    out_schema = ("doc_id long, width int, height int, channels int, "
+                  "pixel_sum long, pixel_mean double")
+
+    def decode(batches):
+        for pdf in batches:
+            px = [_decode_pixels(bytes(b)) for b in pdf["content"]]
+            arrs = [np.frombuffer(p[3], dtype=np.uint8) for p in px]
+            yield pd.DataFrame({
+                "doc_id": pdf["id"],
+                "width": [p[0] for p in px],
+                "height": [p[1] for p in px],
+                "channels": [p[2] for p in px],
+                "pixel_sum": [int(a.sum()) for a in arrs],
+                "pixel_mean": [round(float(a.sum()) / a.size, 6)
+                               for a in arrs],
+            })
+
+    return d.mapInPandas(decode, out_schema)
+
+
 @register("q75_feature_ann", oracle=f"""
 WITH feat AS (
   SELECT doc_id AS vec_id,

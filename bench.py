@@ -57,6 +57,7 @@ HEADLINE = [
     "q74b_png_pixel_decode",
     "q74c_gif_pixel_decode",
     "q74d_jpeg_pixel_decode",
+    "q74e_progressive_jpeg_decode",
     "q86c_sql_sole_blame_supplier",
     "q87_span_dedup",
     "q90_sq8_ann",

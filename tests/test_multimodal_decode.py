@@ -578,8 +578,15 @@ def test_jpeg_contract_errors():
     img = np.zeros((8, 8), dtype=np.uint8)
     blob = bytearray(encode_jpeg_baseline(img))
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # progressive
-    with pytest.raises(ValueError, match="baseline"):
+    blob[sof + 1] = 0xC3  # lossless sequential: out of scope
+    with pytest.raises(ValueError, match="baseline.*progressive"):
+        decode_jpeg_baseline(bytes(blob))
+    # Relabeling a baseline stream as SOF2 is malformed (a progressive
+    # DC scan cannot span Se=63) and must be named, not misdecoded.
+    blob = bytearray(encode_jpeg_baseline(img))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg_baseline(bytes(blob))
     blob = bytearray(encode_jpeg_baseline(img))
     sof = blob.index(b"\xff\xc0")
@@ -626,3 +633,167 @@ def test_jpeg_chroma_subsampling_420_and_422():
         return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
 
     assert np.abs(luma(got) - luma(cimg.astype(float))).mean() <= 3.0
+
+
+# --- progressive (SOF2) JPEG ------------------------------------------------
+
+
+def _sof2_gray_stream(scans):
+    """Hand-assemble a minimal single-component SOF2 stream: flat quant,
+    the module's canonical tables, one SOS per (ss, se, ah, al, bits).
+    Encoder-INDEPENDENT: scans are raw bit payloads built in the test,
+    so a decoder bug cannot be cancelled by encoder symmetry."""
+    import struct
+
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        _AC_COUNTS, _AC_SYMBOLS, _DC_COUNTS, _DC_SYMBOLS, ZIGZAG)
+
+    dqt = (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+           + bytes(1 for _ in ZIGZAG))
+    sof = (b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+           + struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0]))
+
+    def dht(tc, th, counts, symbols):
+        payload = bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = (b"\xff\xd8" + dqt + sof
+           + dht(0, 0, _DC_COUNTS, _DC_SYMBOLS)
+           + dht(1, 0, _AC_COUNTS, _AC_SYMBOLS))
+    for ss, se, ah, al, payload in scans:
+        out += (b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+                + bytes([1, 0x00, ss, se, (ah << 4) | al]) + payload)
+    return out + b"\xff\xd9"
+
+
+def _dc_zero_scans():
+    """DC first (Al=1, value 0) + DC refinement (bit 0) payloads."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        _BitWriter, _DC_CODES)
+
+    w1 = _BitWriter()
+    ln, code = _DC_CODES[0]
+    w1.write(code, ln)          # diff category 0
+    w2 = _BitWriter()
+    w2.write(0, 1)              # refinement bit
+    return [(0, 0, 0, 1, w1.flush()), (0, 0, 1, 0, w2.flush())]
+
+
+def test_progressive_single_coeff_successive_approximation():
+    """Hand-built SOF2 stream: one AC coefficient (value 5 at a chosen
+    zigzag position) delivered across an Al=1 first scan (sends 5>>1=2)
+    and an Ah=1 refinement scan (EOB + correction bit 1). The decoded
+    block must equal the analytic IDCT pattern of coefficient 5 —
+    pinning the G.1.2.2/G.1.2.3 bit protocol against the math."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        _AC_CODES, _BitWriter, _idct2, ZIGZAG, decode_jpeg)
+
+    for zz_pos in (3, 10, 63):
+        # AC first scan, Al=1: run zz_pos-1, size 2, bits '10' (=2)
+        wf = _BitWriter()
+        run = zz_pos - 1
+        while run > 15:
+            ln, code = _AC_CODES[0xF0]
+            wf.write(code, ln)
+            run -= 16
+        ln, code = _AC_CODES[(run << 4) | 2]
+        wf.write(code, ln)
+        wf.write(2, 2)
+        if zz_pos < 63:
+            ln, code = _AC_CODES[0x00]
+            wf.write(code, ln)
+        # AC refinement, Ah=1 Al=0: EOB then correction bit 1 (5 & 1)
+        wr = _BitWriter()
+        ln, code = _AC_CODES[0x00]
+        wr.write(code, ln)
+        wr.write(1, 1)
+        blob = _sof2_gray_stream(_dc_zero_scans() + [
+            (1, 63, 0, 1, wf.flush()), (1, 63, 1, 0, wr.flush())])
+        w, h, ch, px = decode_jpeg(blob)
+        got = np.frombuffer(px, np.uint8).reshape(8, 8)
+        F = np.zeros((8, 8))
+        r, c = ZIGZAG[zz_pos]
+        F[r, c] = 5.0
+        want = np.clip(np.round(_idct2(F) + 128.0), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_progressive_refine_zrl_with_interleaved_history():
+    """The G.1.2.3 corner the spec figure gets subtle about: a ZRL in a
+    refinement scan must carry the correction bits of the HISTORY
+    coefficients it walks over, and the newly significant coefficient's
+    sign precedes the corrections of coefficients crossed by its run.
+    Coefficients: zigzag 2 = 4 (history, correction 0), zigzag 21 = 1
+    (newly significant after an 18-zero run -> ZRL + run 2)."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        _AC_CODES, _BitWriter, _idct2, ZIGZAG, decode_jpeg)
+
+    # first scan (Al=1): position 2 -> 4>>1 = 2 (run 1, size 2);
+    # position 21 -> 1>>1 = 0 not sent; EOB.
+    wf = _BitWriter()
+    ln, code = _AC_CODES[(1 << 4) | 2]
+    wf.write(code, ln)
+    wf.write(2, 2)
+    ln, code = _AC_CODES[0x00]
+    wf.write(code, ln)
+    # refinement (Al=0): pos1 zero-history (run 1); pos2 history ->
+    # pending bit 0; pos3..20 zeros (run 19); pos21 newly significant:
+    # run>15 -> ZRL + flush pending, then (run=3, size=1) + sign + no
+    # pending; trailing zeros -> EOB.
+    wr = _BitWriter()
+    ln, code = _AC_CODES[0xF0]
+    wr.write(code, ln)
+    wr.write(0, 1)  # correction bit of history coeff at pos 2
+    ln, code = _AC_CODES[(3 << 4) | 1]
+    wr.write(code, ln)
+    wr.write(1, 1)  # sign: positive
+    ln, code = _AC_CODES[0x00]
+    wr.write(code, ln)
+    blob = _sof2_gray_stream(_dc_zero_scans() + [
+        (1, 63, 0, 1, wf.flush()), (1, 63, 1, 0, wr.flush())])
+    w, h, ch, px = decode_jpeg(blob)
+    got = np.frombuffer(px, np.uint8).reshape(8, 8)
+    F = np.zeros((8, 8))
+    F[ZIGZAG[2]] = 4.0
+    F[ZIGZAG[21]] = 1.0
+    want = np.clip(np.round(_idct2(F) + 128.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_progressive_matches_baseline_decode_exactly():
+    """encode_jpeg_progressive -> decode must be BIT-IDENTICAL to the
+    baseline round trip of the same image for every subsampling ×
+    successive-approximation × band-split combination (same quantized
+    coefficients, different transport)."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_baseline, encode_jpeg_progressive)
+
+    rng = np.random.default_rng(31)
+    gray = rng.integers(0, 256, (21, 13), dtype=np.uint8)
+    color = rng.integers(0, 256, (19, 26, 3), dtype=np.uint8)
+    base_g = decode_jpeg(encode_jpeg_baseline(gray))
+    for succ in (False, True):
+        for split in (False, True):
+            assert decode_jpeg(encode_jpeg_progressive(
+                gray, successive=succ, split_bands=split)) == base_g
+    for sub in ("444", "422", "420"):
+        base_c = decode_jpeg(encode_jpeg_baseline(color, subsampling=sub))
+        for succ in (False, True):
+            assert decode_jpeg(encode_jpeg_progressive(
+                color, subsampling=sub, successive=succ)) == base_c
+
+
+def test_progressive_through_spark_decode_image(spark):
+    """SOF2 blobs flow through the Arrow-batched decode_image path with
+    the same schema/partitioning as every other format."""
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        encode_jpeg_progressive)
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (11, 17), dtype=np.uint8)
+    rows = decode_image(_blob_df(spark, [
+        encode_jpeg_progressive(img, successive=True)])).collect()
+    assert (rows[0]["width"], rows[0]["height"], rows[0]["channels"]) \
+        == (17, 11, 1)
+    got = np.frombuffer(bytes(rows[0]["pixels"]), np.uint8).reshape(11, 17)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2

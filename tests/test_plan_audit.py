@@ -22,7 +22,8 @@ from api_to_amt_data_lake_spark.plans import conformance
 PYTHON_OK = {"q36_binary_metadata", "q18_multimodal_decode",
              "q73_cosine_topk_wide", "q74_video_frame_sample",
              "q74b_png_pixel_decode", "q74c_gif_pixel_decode",
-             "q74d_jpeg_pixel_decode", "q75_feature_ann"}
+             "q74d_jpeg_pixel_decode", "q74e_progressive_jpeg_decode",
+             "q75_feature_ann"}
 
 SF_DIR = "/root/testdata/sf0.001"
 
