@@ -557,3 +557,107 @@ def test_snapshot_time_travel_reads_older_version(spark, tmp_path):
     assert v1 not in list_versions(root, 2023, "ep")
     with _pytest.raises(ValueError, match="pruned"):
         read_snapshot(spark, root, 2023, "ep", version=v1)
+
+
+def test_bucketed_snapshot_refresh_parity_and_plan(spark, tmp_path):
+    """n_buckets opt-in (VERDICT r4 item 7): bucketed refresh produces
+    EXACTLY the plain refresh's rows; the splice plan never exchanges
+    the base snapshot on the natural key (only the broadcast-joined
+    touched subset passes through a hash shuffle); and two bucketed
+    snapshots join with ZERO Exchange — the write-time shuffle replaces
+    every consuming join's."""
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        merge_increment,
+        read_snapshot,
+        refresh_snapshot,
+        snapshot_table_name,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "id long, v long, name string")
+
+    inc1 = docs([(i, 1, f"n{i}") for i in range(200)])
+    inc2 = docs([(5, 2, "upd5"), (201, 1, "new201"), (7, 0, "stale7")])
+    dels = spark.createDataFrame([(9,)], "id long")
+
+    plain_root = str(tmp_path / "plain")
+    bkt_root = str(tmp_path / "bkt")
+    for root, nb in ((plain_root, None), (bkt_root, 4)):
+        refresh_snapshot(spark, inc1, None, root, 2023, "students",
+                         key_col="id", version_col="v", n_buckets=nb)
+        refresh_snapshot(spark, inc2, dels, root, 2023, "students",
+                         key_col="id", version_col="v", n_buckets=nb)
+    try:
+        plain = read_snapshot(spark, plain_root, 2023, "students")
+        bkt = read_snapshot(spark, bkt_root, 2023, "students")
+        assert sorted(map(tuple, plain.collect())) \
+            == sorted(map(tuple, bkt.collect()))
+
+        # Splice plan audit: the carry-over branch — which carries
+        # ~everything at 100 TB — must read the snapshot with NO
+        # Exchange hashpartitioning ancestor (base rows leave through a
+        # BroadcastHashJoin anti). The touched branch's rows do pass
+        # through the upsert's shuffle, but that subset is bounded by
+        # the increment. The plain shape, by contrast, exchanges EVERY
+        # base row on the key.
+        def scan_has_shuffle_ancestor(plan: str, scan_needle: str):
+            lines = plan.splitlines()
+
+            def depth(s):
+                j = 0
+                while s[j:j + 3] in (":  ", "   ", ":- ", "+- "):
+                    j += 3
+                return j // 3
+
+            results = []
+            for i, ln in enumerate(lines):
+                if scan_needle in ln and "FileScan" in ln:
+                    d = depth(ln)
+                    shuffled = False
+                    for k in range(i - 1, -1, -1):
+                        dk = depth(lines[k])
+                        if dk < d:
+                            if "Exchange hashpartitioning" in lines[k]:
+                                shuffled = True
+                            d = dk
+                            if d == 0:
+                                break
+                    results.append(shuffled)
+            return results
+
+        inc3 = docs([(5, 3, "upd5b")])
+        spliced = merge_increment(bkt, inc3, None, "id", "v",
+                                  spliced=True)
+        sp = spliced._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in sp  # bucketed scan is in play
+        assert "BroadcastHashJoin" in sp
+        flags = scan_has_shuffle_ancestor(sp, "snap_students")
+        assert flags and False in flags, sp  # carry-over path: no shuffle
+        plain_m = merge_increment(bkt, inc3, None, "id", "v",
+                                  spliced=False)
+        pp = plain_m._jdf.queryExecution().executedPlan().toString()
+        pflags = scan_has_shuffle_ancestor(pp, "snap_students")
+        assert pflags and all(pflags), pp  # plain: every base row shuffled
+        # and the splice answer matches the plain merge
+        assert sorted(map(tuple, spliced.collect())) \
+            == sorted(map(tuple, plain_m.collect()))
+
+        # Co-located read: two same-key bucketed snapshots join with no
+        # Exchange at all.
+        refresh_snapshot(spark, inc1, None, bkt_root, 2023, "sections",
+                         key_col="id", version_col="v", n_buckets=4)
+        other = read_snapshot(spark, bkt_root, 2023, "sections")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bkt.join(other, "id")
+            jp = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in jp
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for ep in ("students", "sections"):
+            for v in range(3):
+                spark.sql("DROP TABLE IF EXISTS " + snapshot_table_name(
+                    bkt_root, 2023, ep, v))
