@@ -5119,6 +5119,103 @@ def q99r_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(d, "doc_id", seed=7, strata_col="lang")
 
 
+_SCD2_CTES = """
+obs AS (
+  SELECT user_id, ts, event_type,
+    row_number() OVER w AS rn,
+    lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC, event_type ASC NULLS FIRST)
+),
+opened AS (
+  SELECT user_id, ts, event_type FROM obs
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+),
+iv AS (
+  SELECT user_id, event_type, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_type ASC NULLS FIRST) AS nxt
+  FROM opened
+)
+"""
+
+
+@register("q99s_scd2_history", oracle=f"""
+WITH {_SCD2_CTES.strip()}
+SELECT user_id, event_type,
+  epoch_us(valid_from) AS valid_from_us,
+  COALESCE(epoch_us(nxt), epoch_us(TIMESTAMP '9999-12-31')) AS valid_to_us,
+  nxt IS NULL AS is_current
+FROM iv
+""")
+def q99s_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an observation log (beyond
+    reference scope — the reference overwrites dimension state every
+    run): consecutive duplicate states collapse, each surviving state
+    gets [valid_from, valid_to) from the next state's start, the last
+    is open/current — `operators/scd.py::scd2_from_events`. Two keyed
+    window passes, no self-join; boundaries compared as exact epoch
+    microseconds."""
+    from api_to_amt_data_lake_spark.operators.scd import scd2_from_events
+
+    e = read_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_type")
+    h = scd2_from_events(e, "user_id", "ts", ["event_type"])
+    return h.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp"))
+        .alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+        .alias("valid_to_us"),
+        "is_current")
+
+
+@register("q99t_scd2_point_in_time", oracle=f"""
+WITH {_SCD2_CTES.strip()},
+hist AS (
+  SELECT user_id, event_type, epoch_us(valid_from) AS f_us,
+    COALESCE(epoch_us(nxt), epoch_us(TIMESTAMP '9999-12-31')) AS t_us
+  FROM iv
+),
+cutoff AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS at_us
+  FROM events)
+SELECT h.user_id, h.event_type, h.f_us AS valid_from_us
+FROM hist h, cutoff c
+WHERE h.f_us <= c.at_us AND c.at_us < h.t_us
+""")
+def q99t_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query SCD2 exists for: every key's state AS OF one instant
+    (here the midpoint of the event log, computed not hard-coded) — a
+    sargable interval filter over the history, no window, no join
+    (`operators/scd.py::scd2_as_of`)."""
+    from api_to_amt_data_lake_spark.operators.scd import (
+        scd2_as_of,
+        scd2_from_events,
+    )
+
+    e = read_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_type")
+    h = scd2_from_events(e, "user_id", "ts", ["event_type"])
+    # Midpoint in INTEGER epoch microseconds on both sides — engines
+    # disagree on timestamp-interval division (DuckDB truncates the
+    # interval's day component), integer micros are exact everywhere.
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    cut = F.broadcast(e.agg(
+        ((F.min(us) + F.max(us)) / 2).cast("long").alias("_at_us")))
+    f_us = F.unix_micros(F.col("valid_from").cast("timestamp"))
+    t_us = F.unix_micros(F.col("valid_to").cast("timestamp"))
+    picked = (
+        h.withColumn("_f_us", f_us).withColumn("_t_us", t_us)
+        .crossJoin(cut)
+        .filter((F.col("_f_us") <= F.col("_at_us"))
+                & (F.col("_at_us") < F.col("_t_us")))
+    )
+    return picked.select(
+        "user_id", "event_type", F.col("_f_us").alias("valid_from_us"))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

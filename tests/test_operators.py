@@ -406,3 +406,67 @@ def test_deterministic_shuffle_strata_matches_naive_window(spark):
     assert sorted(by_stage["easy"]) == list(range(100))
     assert sorted(by_stage["hard"]) == list(range(100, 200))
     assert sorted(by_stage["mid"]) == list(range(200, 300))
+
+
+def test_scd2_apply_change_new_delete_unchanged(spark):
+    """scd2_apply covers all four key fates in one fold: unchanged keys
+    keep their interval, changed keys close + reopen at as_of, new keys
+    open at as_of, absent keys close at as_of. History rows pass
+    through untouched."""
+    from api_to_amt_data_lake_spark.operators.scd import (
+        scd2_apply, scd2_as_of, scd2_from_events)
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01", "A"), (1, "2024-02-01", "B"),  # 1: A then B
+         (2, "2024-01-05", "X"),                          # 2: X
+         (3, "2024-01-07", "K")],                         # 3: K (will vanish)
+        "k long, ts string, state string")
+    hist = scd2_from_events(events, "k", "ts", ["state"])
+    # snapshot at 2024-03-01: key1 still B (unchanged), key2 now Y
+    # (changed), key4 appears (new), key3 absent (deleted)
+    snap = spark.createDataFrame(
+        [(1, "B"), (2, "Y"), (4, "N")], "k long, state string")
+    out = scd2_apply(hist, snap, "k", ["state"], "2024-03-01")
+    rows = {(r["k"], r["state"], r["valid_from"], r["valid_to"],
+             r["is_current"]) for r in out.collect()}
+    assert (1, "A", "2024-01-01", "2024-02-01", False) in rows
+    assert (1, "B", "2024-02-01", "9999-12-31", True) in rows   # unchanged
+    assert (2, "X", "2024-01-05", "2024-03-01", False) in rows  # closed
+    assert (2, "Y", "2024-03-01", "9999-12-31", True) in rows   # reopened
+    assert (3, "K", "2024-01-07", "2024-03-01", False) in rows  # deleted
+    assert (4, "N", "2024-03-01", "9999-12-31", True) in rows   # new
+    assert len(rows) == 6
+    # idempotent: folding the same snapshot again changes nothing
+    again = scd2_apply(out, snap, "k", ["state"], "2024-04-01")
+    assert {tuple(r) for r in again.collect()} \
+        == {tuple(r) for r in out.collect()}
+    # point-in-time view picks exactly the states valid at the instant
+    at = {(r["k"], r["state"])
+          for r in scd2_as_of(out, "2024-01-20").collect()}
+    assert at == {(1, "A"), (2, "X"), (3, "K")}
+    cur = {(r["k"], r["state"])
+           for r in out.filter("is_current").collect()}
+    assert cur == {(1, "B"), (2, "Y"), (4, "N")}
+
+
+def test_scd2_null_attributes_are_states(spark):
+    """NULL is a legal attribute state: NULL->value and value->NULL both
+    open intervals (null-safe comparison), and an all-NULL snapshot row
+    still closes/opens correctly."""
+    from api_to_amt_data_lake_spark.operators.scd import (
+        scd2_apply, scd2_from_events)
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01", None), (1, "2024-02-01", "A"),
+         (1, "2024-03-01", None)],
+        "k long, ts string, state string")
+    hist = scd2_from_events(events, "k", "ts", ["state"])
+    got = {(r["state"], r["valid_from"], r["is_current"])
+           for r in hist.collect()}
+    assert got == {(None, "2024-01-01", False), (None, "2024-03-01", True),
+                   ("A", "2024-02-01", False)}
+    # NULL-state snapshot for an existing NULL-state key: unchanged
+    snap = spark.createDataFrame([(1, None)], "k long, state string")
+    out = scd2_apply(hist, snap, "k", ["state"], "2024-04-01")
+    assert {tuple(r) for r in out.collect()} \
+        == {tuple(r) for r in hist.collect()}
