@@ -5216,6 +5216,100 @@ def q99t_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", F.col("_f_us").alias("valid_from_us"))
 
 
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """Unrolled BPE training in SQL: word counts, char sequences as
+    space-sentineled strings, then per round a pair-count CTE, an
+    argmax CTE (count desc, lexicographic tiebreak) and a `replace`
+    rewrite — `replace`'s left-to-right non-overlap semantics ARE
+    greedy BPE merging, identically in DuckDB and Spark."""
+    head = [r"""WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents)
+  WHERE len(word) > 0 GROUP BY word
+),
+s0 AS (
+  SELECT cnt, ' ' || array_to_string(
+    list_transform(range(1, len(word) + 1), i -> word[i]), ' ')
+    || ' ' AS seq
+  FROM w0
+)"""]
+    for r in range(1, n_merges + 1):
+        head.append(f""",
+p{r} AS (
+  SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(t)),
+      i -> {{'a': t[i], 'b': t[i + 1]}})) AS p
+    FROM (SELECT cnt, string_split(trim(seq), ' ') AS t FROM s{r - 1}))
+  GROUP BY p.a, p.b
+),
+b{r} AS (
+  SELECT a, b, pair_count FROM p{r}
+  ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+),
+s{r} AS (
+  SELECT cnt, replace(seq,
+    ' ' || (SELECT a FROM b{r}) || ' ' || (SELECT b FROM b{r}) || ' ',
+    ' ' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || ' ') AS seq
+  FROM s{r - 1}
+)""")
+    rows = " UNION ALL ".join(
+        f'SELECT {r} AS round, a AS "left", b AS "right", pair_count '
+        f"FROM b{r}" for r in range(1, n_merges + 1))
+    head.append(f"\nSELECT CAST(round AS INTEGER) AS round, "
+                f'"left", "right", pair_count FROM ({rows})')
+    return "".join(head)
+
+
+@register("q99u_bpe_train", oracle=_bpe_oracle(6))
+def q99u_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN the tokenizer: distributed BPE merge training (Sennrich
+    subword units) — the corpus collapses to a word-frequency table in
+    one pass, then each round counts adjacent symbol pairs
+    (partial-aggregated) and rewrites sequences with one string
+    replace; only the per-round winner row reaches the driver —
+    `operators/bpe.py::bpe_train`. Output = the learned merge table,
+    hash-matched against the fully unrolled SQL trainer."""
+    from api_to_amt_data_lake_spark.operators.bpe import bpe_train
+
+    d = read_table(spark, sf_dir, "documents").select("text")
+    return bpe_train(d, "text", n_merges=6)
+
+
+_FIXED_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n")]
+
+
+@register("q99v_bpe_segment", oracle=r"""
+WITH seg AS (
+  SELECT doc_id,
+    list_transform(string_split_regex(trim(text), '\s+'), w ->
+      CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE
+        CAST(len(string_split(trim(
+          replace(replace(replace(replace(
+            ' ' || array_to_string(
+              list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
+            || ' ',
+            ' t h ', ' th '), ' th e ', ' the '),
+            ' i n ', ' in '), ' a n ', ' an ')), ' ')) AS BIGINT)
+      END) AS per_word
+  FROM documents)
+SELECT doc_id, CAST(list_sum(per_word) AS BIGINT) AS bpe_tokens
+FROM seg
+""")
+def q99v_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a merge table: per-document token count after the fixed
+    merges (th, the, in, an) — scan-level string expressions, one pass,
+    no shuffle (`operators/bpe.py::bpe_segment`). With a learned table
+    from `bpe_train` this is the serving-side tokenizer-cost metric
+    (tokens-per-doc under the trained vocab)."""
+    from api_to_amt_data_lake_spark.operators.bpe import bpe_segment
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_segment(d, "text", _FIXED_MERGES) \
+        .select("doc_id", "bpe_tokens")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the
