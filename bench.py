@@ -76,6 +76,8 @@ HEADLINE = [
     "q99e_hybrid_rrf",
     "q99f_gopher_rules",
     "q99g_semdedup",
+    "q99s_scd2_history",
+    "q99u_bpe_train",
 ]
 
 

@@ -151,3 +151,30 @@ def test_full_pipeline_e2e_zero_config(tmp_path, spark, cfg):
         next((tmp_path / "silver" / str(SY) / "deletes_students")
              .glob("*.json")).read_text())
     assert tomb == [{"id": "tombstone-1"}]
+    # Post-build warehouse validation over the landed lake: every key
+    # uniqueness and completeness invariant holds, and the RI checks
+    # DETECT the cross-view orphans this deliberately-minimal fixture
+    # contains (the goldens pin each view independently; e.g. the
+    # demographics docs cover students whose enrollment fell out of the
+    # enrolled-only studentSchoolDim) — proving the validator catches
+    # dangling keys rather than waving them through.
+    from api_to_amt_data_lake_spark.amt.validate import validate_gold
+    report = validate_gold(spark, gold, SY).collect()
+    by_kind = {}
+    for r in report:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert all(r["status"] != "FAIL" for r in by_kind["uniqueness"])
+    assert all(r["status"] != "FAIL" for r in by_kind["completeness"])
+    ri_fails = {r["check"] for r in by_kind["referential"]
+                if r["status"] == "FAIL"}
+    known_fixture_orphans = {
+        "ews_studentSectionGradeFact.StudentSectionKey -> "
+        "studentSectionDim.StudentSectionKey",
+        "chrab_chronicAbsenteeismAttendanceFact.StudentSchoolKey -> "
+        "studentSchoolDim.StudentSchoolKey",
+        "ews_studentEarlyWarningFact.StudentKey -> "
+        "studentSchoolDim.StudentKey",
+        "studentSchoolDemographicsBridge.StudentSchoolKey -> "
+        "studentSchoolDim.StudentSchoolKey",
+    }
+    assert ri_fails == known_fixture_orphans, ri_fails

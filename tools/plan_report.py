@@ -50,6 +50,9 @@ SHOWCASE = [
     ("q95b_ivfpq_ann", "IVFPQ search: coarse centroids, PQ codebook and "
      "per-bucket ADC tables all broadcast; the only shuffle carries "
      "(query, match, partial-sum) rows"),
+    ("q99s_scd2_history", "SCD2 from an observation log: two window "
+     "passes partitioned by the natural key — one shuffle, no "
+     "self-join, no driver state"),
 ]
 
 
