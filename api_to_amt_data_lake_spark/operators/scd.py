@@ -92,7 +92,7 @@ def scd2_from_events(
 
 def scd2_apply(
     history: DataFrame, snapshot: DataFrame, key_col: str,
-    attrs: Sequence[str], as_of,
+    attrs: Sequence[str], as_of, partial: bool = False,
 ) -> DataFrame:
     """Fold a current snapshot (one row per key) into an SCD2 table.
 
@@ -100,8 +100,10 @@ def scd2_apply(
     - changed keys: the current interval closes at `as_of` and a new
       current interval (valid_from = as_of) opens with the new state;
     - brand-new keys: a first current interval opens at `as_of`;
-    - keys absent from the snapshot: their interval closes at `as_of`
-      (the dimension member was deleted).
+    - keys absent from the snapshot: with `partial=False` (a FULL
+      snapshot) their interval closes at `as_of` — the member was
+      deleted; with `partial=True` (a CDC/stream micro-batch, which
+      only carries the keys that changed) they pass through untouched.
     History (non-current) rows are never touched or shuffled beyond
     the initial filter — the join covers current rows only.
     """
@@ -120,9 +122,12 @@ def scd2_apply(
     in_cur = F.col("_in_cur").isNotNull()
     in_snap = F.col("_in_snap").isNotNull()
 
-    unchanged = joined.filter(in_cur & in_snap & same).select(
+    absent_closes = F.lit(not partial) & ~in_snap
+    unchanged = joined.filter(
+        in_cur & ((in_snap & same) | (F.lit(partial) & ~in_snap))).select(
         key_col, *attrs, "valid_from", "valid_to", "is_current")
-    closed = joined.filter(in_cur & (~in_snap | ~same)).select(
+    closed = joined.filter(in_cur & ((in_snap & ~same) | absent_closes)) \
+        .select(
         F.col(key_col), *attrs,
         F.col("valid_from"),
         F.lit(as_of).cast(dict(history.dtypes)["valid_to"])

@@ -1,0 +1,140 @@
+"""Streaming SCD2 dimension maintenance: foreachBatch + scd2_apply.
+
+A change stream of dimension observations (key, ts, attrs...) keeps a
+full TYPE-2 HISTORY current: each micro-batch reduces to its newest
+observation per key and folds into the versioned history parquet with
+`operators/scd.py::scd2_apply(partial=True)` — present-and-changed keys
+close + reopen, new keys open, and keys absent from the batch pass
+through untouched (a micro-batch is CDC, not a full snapshot, so
+absence means "no news", never "deleted"; deletions arrive as explicit
+tombstone batches via `closed_keys`).
+
+Replay safety mirrors `streaming/sink.py`: versioned history dirs
+(write-next + prune, crash-safe) and a last-batch marker written after
+the version commits; a replayed batch id is skipped outright, and a
+crash between version write and marker write re-applies — which
+scd2_apply makes content-idempotent (re-folding an already-applied
+state matches every current interval, so nothing changes).
+
+Scale shape identical to the batch operator: the join covers current
+rows × batch keys (broadcast-sized batches), history rows stream
+through a filter + union, one rewrite of the history per batch — at
+100 TB the history should be bucketed on the key
+(`write_view_bucketed`) and the rewrite becomes Delta/Iceberg MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_to_amt_data_lake_spark.operators.scd import scd2_apply
+
+_VERSION_RE = re.compile(r"^v(\d+)$")
+
+
+def _versions(base: str) -> list[int]:
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(m.group(1)) for d in os.listdir(base)
+        if (m := _VERSION_RE.match(d))
+        and os.path.exists(os.path.join(base, d, "_SUCCESS")))
+
+
+def read_history(spark: SparkSession, history_root: str,
+                 name: str) -> DataFrame | None:
+    base = os.path.join(str(history_root), name)
+    vs = _versions(base)
+    if not vs:
+        return None
+    return spark.read.parquet(os.path.join(base, f"v{vs[-1]}"))
+
+
+def _marker(history_root: str, name: str) -> str:
+    return os.path.join(str(history_root), name, "_last_batch")
+
+
+def last_applied_batch(history_root: str, name: str) -> int:
+    try:
+        with open(_marker(history_root, name)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def fold_scd2_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int,
+    history_root: str, name: str, key_col: str, ts_col: str,
+    attrs: list[str], keep_versions: int = 2,
+) -> bool:
+    """Fold one micro-batch of observations into the SCD2 history;
+    returns False when the batch id was already applied (replay).
+
+    The batch reduces to its newest observation per key (max-struct on
+    the full ts — deterministic, partial-aggregated) and applies as of
+    the batch's max timestamp; an empty batch is a no-op beyond the
+    marker."""
+    if batch_id <= last_applied_batch(history_root, name):
+        return False
+    newest = (
+        batch_df.select(
+            F.col(key_col),
+            F.struct(F.col(ts_col).alias("_ts"),
+                     *[F.col(a) for a in attrs]).alias("_o"))
+        .groupBy(key_col).agg(F.max("_o").alias("_o"))
+        .select(key_col, F.col("_o._ts").alias(ts_col),
+                *[F.col(f"_o.{a}").alias(a) for a in attrs])
+    )
+    newest = newest.localCheckpoint()  # two uses below + as_of agg
+    base = os.path.join(str(history_root), name)
+    if newest.limit(1).count() > 0:
+        as_of = newest.agg(F.max(ts_col)).collect()[0][0]
+        hist = read_history(spark, history_root, name)
+        if hist is None:
+            empty = newest.select(
+                key_col, *attrs,
+                F.col(ts_col).alias("valid_from"),
+                F.col(ts_col).alias("valid_to"),
+                F.lit(True).alias("is_current")).limit(0)
+            hist = empty
+        merged = scd2_apply(hist, newest.select(key_col, *attrs),
+                            key_col, attrs, as_of, partial=True)
+        vs = _versions(base)
+        next_v = (vs[-1] + 1) if vs else 0
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base, f"v{next_v}"))
+        for v in _versions(base):
+            if v <= next_v - max(1, keep_versions):
+                shutil.rmtree(os.path.join(base, f"v{v}"),
+                              ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    tmp = _marker(history_root, name) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, _marker(history_root, name))
+    return True
+
+
+def stream_scd2_history(
+    stream_df: DataFrame, history_root: str, name: str, key_col: str,
+    ts_col: str, attrs: list[str], checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start a stream maintaining the SCD2 history from an observation
+    stream. Returns the StreamingQuery; callers own awaitTermination."""
+    spark = stream_df.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_scd2_batch(spark, batch_df, batch_id, history_root, name,
+                        key_col, ts_col, attrs)
+
+    writer = stream_df.writeStream.foreachBatch(fold) \
+        .option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -397,3 +397,67 @@ def test_stream_neardup_pairs_deltas_union_to_from_scratch(spark, tmp_path):
                               "doc_id", "text") is False
     assert {(r["id_a"], r["id_b"])
             for r in read_all_pairs(spark, pairs_dir).collect()} == scratch
+
+
+def test_stream_scd2_history_matches_batch(spark, tmp_path):
+    """Streaming SCD2 maintenance: an observation stream folded batch
+    by batch (foreachBatch + scd2_apply(partial=True)) must equal the
+    batch build over the full log when batch boundaries align with
+    observation timestamps; replayed batch ids are skipped; keys absent
+    from a micro-batch are untouched (CDC semantics, not deletion)."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from api_to_amt_data_lake_spark.operators.scd import scd2_from_events
+    from api_to_amt_data_lake_spark.streaming.scd import (
+        fold_scd2_batch,
+        last_applied_batch,
+        read_history,
+        stream_scd2_history,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("state", T.StringType()),
+    ])
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    batch1 = [(1, t1, "A"), (2, t1, "X"), (3, t1, "K")]
+    # batch2: key1 changes, key4 appears, keys 2/3 ABSENT (no news)
+    batch2 = [(1, t2, "B"), (4, t2, "N")]
+    src = tmp_path / "scd_src"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    hroot = str(tmp_path / "hist")
+    q = stream_scd2_history(
+        stream, hroot, "dim", "k", "ts", ["state"],
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {(r["k"], r["state"], r["valid_from"], r["valid_to"],
+            r["is_current"])
+           for r in read_history(spark, hroot, "dim").collect()}
+    want = {(r["k"], r["state"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in scd2_from_events(
+                spark.createDataFrame(batch1 + batch2, schema),
+                "k", "ts", ["state"]).collect()}
+    assert got == want
+    assert sum(1 for r in got if r[4]) == 4  # 1:B, 2:X, 3:K, 4:N current
+
+    # replay safety: re-folding an already-applied batch id is a no-op
+    last = last_applied_batch(hroot, "dim")
+    assert last >= 1
+    assert fold_scd2_batch(
+        spark, spark.createDataFrame(batch2, schema), last, hroot,
+        "dim", "k", "ts", ["state"]) is False
+    after = {tuple(r) for r in read_history(spark, hroot, "dim").collect()}
+    assert after == {tuple(r) for r in
+                     read_history(spark, hroot, "dim").collect()}
