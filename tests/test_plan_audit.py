@@ -23,6 +23,7 @@ PYTHON_OK = {"q36_binary_metadata", "q18_multimodal_decode",
              "q73_cosine_topk_wide", "q74_video_frame_sample",
              "q74b_png_pixel_decode", "q74c_gif_pixel_decode",
              "q74d_jpeg_pixel_decode", "q74e_progressive_jpeg_decode",
+             "q74f_wav_audio_features", "q74g_audio_goertzel",
              "q75_feature_ann"}
 
 SF_DIR = "/root/testdata/sf0.001"
