@@ -130,7 +130,8 @@ def decode_audio(df: DataFrame, content_col: str = "content",
     """
     import pandas as pd
 
-    out_schema = (f"{id_col} long, sample_rate int, channels int, "
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, sample_rate int, channels int, "
                   "samples array<double>")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,7 +246,8 @@ def spectrogram(df: DataFrame, frame_size: int = 256, hop: int = 128,
     import numpy as np
     import pandas as pd
 
-    out_schema = (f"{id_col} long, frame_idx int, "
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, frame_idx int, "
                   "magnitudes array<double>")
     win = None
 

@@ -13,14 +13,29 @@ Algorithm (the standard loop, distributed):
   3. per round: count adjacent symbol pairs weighted by word count
      (split -> zip_with -> explode -> partial-aggregated groupBy),
      pick the most frequent pair (count desc, then lexicographic —
-     deterministic), and rewrite every sequence with ONE string
-     `replace(" a b ", " ab ")`.
+     deterministic), and rewrite every sequence with a three-step
+     string replace (see below).
 
-The left-to-right non-overlapping semantics of `replace` are exactly
-greedy BPE merging (consecutive runs collapse pairwise: "a a a a" ->
-"aa aa"), and they are identical in Spark and DuckDB/ANSI SQL — which
-is what makes the trained merge table ORACLE-VERIFIABLE (conformance
-q99u unrolls the rounds in SQL).
+A naive `replace(" a b ", " ab ")` on a single-space-sentineled
+sequence is NOT greedy BPE: each match consumes the trailing space
+that the next candidate match needs as its leading space, so
+repeated-symbol runs under-merge (" a a a a " -> " aa a a ", not
+" aa aa "). Sennrich's reference implementation avoids this with
+non-consuming regex lookarounds — unavailable in DuckDB's RE2. The
+portable exact equivalent used here: DOUBLE every sentinel space so
+each inter-symbol gap owns two spaces, match the pair pattern
+" a  b " (consuming one space from each side of the gap, leaving the
+neighbor's boundary intact), replace with " ab " (restoring the
+two-space invariant), then collapse "  " -> " ":
+
+    replace(replace(replace(seq, ' ', '  '), ' a  b ', ' ab '),
+            '  ', ' ')
+
+This is exact greedy left-to-right pairwise merging ("a a a a a" ->
+"aa aa a", matching Sennrich), uses only plain `replace`, and is
+identical in Spark and DuckDB/ANSI SQL — which is what makes the
+trained merge table ORACLE-VERIFIABLE (conformance q99u unrolls the
+rounds in SQL with the same three-step rewrite).
 
 Scale shape: the model (merge list) lives on the driver — one row per
 round crosses to it, like the k-means loop's counters. Everything
@@ -35,8 +50,20 @@ broadcast-sized next to the corpus that produced it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _merge_pair(seq: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of pair (a, b) in a space-sentineled
+    symbol sequence. Three plain replaces: double the sentinels so
+    adjacent matches don't consume each other's shared boundary space,
+    rewrite the pair, collapse back to canonical single-space form.
+    Exactly Sennrich's lookaround-regex semantics, without lookarounds
+    (portable to DuckDB/RE2 for the oracle)."""
+    doubled = F.replace(seq, F.lit(" "), F.lit("  "))
+    merged = F.replace(doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return F.replace(merged, F.lit("  "), F.lit(" "))
 
 
 def word_counts(corpus: DataFrame, text_col: str) -> DataFrame:
@@ -100,9 +127,7 @@ def bpe_train(corpus: DataFrame, text_col: str,
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
         merges.append((rnd, a, b, cnt))
         seqs = seqs.withColumn(
-            "seq",
-            F.replace(F.col("seq"), F.lit(f" {a} {b} "),
-                      F.lit(f" {a}{b} "))).localCheckpoint()
+            "seq", _merge_pair(F.col("seq"), a, b)).localCheckpoint()
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint")
 
@@ -122,7 +147,7 @@ def bpe_segment(df: DataFrame, text_col: str,
 
     def merged(seq):
         for a, b in merges:
-            seq = F.replace(seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+            seq = _merge_pair(seq, a, b)
         return seq
 
     tok_count = F.aggregate(

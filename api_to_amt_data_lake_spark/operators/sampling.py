@@ -174,3 +174,88 @@ def deterministic_shuffle(
         .withColumn("shuffle_pos", (F.col("_base") + F.col("_local")).cast("long"))
         .drop("_key", "_b", "_local", "_base")
     )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how target-like its
+    hashed-unigram bag is. Each token hashes into one of 16^hex_chars
+    buckets (md5 hex prefix — same portable hash as the CMS/minhash
+    ops); bucket distributions are estimated for the target corpus and
+    the raw corpus with add-one smoothing, and a document's importance
+    log-weight is the sum over its tokens of
+    ln p_target(bucket) - ln p_raw(bucket). Sampling raw docs with
+    probability proportional to exp(logw) yields a target-shaped
+    training mix — the standard pretraining-data curation move when the
+    target domain is small and the raw crawl is huge.
+
+    Returns (id_col, n_tokens, dsir_logw) for every raw document.
+
+    Determinism: per-token terms are rounded to 9dp and summed in
+    DECIMAL(38,12) — exact, order-insensitive, bit-identical to the SQL
+    oracle (the unigram_surprisal trick).
+
+    Scale shape: two bucket-count passes (target, raw) each collapse to
+    at most 16^hex_chars rows — broadcast-sized however large the
+    corpora are; scoring is one explode + one broadcast join + one
+    partial-aggregated groupBy on the doc id. No Python, no driver
+    loops; the only full shuffles are keyed by doc id and by the
+    256-value bucket (uniform by construction — md5).
+    """
+    n_buckets = 16 ** hex_chars
+
+    def toks(df: DataFrame):
+        return (
+            df.select(
+                F.col(id_col),
+                F.explode(
+                    F.split(F.trim(F.lower(F.col(text_col))), " ")
+                ).alias("tok"))
+            .where(F.col("tok") != "")
+            .select(
+                F.col(id_col),
+                F.substring(F.md5(F.col("tok")), 1, hex_chars)
+                .alias("bucket"))
+        )
+
+    def bucket_counts(df: DataFrame, out: str):
+        return toks(df).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(out))
+
+    tgt = bucket_counts(target, "t_n")
+    rw = bucket_counts(raw, "r_n")
+    table = (
+        tgt.join(rw, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_n", F.lit(0)).alias("t_n"),
+            F.coalesce("r_n", F.lit(0)).alias("r_n"))
+    )
+    totals = table.agg(
+        F.sum("t_n").alias("t_total"), F.sum("r_n").alias("r_total"))
+    weights = (
+        table.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("t_n") + 1).cast("double")
+                      / (F.col("t_total") + n_buckets))
+                - F.log((F.col("r_n") + 1).cast("double")
+                        / (F.col("r_total") + n_buckets)), 9)
+            .cast("decimal(38,12)").alias("logratio"))
+    )
+    return (
+        toks(raw)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("logratio").cast("double"), 6)
+            .alias("dsir_logw"))
+    )

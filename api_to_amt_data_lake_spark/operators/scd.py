@@ -93,24 +93,37 @@ def scd2_from_events(
 def scd2_apply(
     history: DataFrame, snapshot: DataFrame, key_col: str,
     attrs: Sequence[str], as_of, partial: bool = False,
+    as_of_col: str | None = None,
 ) -> DataFrame:
     """Fold a current snapshot (one row per key) into an SCD2 table.
 
     - keys whose attributes match their current interval: unchanged;
-    - changed keys: the current interval closes at `as_of` and a new
-      current interval (valid_from = as_of) opens with the new state;
-    - brand-new keys: a first current interval opens at `as_of`;
+    - changed keys: the current interval closes and a new current
+      interval opens with the new state;
+    - brand-new keys: a first current interval opens;
     - keys absent from the snapshot: with `partial=False` (a FULL
       snapshot) their interval closes at `as_of` — the member was
       deleted; with `partial=True` (a CDC/stream micro-batch, which
       only carries the keys that changed) they pass through untouched.
+
+    Close/open times: scalar `as_of` for every key by default; with
+    `as_of_col` set, that snapshot column supplies a PER-KEY
+    observation time used as the changed key's close time and the new
+    interval's `valid_from` (absent-key closes still use the scalar —
+    absence carries no per-key time). With per-key times a LATE
+    snapshot row (its time <= the key's current `valid_from`) is
+    ignored — the history already reflects a newer state, and closing
+    would mint an inverted interval.
     History (non-current) rows are never touched or shuffled beyond
     the initial filter — the join covers current rows only.
     """
     cur = history.filter(F.col("is_current"))
     old = history.filter(~F.col("is_current"))
-    snap = snapshot.select(
-        F.col(key_col), *[F.col(a).alias(f"_new_{a}") for a in attrs])
+    snap_cols = [F.col(key_col)] + [F.col(a).alias(f"_new_{a}")
+                                    for a in attrs]
+    if as_of_col is not None:
+        snap_cols.append(F.col(as_of_col).alias("_new_ts"))
+    snap = snapshot.select(*snap_cols)
 
     same = F.lit(True)
     for a in attrs:
@@ -122,27 +135,77 @@ def scd2_apply(
     in_cur = F.col("_in_cur").isNotNull()
     in_snap = F.col("_in_snap").isNotNull()
 
+    to_t = dict(history.dtypes)["valid_to"]
+    from_t = dict(history.dtypes)["valid_from"]
+    if as_of_col is not None:
+        close_at = F.col("_new_ts").cast(to_t)
+        open_at = F.col("_new_ts").cast(from_t)
+        late = in_cur & in_snap & F.coalesce(
+            open_at <= F.col("valid_from"), F.lit(False))
+    else:
+        close_at = F.lit(as_of).cast(to_t)
+        open_at = F.lit(as_of).cast(from_t)
+        late = F.lit(False)
+
     absent_closes = F.lit(not partial) & ~in_snap
     unchanged = joined.filter(
-        in_cur & ((in_snap & same) | (F.lit(partial) & ~in_snap))).select(
+        in_cur & ((in_snap & (same | late))
+                  | (F.lit(partial) & ~in_snap))).select(
         key_col, *attrs, "valid_from", "valid_to", "is_current")
-    closed = joined.filter(in_cur & ((in_snap & ~same) | absent_closes)) \
-        .select(
+    closed = joined.filter(
+        in_cur & ((in_snap & ~same & ~late) | absent_closes)).select(
         F.col(key_col), *attrs,
         F.col("valid_from"),
-        F.lit(as_of).cast(dict(history.dtypes)["valid_to"])
+        F.when(~in_snap, F.lit(as_of).cast(to_t)).otherwise(close_at)
         .alias("valid_to"),
         F.lit(False).alias("is_current"))
-    opened = joined.filter(in_snap & (~in_cur | ~same)).select(
+    opened = joined.filter(in_snap & (~in_cur | (~same & ~late))).select(
         F.col(key_col),
         *[F.col(f"_new_{a}").alias(a) for a in attrs],
-        F.lit(as_of).cast(dict(history.dtypes)["valid_from"])
-        .alias("valid_from"),
-        F.lit(OPEN_END).cast(dict(history.dtypes)["valid_to"])
-        .alias("valid_to"),
+        open_at.alias("valid_from"),
+        F.lit(OPEN_END).cast(to_t).alias("valid_to"),
         F.lit(True).alias("is_current"))
     return old.unionByName(unchanged).unionByName(closed) \
         .unionByName(opened)
+
+
+def scd2_close_keys(
+    history: DataFrame, closed_keys: DataFrame, key_col: str,
+    as_of=None, as_of_col: str | None = None,
+) -> DataFrame:
+    """Close the current interval of every key in `closed_keys` — the
+    TOMBSTONE path of CDC SCD2 maintenance (a delete event names the
+    key; `scd2_apply(partial=True)` can't express it because absence
+    means "no news" there).
+
+    Close time is the scalar `as_of`, or per-key from `as_of_col` in
+    `closed_keys`. A LATE tombstone (close time <= the current
+    interval's `valid_from`) is ignored rather than minting an
+    inverted interval. Keys with no current interval are no-ops.
+    Same scale shape as `scd2_apply`: the join touches current rows
+    only, history rows stream through the filter + union.
+    """
+    cur = history.filter(F.col("is_current"))
+    old = history.filter(~F.col("is_current"))
+    to_t = dict(history.dtypes)["valid_to"]
+    cols = [F.col(key_col), F.lit(True).alias("_del")]
+    if as_of_col is not None:
+        cols.append(F.col(as_of_col).cast(to_t).alias("_del_ts"))
+    dels = closed_keys.select(*cols).dropDuplicates([key_col])
+    joined = cur.join(dels, key_col, "left_outer")
+    close_at = (F.col("_del_ts") if as_of_col is not None
+                else F.lit(as_of).cast(to_t))
+    closes = F.coalesce(
+        F.col("_del") & (F.col("valid_from") < close_at), F.lit(False))
+    kept = joined.filter(~closes).select(
+        *[c for c in history.columns])
+    closed = joined.filter(closes).select(
+        *[F.col(c) for c in history.columns if c not in
+          ("valid_to", "is_current")],
+        close_at.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    ).select(*history.columns)
+    return old.unionByName(kept).unionByName(closed)
 
 
 def scd2_as_of(history: DataFrame, at) -> DataFrame:

@@ -773,3 +773,64 @@ def pq_adc_topk(
                 F.col("adc_dist").asc(), F.col("match_id").asc())))
         .filter(F.col("rank") <= k)
     )
+
+
+def binary_quantize(df: DataFrame, id_col: str, vec_col: str,
+                    dims: int) -> DataFrame:
+    """1-bit (sign) vector quantization: dim i contributes bit (i % 32)
+    of word i // 32 when the component is > 0. Output is
+    (id_col, bits: array<long>) with ceil(dims/32) 32-bit words — 32×
+    smaller than float32, and Hamming distance over the words is the
+    standard cheap proxy for cosine on zero-centered embeddings
+    (binary/Hamming stage of modern vector-DB pipelines; see also
+    `sq8_minmax` for the 8-bit variant).
+
+    Words stay < 2^32 so the packing is plain integer arithmetic — no
+    sign-bit traps, identical in Spark and the DuckDB oracle. Scan-level
+    projection: no shuffle, no Python.
+    """
+    n_words = (dims + 31) // 32
+    v = _as_double(F.col(vec_col))
+    words = []
+    for w in range(n_words):
+        acc = F.lit(0).cast("long")
+        for j in range(min(32, dims - w * 32)):
+            acc = acc + F.when(
+                F.element_at(v, w * 32 + j + 1) > 0,
+                F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        words.append(acc)
+    return df.select(F.col(id_col), F.array(*words).alias("bits"))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed-word bit arrays: sum of
+    bit_count(xor) per word — JVM-side, codegen-friendly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def hamming_topk(
+    queries: DataFrame, corpus: DataFrame, id_col: str, k: int = 3,
+) -> DataFrame:
+    """Top-k nearest neighbors in the 1-bit Hamming space. Inputs are
+    `binary_quantize` outputs; queries are broadcast (the ANN pattern:
+    few queries × huge corpus), distance is a per-word xor+popcount —
+    the cheapest possible scan at 100 TB (the corpus side reads
+    ceil(d/32) longs per row instead of d floats). Ties break on
+    match_id for cross-engine determinism.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col("bits").alias("q_bits"))
+    c = corpus.select(F.col(id_col).alias("match_id"),
+                      F.col("bits").alias("c_bits"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id",
+                hamming(F.col("q_bits"), F.col("c_bits")).alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("match_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)

@@ -2863,6 +2863,90 @@ def q74g_audio_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "bin_energy")
 
 
+@register("q74h_mjpeg_pixel_decode", oracle="""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+idx AS (SELECT unnest([0, 2, 4]) AS frame_idx)
+SELECT d.doc_id, CAST(i.frame_idx AS INTEGER) AS frame_idx,
+  CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+  CAST(128 * (20 * (d.doc_id % 6) + 15 * i.frame_idx) AS BIGINT)
+    AS pixel_sum,
+  round(CAST(20 * (d.doc_id % 6) + 15 * i.frame_idx AS DOUBLE), 6)
+    AS pixel_mean
+FROM docs d CROSS JOIN idx i
+""")
+def q74h_mjpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG video END TO END: demux + pixel decode in one fused Python
+    pass. Each row picks one of six plan-time MJPEG AVI containers —
+    a RIFF/movi LIST of six '00dc' chunks whose payloads are REAL
+    baseline JPEGs (`encode_jpeg_baseline`, constant gray
+    20·(doc_id%6) + 15·frame) — then `sample_video_frames` walks the
+    container keeping every 2nd frame and the real Huffman+IDCT decoder
+    (`_decode_pixels`) turns each kept frame into pixels. Constant
+    DC-only blocks round-trip exactly, so the oracle is pure
+    arithmetic over (doc_id, frame_idx). Both mapInPandas stages are
+    projections, so the whole demux→decode chain pipelines inside one
+    stage with zero Exchange (asserted in
+    tests/test_multimodal_decode.py)."""
+    import numpy as np  # local: plan-time fixtures + Python workers
+    import pandas as pd
+
+    from api_to_amt_data_lake_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from api_to_amt_data_lake_spark.operators.multimodal import (
+        _decode_pixels,
+        sample_video_frames,
+    )
+
+    def le32(n: int) -> str:
+        return n.to_bytes(4, "little").hex().upper()
+
+    def avi_fixture(m: int) -> str:
+        chunks = b""
+        for i in range(6):
+            jpg = encode_jpeg_baseline(
+                np.full((8, 16), 20 * m + 15 * i, dtype=np.uint8))
+            chunks += (b"00dc" + len(jpg).to_bytes(4, "little") + jpg
+                       + (b"\x00" if len(jpg) % 2 else b""))
+        movi = b"movi" + chunks
+        body = (b"LIST" + len(movi).to_bytes(4, "little") + movi)
+        riff = b"AVI " + body
+        return (b"RIFF" + len(riff).to_bytes(4, "little")
+                + riff).hex().upper()
+
+    variants = F.array(*[F.lit(avi_fixture(m)) for m in range(6)])
+    blobs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.unhex(F.element_at(variants,
+                                 (F.col("doc_id") % 6 + 1).cast("int")))
+            .alias("content"),
+        )
+    )
+    frames = sample_video_frames(blobs, every_n=2)
+
+    out_schema = ("doc_id long, frame_idx int, width int, height int, "
+                  "pixel_sum long, pixel_mean double")
+
+    def decode(batches):
+        for pdf in batches:
+            px = [_decode_pixels(bytes(b)) for b in pdf["frame"]]
+            arrs = [np.frombuffer(p[3], dtype=np.uint8) for p in px]
+            yield pd.DataFrame({
+                "doc_id": pdf["id"],
+                "frame_idx": pdf["frame_idx"],
+                "width": [p[0] for p in px],
+                "height": [p[1] for p in px],
+                "pixel_sum": [int(a.sum()) for a in arrs],
+                "pixel_mean": [round(float(a.sum()) / a.size, 6)
+                               for a in arrs],
+            })
+
+    return frames.mapInPandas(decode, out_schema)
+
+
 @register("q75_feature_ann", oracle=f"""
 WITH feat AS (
   SELECT doc_id AS vec_id,
@@ -3867,6 +3951,46 @@ def q90_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q90b_binary_hamming_ann", oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (
+  SELECT vec_id, list_transform(range(0, 2), w ->
+    CAST(list_sum(list_transform(range(0, 32), j ->
+      CASE WHEN v[w * 32 + j + 1] > 0
+           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)) AS bw
+  FROM v),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+    CAST(list_sum(list_transform(range(1, 3), w ->
+      bit_count(xor(a.bw[w], b.bw[w])))) AS BIGINT) AS hamming
+  FROM (SELECT * FROM bits WHERE vec_id < 5) a
+  JOIN bits b ON a.vec_id != b.vec_id)
+SELECT query_id, match_id, hamming, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming ASC, match_id ASC) AS rank
+  FROM sims) WHERE rank <= 3
+""")
+def q90b_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search in the 1-BIT (sign) quantized space: pack each
+    64-dim embedding into two 32-bit words, rank by xor+popcount
+    Hamming distance — the 32×-compression / cheapest-scan stage of a
+    modern binary-then-rerank vector pipeline (complements q90's 8-bit
+    SQ and q95's PQ). Packing is scan-level integer arithmetic; the
+    search reads 2 longs per corpus row instead of 64 floats —
+    `operators/similarity.py::binary_quantize` / `hamming_topk`."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bits = binary_quantize(e, "vec_id", "embedding", dims=64)
+    q = bits.filter(F.col("vec_id") < 5)
+    return hamming_topk(q, bits, "vec_id", k=3).select(
+        "query_id", "match_id", "hamming",
+        F.col("rank").cast("int").alias("rank"))
+
+
 _SQ8_CTES = """
 dims AS (
   SELECT idx.i AS i, MIN(v.v[idx.i]) AS mn, MAX(v.v[idx.i]) AS mx
@@ -4603,6 +4727,49 @@ def q98b_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("avg_surprisal"), F.asc("doc_id")
     ).limit(20)
+
+
+@register("q98c_dsir_weights", oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(trim(lower(text)), ' ')) AS tok
+    FROM documents) t WHERE tok <> ''
+), tgt AS (
+  SELECT bucket, COUNT(*) AS t_n FROM toks WHERE lang = 'en'
+  GROUP BY bucket
+), rw AS (
+  SELECT bucket, COUNT(*) AS r_n FROM toks GROUP BY bucket
+), tab AS (
+  SELECT coalesce(tgt.bucket, rw.bucket) AS bucket,
+         coalesce(t_n, 0) AS t_n, coalesce(r_n, 0) AS r_n
+  FROM tgt FULL OUTER JOIN rw ON tgt.bucket = rw.bucket
+), tot AS (SELECT SUM(t_n) AS t_total, SUM(r_n) AS r_total FROM tab),
+wts AS (
+  SELECT bucket,
+    CAST(round(ln(CAST(t_n + 1 AS DOUBLE) / (t_total + 256))
+               - ln(CAST(r_n + 1 AS DOUBLE) / (r_total + 256)), 9)
+         AS DECIMAL(38,12)) AS logratio
+  FROM tab CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(logratio) AS DOUBLE), 6) AS dsir_logw
+FROM toks JOIN wts USING (bucket)
+GROUP BY doc_id
+""")
+def q98c_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by how English-target-like its hashed-unigram (256 md5 buckets)
+    distribution is — ln p_target - ln p_raw summed over tokens with
+    add-one smoothing. Sampling ∝ exp(logw) reshapes a raw crawl
+    toward the target domain; the bucket tables stay broadcast-sized
+    at any corpus size — `operators/sampling.py::dsir_logweights`."""
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        dsir_logweights,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return dsir_logweights(
+        d, d.filter(F.col("lang") == "en"), "text", "doc_id")
 
 
 @register("q99d_weighted_sample", oracle="""
@@ -5578,9 +5745,10 @@ def q99t_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_oracle(n_merges: int = 6) -> str:
     """Unrolled BPE training in SQL: word counts, char sequences as
     space-sentineled strings, then per round a pair-count CTE, an
-    argmax CTE (count desc, lexicographic tiebreak) and a `replace`
-    rewrite — `replace`'s left-to-right non-overlap semantics ARE
-    greedy BPE merging, identically in DuckDB and Spark."""
+    argmax CTE (count desc, lexicographic tiebreak) and the same
+    three-step replace rewrite as `operators/bpe.py::_merge_pair`
+    (double sentinels, rewrite pair, collapse) — exact greedy
+    left-to-right BPE merging, identically in DuckDB and Spark."""
     head = [r"""WITH w0 AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
@@ -5608,9 +5776,10 @@ b{r} AS (
   ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
 ),
 s{r} AS (
-  SELECT cnt, replace(seq,
-    ' ' || (SELECT a FROM b{r}) || ' ' || (SELECT b FROM b{r}) || ' ',
-    ' ' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || ' ') AS seq
+  SELECT cnt, replace(replace(replace(seq, ' ', '  '),
+    ' ' || (SELECT a FROM b{r}) || '  ' || (SELECT b FROM b{r}) || ' ',
+    ' ' || (SELECT a FROM b{r}) || (SELECT b FROM b{r}) || ' '),
+    '  ', ' ') AS seq
   FROM s{r - 1}
 )""")
     rows = " UNION ALL ".join(
@@ -5639,23 +5808,34 @@ def q99u_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FIXED_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n")]
 
 
-@register("q99v_bpe_segment", oracle=r"""
+def _merge_pair_sql(expr: str, a: str, b: str) -> str:
+    """SQL twin of `operators/bpe.py::_merge_pair`: greedy left-to-right
+    pair merge via double-sentinel / rewrite / collapse replaces."""
+    return (f"replace(replace(replace({expr}, ' ', '  '), "
+            f"' {a}  {b} ', ' {a}{b} '), '  ', ' ')")
+
+
+def _segment_oracle(merges: list[tuple[str, str]]) -> str:
+    expr = ("' ' || array_to_string(\n"
+            "              list_transform(range(1, len(w) + 1),"
+            " i -> w[i]), ' ')\n            || ' '")
+    for a, b in merges:
+        expr = _merge_pair_sql(expr, a, b)
+    return rf"""
 WITH seg AS (
   SELECT doc_id,
     list_transform(string_split_regex(trim(text), '\s+'), w ->
       CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE
         CAST(len(string_split(trim(
-          replace(replace(replace(replace(
-            ' ' || array_to_string(
-              list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
-            || ' ',
-            ' t h ', ' th '), ' th e ', ' the '),
-            ' i n ', ' in '), ' a n ', ' an ')), ' ')) AS BIGINT)
+          {expr}), ' ')) AS BIGINT)
       END) AS per_word
   FROM documents)
 SELECT doc_id, CAST(list_sum(per_word) AS BIGINT) AS bpe_tokens
 FROM seg
-""")
+"""
+
+
+@register("q99v_bpe_segment", oracle=_segment_oracle(_FIXED_MERGES))
 def q99v_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY a merge table: per-document token count after the fixed
     merges (th, the, in, an) — scan-level string expressions, one pass,

@@ -3,11 +3,16 @@
 A change stream of dimension observations (key, ts, attrs...) keeps a
 full TYPE-2 HISTORY current: each micro-batch reduces to its newest
 observation per key and folds into the versioned history parquet with
-`operators/scd.py::scd2_apply(partial=True)` — present-and-changed keys
-close + reopen, new keys open, and keys absent from the batch pass
-through untouched (a micro-batch is CDC, not a full snapshot, so
-absence means "no news", never "deleted"; deletions arrive as explicit
-tombstone batches via `closed_keys`).
+`operators/scd.py::scd2_apply(partial=True, as_of_col=ts)` — each
+present-and-changed key closes + reopens AT ITS OWN observation time,
+new keys open, and keys absent from the batch pass through untouched
+(a micro-batch is CDC, not a full snapshot, so absence means "no
+news", never "deleted"). Deletions arrive as tombstone rows: pass
+`tombstone_col` naming a boolean column — a key whose newest batch
+observation is a tombstone has its current interval closed at that
+observation's time (`scd2_close_keys`) and opens nothing. Late rows
+(observation time <= the key's current `valid_from`) are ignored by
+both paths rather than minting inverted intervals.
 
 Replay safety mirrors `streaming/sink.py`: versioned history dirs
 (write-next + prune, crash-safe) and a last-batch marker written after
@@ -32,7 +37,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from api_to_amt_data_lake_spark.operators.scd import scd2_apply
+from api_to_amt_data_lake_spark.operators.scd import (
+    scd2_apply,
+    scd2_close_keys,
+)
 
 _VERSION_RE = re.compile(r"^v(\d+)$")
 
@@ -71,26 +79,34 @@ def fold_scd2_batch(
     spark: SparkSession, batch_df: DataFrame, batch_id: int,
     history_root: str, name: str, key_col: str, ts_col: str,
     attrs: list[str], keep_versions: int = 2,
+    tombstone_col: str | None = None,
 ) -> bool:
     """Fold one micro-batch of observations into the SCD2 history;
     returns False when the batch id was already applied (replay).
 
     The batch reduces to its newest observation per key (max-struct on
-    the full ts — deterministic, partial-aggregated) and applies as of
-    the batch's max timestamp; an empty batch is a no-op beyond the
+    the full ts — deterministic, partial-aggregated); each key applies
+    at ITS OWN newest observation time (`as_of_col`), so a batch mixing
+    timestamps never stamps one key's change with another key's clock,
+    and a late batch can't close an interval before it opened. With
+    `tombstone_col`, keys whose newest observation is a tombstone close
+    instead of upserting. An empty batch is a no-op beyond the
     marker."""
     if batch_id <= last_applied_batch(history_root, name):
         return False
+    tomb = ([F.col(tombstone_col).alias("_tomb")]
+            if tombstone_col is not None else [])
     newest = (
         batch_df.select(
             F.col(key_col),
             F.struct(F.col(ts_col).alias("_ts"),
-                     *[F.col(a) for a in attrs]).alias("_o"))
+                     *[F.col(a) for a in attrs], *tomb).alias("_o"))
         .groupBy(key_col).agg(F.max("_o").alias("_o"))
         .select(key_col, F.col("_o._ts").alias(ts_col),
-                *[F.col(f"_o.{a}").alias(a) for a in attrs])
+                *[F.col(f"_o.{a}").alias(a) for a in attrs],
+                *([F.col("_o._tomb").alias("_tomb")] if tomb else []))
     )
-    newest = newest.localCheckpoint()  # two uses below + as_of agg
+    newest = newest.localCheckpoint()  # reused for upserts + deletes
     base = os.path.join(str(history_root), name)
     if newest.limit(1).count() > 0:
         as_of = newest.agg(F.max(ts_col)).collect()[0][0]
@@ -102,8 +118,20 @@ def fold_scd2_batch(
                 F.col(ts_col).alias("valid_to"),
                 F.lit(True).alias("is_current")).limit(0)
             hist = empty
-        merged = scd2_apply(hist, newest.select(key_col, *attrs),
-                            key_col, attrs, as_of, partial=True)
+        if tomb:
+            upserts = newest.filter(
+                ~F.coalesce(F.col("_tomb"), F.lit(False)))
+            deletes = newest.filter(
+                F.coalesce(F.col("_tomb"), F.lit(False)))
+        else:
+            upserts, deletes = newest, None
+        merged = scd2_apply(
+            hist, upserts.select(key_col, *attrs, ts_col),
+            key_col, attrs, as_of, partial=True, as_of_col=ts_col)
+        if deletes is not None:
+            merged = scd2_close_keys(
+                merged, deletes.select(key_col, ts_col), key_col,
+                as_of_col=ts_col)
         vs = _versions(base)
         next_v = (vs[-1] + 1) if vs else 0
         merged.write.mode("overwrite").parquet(
@@ -124,6 +152,7 @@ def stream_scd2_history(
     stream_df: DataFrame, history_root: str, name: str, key_col: str,
     ts_col: str, attrs: list[str], checkpoint_dir: str,
     trigger_available_now: bool = True,
+    tombstone_col: str | None = None,
 ):
     """Start a stream maintaining the SCD2 history from an observation
     stream. Returns the StreamingQuery; callers own awaitTermination."""
@@ -131,7 +160,8 @@ def stream_scd2_history(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         fold_scd2_batch(spark, batch_df, batch_id, history_root, name,
-                        key_col, ts_col, attrs)
+                        key_col, ts_col, attrs,
+                        tombstone_col=tombstone_col)
 
     writer = stream_df.writeStream.foreachBatch(fold) \
         .option("checkpointLocation", checkpoint_dir)

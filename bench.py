@@ -58,9 +58,11 @@ HEADLINE = [
     "q74c_gif_pixel_decode",
     "q74d_jpeg_pixel_decode",
     "q74e_progressive_jpeg_decode",
+    "q74h_mjpeg_pixel_decode",
     "q86c_sql_sole_blame_supplier",
     "q87_span_dedup",
     "q90_sq8_ann",
+    "q90b_binary_hamming_ann",
     "q92_neardup_pagerank",
     "q93_corpus_shuffle",
     "q94_crawl_novelty",
@@ -70,6 +72,7 @@ HEADLINE = [
     "q95d_sampled_ivfpq_recall",
     "q98_doc_chunks",
     "q98b_unigram_surprisal",
+    "q98c_dsir_weights",
     "q99b_cms_frequency",
     "q99c_bm25_search",
     "q99d_weighted_sample",

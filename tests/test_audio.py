@@ -210,3 +210,19 @@ def test_decode_audio_plan_is_single_python_stage(decoded):
     plan = audio_features(decoded)._jdf.queryExecution().executedPlan() \
         .toString()
     assert plan.count("MapInPandas") <= 1
+
+
+def test_decode_audio_nonlong_id_types(spark):
+    # id schema must follow the input column's type, not hardcode long
+    # (a string or int32 id used to fail with an Arrow type error).
+    from api_to_amt_data_lake_spark.operators.audio import spectrogram
+
+    wav = bytearray(make_wav([0.5, -0.5, 0.25, -0.25] * 64))
+    for decl, val in [("string", "doc-a"), ("int", 7)]:
+        df = spark.createDataFrame(
+            [(val, wav)], f"id {decl}, content binary")
+        out = decode_audio(df).collect()
+        assert out[0]["id"] == val and out[0]["channels"] == 1
+        spec = spectrogram(decode_audio(df), frame_size=64,
+                           hop=32).limit(1).collect()
+        assert spec[0]["id"] == val

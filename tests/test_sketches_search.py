@@ -81,3 +81,74 @@ def test_gopher_flags_rule_battery(spark):
     assert not out[2].ok_words and not out[2].ok_all
     assert not out[3].ok_symbols and not out[3].ok_all
     assert not out[4].ok_stopwords and not out[4].ok_mean_len
+
+
+def test_binary_quantize_and_hamming_match_numpy(spark):
+    import numpy as np
+
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    bits = binary_quantize(df, "vec_id", "embedding", dims=64)
+    got = {r["vec_id"]: r["bits"] for r in bits.collect()}
+
+    def pack(v):
+        words = []
+        for w in range(2):
+            acc = 0
+            for j in range(32):
+                if v[w * 32 + j] > 0:
+                    acc |= 1 << j
+            words.append(acc)
+        return words
+
+    for i in range(20):
+        assert got[i] == pack(vecs[i]), i
+
+    top = hamming_topk(bits.filter("vec_id < 2"), bits, "vec_id", k=3)
+    rows = [(r["query_id"], r["match_id"], r["hamming"])
+            for r in top.collect()]
+    packed = {i: pack(vecs[i]) for i in range(20)}
+    for q, m, h in rows:
+        expect = sum(bin(a ^ b).count("1")
+                     for a, b in zip(packed[q], packed[m]))
+        assert h == expect, (q, m)
+    # every reported neighbor is within the true top-3 hamming radius
+    for q in (0, 1):
+        dists = sorted(
+            sum(bin(a ^ b).count("1")
+                for a, b in zip(packed[q], packed[m]))
+            for m in range(20) if m != q)
+        reported = sorted(h for qq, m, h in rows if qq == q)
+        assert reported == dists[:3], q
+
+
+def test_dsir_logweights_prefers_target_like_docs(spark):
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        dsir_logweights,
+    )
+
+    # target speaks "alpha beta"; raw mixes alpha-docs and noise docs
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (2, "alpha beta gamma"),
+         (3, "zork quux fnord blarg"), (4, "zork zork quux")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha"), (101, "beta alpha beta")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dsir_logw"])
+           for r in dsir_logweights(raw, target, "text", "doc_id")
+           .collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][0] == 4
+    # target-like docs outrank noise docs, per-token
+    per_tok = {k: v[1] / v[0] for k, v in got.items()}
+    assert per_tok[1] > per_tok[3] and per_tok[2] > per_tok[4]
+    assert got[1][1] > 0 > got[3][1]

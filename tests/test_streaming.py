@@ -453,11 +453,84 @@ def test_stream_scd2_history_matches_batch(spark, tmp_path):
     assert sum(1 for r in got if r[4]) == 4  # 1:B, 2:X, 3:K, 4:N current
 
     # replay safety: re-folding an already-applied batch id is a no-op
+    # (capture the history BEFORE the replayed fold — comparing two
+    # post-fold reads would be tautologically true).
+    before = {tuple(r) for r in read_history(spark, hroot, "dim").collect()}
     last = last_applied_batch(hroot, "dim")
     assert last >= 1
     assert fold_scd2_batch(
         spark, spark.createDataFrame(batch2, schema), last, hroot,
         "dim", "k", "ts", ["state"]) is False
     after = {tuple(r) for r in read_history(spark, hroot, "dim").collect()}
-    assert after == {tuple(r) for r in
-                     read_history(spark, hroot, "dim").collect()}
+    assert after == before
+
+    # late batch: an out-of-order fold carrying a pre-history timestamp
+    # must NOT close key 1's current interval before it opened (the
+    # per-key guard ignores the stale row).
+    t0 = datetime(2023, 6, 1)
+    assert fold_scd2_batch(
+        spark, spark.createDataFrame([(1, t0, "STALE")], schema),
+        last + 1, hroot, "dim", "k", "ts", ["state"]) is True
+    late = {tuple(r) for r in read_history(spark, hroot, "dim").collect()}
+    assert late == before
+
+
+def test_fold_scd2_per_key_timestamps_and_tombstones(spark, tmp_path):
+    """A batch mixing observation times stamps each key with ITS OWN
+    time (not the batch max); a tombstone row closes the key's current
+    interval at the tombstone's time; a delete->reinsert across batches
+    reopens."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from api_to_amt_data_lake_spark.streaming.scd import (
+        fold_scd2_batch,
+        read_history,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("deleted", T.BooleanType()),
+    ])
+    hroot = str(tmp_path / "hist")
+    t1, t2, t3, t4 = (datetime(2024, 1, 1), datetime(2024, 2, 1),
+                      datetime(2024, 3, 1), datetime(2024, 4, 1))
+    fold_scd2_batch(
+        spark, spark.createDataFrame(
+            [(1, t1, "A", False), (2, t1, "X", False)], schema),
+        0, hroot, "dim", "k", "ts", ["state"], tombstone_col="deleted")
+    # batch 1: key 1 changes at t2, key 2 changes at t3 — per-key times
+    fold_scd2_batch(
+        spark, spark.createDataFrame(
+            [(1, t2, "B", False), (2, t3, "Y", False)], schema),
+        1, hroot, "dim", "k", "ts", ["state"], tombstone_col="deleted")
+    hist = {(r["k"], r["state"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in read_history(spark, hroot, "dim").collect()}
+    assert (1, "A", t1, t2, False) in hist      # closed at ITS t2
+    assert (2, "X", t1, t3, False) in hist      # closed at ITS t3
+    assert (1, "B", t2, datetime(9999, 12, 31), True) in hist
+    assert (2, "Y", t3, datetime(9999, 12, 31), True) in hist
+
+    # batch 2: tombstone for key 1 at t3 — interval closes, none opens
+    fold_scd2_batch(
+        spark, spark.createDataFrame([(1, t3, None, True)], schema),
+        2, hroot, "dim", "k", "ts", ["state"], tombstone_col="deleted")
+    hist = {(r["k"], r["state"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in read_history(spark, hroot, "dim").collect()}
+    assert (1, "B", t2, t3, False) in hist
+    assert not any(k == 1 and cur for k, s, f, t, cur in hist)
+
+    # batch 3: key 1 reappears at t4 — a fresh current interval opens
+    fold_scd2_batch(
+        spark, spark.createDataFrame([(1, t4, "C", False)], schema),
+        3, hroot, "dim", "k", "ts", ["state"], tombstone_col="deleted")
+    hist = {(r["k"], r["state"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in read_history(spark, hroot, "dim").collect()}
+    assert (1, "C", t4, datetime(9999, 12, 31), True) in hist
+    assert sum(1 for k, s, f, t, cur in hist if k == 1) == 3
