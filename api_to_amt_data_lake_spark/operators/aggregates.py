@@ -40,3 +40,94 @@ def string_agg_ordered(
     arr = F.sort_array(F.collect_list(F.struct(*fields)), asc=not descending)
     joined = F.array_join(F.transform(arr, lambda s: s["_v"]), sep)
     return df.groupBy(*keys).agg(joined.alias(out_name))
+
+
+def grouped_percentiles_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    percentiles: Sequence[float],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact discrete percentiles per group, the SCALABLE way.
+
+    Spark's built-in `percentile` aggregate buffers every value of a
+    group in executor memory — a 100 TB group OOMs. This operator
+    computes percentile_disc semantics (smallest value v whose
+    cumulative count reaches ceil(p·n)) from the value-frequency
+    table instead: groupBy (group, value) count (partial-aggregated,
+    state bounded by value cardinality), a cumulative-sum window over
+    DISTINCT values only, then one conditional-min per requested
+    percentile. No per-row buffering anywhere; the window partition
+    holds at most |distinct values| rows however big the group is.
+    Identical arithmetic in ANSI SQL (conformance q99w).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    names = list(out_names) if out_names is not None else [
+        f"p{str(p).replace('0.', '')}" for p in percentiles]
+    counts = (
+        df.select(F.col(group_col), v.alias("_v"))
+        .groupBy(group_col, "_v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_cum = Window.partitionBy(group_col).orderBy(F.col("_v").asc())
+    w_tot = Window.partitionBy(group_col)
+    cum = counts.select(
+        F.col(group_col), F.col("_v"),
+        F.sum("_n").over(w_cum).alias("_cum"),
+        F.sum("_n").over(w_tot).alias("_tot"))
+    aggs = [
+        F.min(F.when(
+            F.col("_cum") >= F.ceil(F.lit(p) * F.col("_tot")),
+            F.col("_v"))).alias(name)
+        for p, name in zip(percentiles, names)
+    ]
+    return cum.groupBy(group_col).agg(*aggs)
+
+
+def cascade_time_rollups(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: Column | str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Continuous-aggregate cascade: hour buckets from raw events, DAY
+    buckets re-aggregated from the HOUR partials, WEEK buckets from the
+    DAY partials (ISO Monday truncation). Each coarser level reads only
+    the level below — at 100 TB the daily rollup scans 24 rows per
+    (day, key) instead of the raw event stream, which is the entire
+    point of materialized rollup hierarchies (TimescaleDB continuous
+    aggregates, Druid/Pinot rollup segments).
+
+    Only MERGEABLE aggregates cascade: counts and sums re-aggregate
+    losslessly (as do min/max); COUNT(DISTINCT) does not — a distinct
+    cascade needs a mergeable sketch (HLL) carried as the partial
+    state instead. Each level returns
+    (bucket_start, *key_cols, n_events, value_sum) with value_sum kept
+    in DECIMAL until the caller casts, so the re-aggregation is exact.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    keys = list(key_cols)
+    hour = (
+        df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"),
+            *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(v.cast("decimal(9,2)")).alias("value_sum"))
+    )
+
+    def up(lower: DataFrame, unit: str) -> DataFrame:
+        return (
+            lower.groupBy(
+                F.date_trunc(unit, F.col("bucket_start"))
+                .alias("bucket_start"),
+                *[F.col(k) for k in keys])
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("value_sum").alias("value_sum"))
+        )
+
+    day = up(hour, "day")
+    week = up(day, "week")
+    return hour, day, week

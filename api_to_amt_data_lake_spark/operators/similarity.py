@@ -834,3 +834,40 @@ def hamming_topk(
         F.col("hamming").asc(), F.col("match_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k)
+
+
+def binary_rerank_topk(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str,
+    dims: int, shortlist: int = 16, k: int = 3,
+) -> DataFrame:
+    """Two-stage binary-then-rerank ANN (the production pattern for
+    1-bit indexes): stage 1 shortlists `shortlist` candidates per query
+    by Hamming distance over sign-quantized words (cheapest possible
+    corpus scan — 2 longs/row at 64 dims); stage 2 reranks ONLY the
+    shortlist by exact cosine on the original floats. The float read is
+    then `shortlist × queries` rows instead of the whole corpus — at
+    100 TB the expensive exact math touches a vanishing fraction of the
+    data while recall is set by the shortlist depth (contract: q90c).
+
+    Returns (query_id, match_id, cosine_sim, rank) with rank <= k.
+    """
+    bits = binary_quantize(corpus, id_col, vec_col, dims)
+    qbits = bits.join(
+        queries.select(F.col(id_col)), id_col, "left_semi")
+    short = hamming_topk(qbits, bits, id_col, k=shortlist) \
+        .select("query_id", "match_id")
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("match_id"),
+                       F.col(vec_col).alias("_cv"))
+    scored = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "match_id")
+        .select("query_id", "match_id",
+                F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+                .alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)

@@ -3991,6 +3991,84 @@ def q90b_binary_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"))
 
 
+@register("q90c_binary_rerank_recall", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (
+  SELECT vec_id, list_transform(range(0, 2), w ->
+    CAST(list_sum(list_transform(range(0, 32), j ->
+      CASE WHEN v[w * 32 + j + 1] > 0
+           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)) AS bw
+  FROM v),
+short AS (
+  SELECT query_id, match_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        list_sum(list_transform(range(1, 3), w ->
+          bit_count(xor(a.bw[w], b.bw[w])))) ASC, b.vec_id ASC) AS rk
+    FROM (SELECT * FROM bits WHERE vec_id < 5) a
+    JOIN bits b ON a.vec_id != b.vec_id) WHERE rk <= 16),
+rer AS (
+  SELECT query_id, match_id, cosine_sim, rank FROM (
+    SELECT s.query_id, s.match_id,
+      round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim,
+      row_number() OVER (PARTITION BY s.query_id ORDER BY
+        round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) DESC,
+        s.match_id ASC) AS rank
+    FROM short s
+    JOIN v a ON a.vec_id = s.query_id
+    JOIN v b ON b.vec_id = s.match_id) WHERE rank <= 3),
+etop AS (
+  SELECT query_id, match_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) DESC,
+        b.vec_id ASC) AS rk
+    FROM (SELECT * FROM v WHERE vec_id < 5) a
+    JOIN v b ON a.vec_id != b.vec_id) WHERE rk <= 3)
+SELECT r.query_id, r.match_id, r.cosine_sim, CAST(r.rank AS INT) AS rank,
+  (e.match_id IS NOT NULL) AS in_exact_top3
+FROM rer r LEFT JOIN etop e
+  ON e.query_id = r.query_id AND e.match_id = r.match_id
+""")
+def q90c_binary_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for the binary-then-rerank pipeline: shortlist
+    16 by Hamming over sign bits, rerank the shortlist by exact cosine,
+    and flag which of the reranked top-3 are in the TRUE exact top-3 —
+    the recall evidence that justifies reading 2 longs/row instead of
+    64 floats/row for the corpus-sized stage at 100 TB —
+    `operators/similarity.py::binary_rerank_topk`."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        binary_rerank_topk,
+        cosine,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5)
+    rer = binary_rerank_topk(q, e, "vec_id", "embedding",
+                             dims=64, shortlist=16, k=3)
+    qv = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_qv"))
+    cv = e.select(F.col("vec_id").alias("match_id"),
+                  F.col("embedding").alias("_cv"))
+    etop = (
+        F.broadcast(qv).crossJoin(cv)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id",
+                F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("_c"))
+        .withColumn("_rk", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("_c").desc(), F.col("match_id").asc())))
+        .filter(F.col("_rk") <= 3)
+        .select("query_id", "match_id", F.lit(True).alias("_hit"))
+    )
+    return (
+        rer.join(etop, ["query_id", "match_id"], "left")
+        .select("query_id", "match_id", "cosine_sim",
+                F.col("rank").cast("int").alias("rank"),
+                F.coalesce("_hit", F.lit(False)).alias("in_exact_top3"))
+    )
+
+
 _SQ8_CTES = """
 dims AS (
   SELECT idx.i AS i, MIN(v.v[idx.i]) AS mn, MAX(v.v[idx.i]) AS mx
@@ -5847,6 +5925,90 @@ def q99v_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_segment(d, "text", _FIXED_MERGES) \
         .select("doc_id", "bpe_tokens")
+
+
+@register("q99w_group_percentiles", oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v,
+    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+    SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+  FROM c
+)
+SELECT l_returnflag,
+  MIN(CASE WHEN cum >= ceil(0.5 * tot) THEN v END) AS p50_qty,
+  MIN(CASE WHEN cum >= ceil(0.9 * tot) THEN v END) AS p90_qty,
+  MIN(CASE WHEN cum >= ceil(0.99 * tot) THEN v END) AS p99_qty
+FROM cum GROUP BY l_returnflag
+""")
+def q99w_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles WITHOUT per-row buffering: Spark's
+    `percentile` aggregate holds every group value in memory (OOM at
+    100 TB group sizes); this shape computes percentile_disc from the
+    value-frequency table — partial-aggregated counts, a cumulative
+    window over distinct values only, conditional mins — the
+    distributed-percentile idiom
+    (`operators/aggregates.py::grouped_percentiles_disc`)."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        grouped_percentiles_disc,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_quantity")
+    return grouped_percentiles_disc(
+        li, "l_returnflag", "l_quantity", (0.5, 0.9, 0.99),
+        out_names=("p50_qty", "p90_qty", "p99_qty"))
+
+
+@register("q99x_rollup_cascade", oracle="""
+WITH lv AS (
+  SELECT 'hour' AS granularity, date_trunc('hour', ts) AS b,
+    event_type, COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+    CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE)
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'week', date_trunc('week', ts), event_type, COUNT(*),
+    CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE)
+  FROM events GROUP BY 2, 3
+)
+SELECT granularity, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+  event_type, n_events, value_sum
+FROM lv
+""")
+def q99x_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate hierarchy: hour buckets from raw events,
+    day buckets RE-AGGREGATED from the hour partials, week from day —
+    the mergeable-aggregate cascade (TimescaleDB continuous aggregates
+    / Druid rollup). The oracle computes every level directly from the
+    raw events, so the hash match IS the mergeability proof: cascading
+    sums/counts loses nothing while each coarser level scans only the
+    level below — `operators/aggregates.py::cascade_time_rollups`."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        cascade_time_rollups,
+    )
+
+    e = read_table(spark, sf_dir, "events").select("ts", "event_type",
+                                                   "value")
+    hour, day, week = cascade_time_rollups(
+        e, "ts", ["event_type"], "value")
+
+    def shape(df: DataFrame, gran: str) -> DataFrame:
+        return df.select(
+            F.lit(gran).alias("granularity"),
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("bucket_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_sum").cast("double").alias("value_sum"))
+
+    return shape(hour, "hour").unionByName(shape(day, "day")) \
+        .unionByName(shape(week, "week"))
 
 
 # ---------------------------------------------------------------------------

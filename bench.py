@@ -63,6 +63,7 @@ HEADLINE = [
     "q87_span_dedup",
     "q90_sq8_ann",
     "q90b_binary_hamming_ann",
+    "q90c_binary_rerank_recall",
     "q92_neardup_pagerank",
     "q93_corpus_shuffle",
     "q94_crawl_novelty",
@@ -81,6 +82,8 @@ HEADLINE = [
     "q99g_semdedup",
     "q99s_scd2_history",
     "q99u_bpe_train",
+    "q99w_group_percentiles",
+    "q99x_rollup_cascade",
 ]
 
 

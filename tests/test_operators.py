@@ -470,3 +470,71 @@ def test_scd2_null_attributes_are_states(spark):
     out = scd2_apply(hist, snap, "k", ["state"], "2024-04-01")
     assert {tuple(r) for r in out.collect()} \
         == {tuple(r) for r in hist.collect()}
+
+
+def test_grouped_percentiles_disc_matches_numpy(spark):
+    """percentile_disc semantics (smallest v with cum >= ceil(p*n))
+    against numpy's inverted_cdf method, per group, including a group
+    with heavy ties."""
+    import numpy as np
+
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        grouped_percentiles_disc,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    data = {
+        "a": list(rng.integers(0, 100, size=501)),
+        "b": [5] * 40 + [9] * 10,           # heavy ties
+        "c": list(rng.normal(size=64)),
+    }
+    for g, vals in data.items():
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = (0.5, 0.9, 0.99)
+    got = {r["g"]: (r["p50"], r["p90"], r["p99"])
+           for r in grouped_percentiles_disc(
+               df, "g", "v", ps, out_names=("p50", "p90", "p99"))
+           .collect()}
+    for g, vals in data.items():
+        want = tuple(
+            float(np.percentile(np.array(vals, dtype=float), p * 100,
+                                method="inverted_cdf"))
+            for p in ps)
+        assert got[g] == want, g
+
+
+def test_binary_rerank_topk_reranks_by_exact_cosine(spark):
+    """The shortlist is Hamming-ordered but the RETURNED ranking must be
+    exact-cosine order, and with shortlist >= corpus size the result
+    equals the exact top-k."""
+    import numpy as np
+
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        binary_rerank_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(12, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(12)],
+        "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 2")
+    out = binary_rerank_topk(q, df, "vec_id", "embedding", dims=64,
+                             shortlist=11, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["match_id"], r["cosine_sim"]))
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qid in (0, 1):
+        exact = sorted(
+            ((round(float(sims[qid, m]), 6), m) for m in range(12)
+             if m != qid),
+            key=lambda t: (-t[0], t[1]))[:3]
+        got = sorted(by_q[qid])
+        assert [m for _, m in exact] == [m for _, m, _ in got]
+        for (s, _), (_, _, gs) in zip(exact, got):
+            assert abs(s - gs) < 2e-6
