@@ -172,6 +172,18 @@ def main() -> None:
         .orderBy(F.desc("_wkey")).limit(1000).count())
     t["sample"] = round(time.time() - t0, 2)
 
+    # DSIR: target = one source's docs (5% of the corpus); both bucket
+    # tables collapse to <=256 rows before the broadcast-join scoring
+    # pass, so the stage should track the corpus scan cost, not n^2.
+    t0 = time.time()
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        dsir_logweights,
+    )
+    rows["dsir"] = dsir_logweights(
+        corpus, corpus.filter(F.col("source") == "src3"),
+        "text", "doc_id").count()
+    t["dsir"] = round(time.time() - t0, 2)
+
     print(json.dumps({"n_docs": n, "sec": t, "rows": rows,
                       "total_sec": round(sum(t.values()), 2)}))
 
