@@ -78,9 +78,14 @@ def grouped_percentiles_disc(
         F.col(group_col), F.col("_v"),
         F.sum("_n").over(w_cum).alias("_cum"),
         F.sum("_n").over(w_tot).alias("_tot"))
+    # ceil(p·n) in DECIMAL, not double: SQL engines parse 0.99 as an
+    # exact decimal literal while a double 0.99 is 0.98999…, so the
+    # float product can straddle the integer boundary and ceil off by
+    # one vs the mathematical (and oracle) threshold.
     aggs = [
         F.min(F.when(
-            F.col("_cum") >= F.ceil(F.lit(p) * F.col("_tot")),
+            F.col("_cum")
+            >= F.ceil(F.lit(p).cast("decimal(12,6)") * F.col("_tot")),
             F.col("_v"))).alias(name)
         for p, name in zip(percentiles, names)
     ]

@@ -819,7 +819,17 @@ def hamming_topk(
     the cheapest possible scan at 100 TB (the corpus side reads
     ceil(d/32) longs per row instead of d floats). Ties break on
     match_id for cross-engine determinism.
+
+    Unlike the brute-force `cosine_topk` baseline (one window per
+    query_id — corpus-sized partitions when queries are few), this is
+    the SCALE path, so ranking is two-phase: per-(query, 256-salt-
+    bucket) top-k first (uniform Knuth-hash salt bounds every window
+    partition at ~1/256 of the corpus), then a final top-k over the
+    ≤ 256·k survivors per query. Exact — the global top-k is a subset
+    of the per-bucket top-ks.
     """
+    from api_to_amt_data_lake_spark.operators.sampling import hash_bucket
+
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col("bits").alias("q_bits"))
     c = corpus.select(F.col(id_col).alias("match_id"),
@@ -830,10 +840,17 @@ def hamming_topk(
         .select("query_id", "match_id",
                 hamming(F.col("q_bits"), F.col("c_bits")).alias("hamming"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("hamming").asc(), F.col("match_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)) \
+    order = (F.col("hamming").asc(), F.col("match_id").asc())
+    w_local = Window.partitionBy(
+        "query_id",
+        hash_bucket(F.col("match_id").cast("long"), 256)).orderBy(*order)
+    w_final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k).drop("_lr")
+        .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
+    )
 
 
 def binary_rerank_topk(

@@ -92,3 +92,50 @@ def cms_estimate(
         F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0))
                   for r in range(depth)]).alias("est"),
     )
+
+
+def hll_hourly_sketches(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    distinct_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Hour-bucket HLL sketches of distinct `distinct_col` values —
+    the MERGEABLE partial that makes COUNT(DISTINCT) cascade the way
+    sums do in `aggregates.py::cascade_time_rollups` (plain distinct
+    counts do NOT re-aggregate: |A ∪ B| != |A| + |B|). Each row is
+    (bucket_start, *keys, hll: binary), ~2^lg_config_k registers —
+    bounded state per bucket regardless of event volume.
+    """
+    return (
+        df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"),
+            *[F.col(k) for k in key_cols])
+        .agg(F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_config_k))
+             .alias("hll"))
+    )
+
+
+def hll_rollup_estimates(
+    hourly: DataFrame,
+    unit: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Roll HLL partials up to a coarser time unit and estimate:
+    register-wise max (hll_union_agg) over the hour sketches, then one
+    estimate per (coarser bucket, keys). Because HLL union is exact on
+    the register level, the estimate from merged hourly sketches is
+    IDENTICAL to sketching the raw rows of the coarser bucket directly
+    (parity-checked by conformance q99y) — the distinct-count analog of
+    the sum cascade, reading |hours| rows per day instead of the raw
+    event stream.
+    """
+    return (
+        hourly.groupBy(
+            F.date_trunc(unit, F.col("bucket_start"))
+            .alias("bucket_start"),
+            *[F.col(k) for k in key_cols])
+        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("hll")))
+             .alias("n_distinct"))
+    )

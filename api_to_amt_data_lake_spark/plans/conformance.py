@@ -6011,6 +6011,52 @@ def q99x_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shape(week, "week"))
 
 
+@register("q99y_hll_distinct_rollup")
+def q99y_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count rollup via mergeable HLL partials: hour-bucket
+    sketches of distinct users, register-wise-unioned up to days —
+    COUNT(DISTINCT) does NOT cascade like sums (q99x), so this is the
+    sketch-partial answer. No SQL oracle (DuckDB's HLL is a different
+    implementation); instead the PARITY baseline sketches each day
+    DIRECTLY from the raw events — HLL union is exact at the register
+    level, so merged-hourly and direct-daily estimates must be
+    IDENTICAL, which is the mergeability proof —
+    `operators/sketches.py::hll_hourly_sketches/hll_rollup_estimates`."""
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        hll_hourly_sketches,
+        hll_rollup_estimates,
+    )
+
+    e = read_table(spark, sf_dir, "events").select("ts", "event_type",
+                                                   "user_id")
+    hourly = hll_hourly_sketches(e, "ts", ["event_type"], "user_id")
+    return hll_rollup_estimates(hourly, "day", ["event_type"]).select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("n_distinct").cast("long").alias("n_distinct"))
+
+
+def q99y_direct_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline for q99y: sketch each day directly from raw events —
+    one hll_sketch_agg per (day, event_type), no hourly stage.
+    Registered in PARITY_BASELINES, not QUERIES."""
+    e = read_table(spark, sf_dir, "events").select("ts", "event_type",
+                                                   "user_id")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("b"),
+                  "event_type")
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12)))
+            .alias("n_distinct"))
+        .select(F.date_format("b", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                F.col("n_distinct").cast("long").alias("n_distinct"))
+    )
+
+
+PARITY_BASELINES["q99y_hll_distinct_rollup"] = q99y_direct_parity
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

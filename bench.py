@@ -84,6 +84,7 @@ HEADLINE = [
     "q99u_bpe_train",
     "q99w_group_percentiles",
     "q99x_rollup_cascade",
+    "q99y_hll_distinct_rollup",
 ]
 
 

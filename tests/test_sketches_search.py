@@ -152,3 +152,40 @@ def test_dsir_logweights_prefers_target_like_docs(spark):
     per_tok = {k: v[1] / v[0] for k, v in got.items()}
     assert per_tok[1] > per_tok[3] and per_tok[2] > per_tok[4]
     assert got[1][1] > 0 > got[3][1]
+
+
+def test_hll_rollup_merged_equals_direct(spark):
+    """HLL union is exact at the register level: day estimates from
+    merged hourly sketches == estimates from sketching the day's raw
+    rows directly, and both are near-exact at small cardinalities."""
+    from datetime import datetime, timedelta
+
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        hll_hourly_sketches,
+        hll_rollup_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 5, 1, 0, 30)
+    rows = []
+    for h in range(48):                    # two days of hourly traffic
+        for u in range(1 + h % 7):
+            rows.append((t0 + timedelta(hours=h), "click",
+                         (h * 13 + u) % 40))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, "
+                                     "user_id long")
+    hourly = hll_hourly_sketches(df, "ts", ["event_type"], "user_id")
+    merged = {(r["bucket_start"], r["event_type"]): r["n_distinct"]
+              for r in hll_rollup_estimates(
+                  hourly, "day", ["event_type"]).collect()}
+    direct = {(r["b"], r["event_type"]): r["nd"] for r in (
+        df.groupBy(F.date_trunc("day", "ts").alias("b"), "event_type")
+        .agg(F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12))).alias("nd"))
+        .collect())}
+    assert merged == direct and len(merged) == 2
+    exact = {(r["b"], r["event_type"]): r["nd"] for r in (
+        df.groupBy(F.date_trunc("day", "ts").alias("b"), "event_type")
+        .agg(F.countDistinct("user_id").alias("nd")).collect())}
+    for k in exact:
+        assert abs(merged[k] - exact[k]) <= max(1, 0.05 * exact[k])

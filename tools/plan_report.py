@@ -53,6 +53,15 @@ SHOWCASE = [
     ("q99s_scd2_history", "SCD2 from an observation log: two window "
      "passes partitioned by the natural key — one shuffle, no "
      "self-join, no driver state"),
+    ("q90b_binary_hamming_ann", "1-bit ANN: sign-packing is scan-level "
+     "integer arithmetic (no Python), queries broadcast, the corpus "
+     "side reads 2 longs/row — xor+popcount inside codegen"),
+    ("q99w_group_percentiles", "exact percentile_disc with NO per-row "
+     "buffering: partial->final count agg, cumulative window over "
+     "distinct values only, conditional-min finish"),
+    ("q99x_rollup_cascade", "rollup cascade: day HashAggregate reads "
+     "the hour aggregate's output, week reads day — each coarser "
+     "level re-aggregates partials, never the raw scan"),
 ]
 
 
