@@ -225,8 +225,17 @@ def dsir_logweights(
         )
 
     def bucket_counts(df: DataFrame, out: str):
-        return toks(df).groupBy("bucket").agg(
-            F.count(F.lit(1)).alias(out))
+        # Counting needs only the text column — the target corpus does
+        # not have to carry the raw corpus's id column.
+        b = (
+            df.select(F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), " "))
+                .alias("tok"))
+            .where(F.col("tok") != "")
+            .select(F.substring(F.md5(F.col("tok")), 1, hex_chars)
+                    .alias("bucket"))
+        )
+        return b.groupBy("bucket").agg(F.count(F.lit(1)).alias(out))
 
     tgt = bucket_counts(target, "t_n")
     rw = bucket_counts(raw, "r_n")

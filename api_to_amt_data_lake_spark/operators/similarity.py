@@ -828,8 +828,6 @@ def hamming_topk(
     ≤ 256·k survivors per query. Exact — the global top-k is a subset
     of the per-bucket top-ks.
     """
-    from api_to_amt_data_lake_spark.operators.sampling import hash_bucket
-
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col("bits").alias("q_bits"))
     c = corpus.select(F.col(id_col).alias("match_id"),
@@ -841,9 +839,13 @@ def hamming_topk(
                 hamming(F.col("q_bits"), F.col("c_bits")).alias("hamming"))
     )
     order = (F.col("hamming").asc(), F.col("match_id").asc())
+    # xxhash64, not an integer-multiply hash: the salt must stay uniform
+    # for string/struct ids too, and since per-bucket top-k is exact for
+    # ANY bucketing, the salt never leaks into results (no oracle
+    # portability constraint).
     w_local = Window.partitionBy(
         "query_id",
-        hash_bucket(F.col("match_id").cast("long"), 256)).orderBy(*order)
+        F.pmod(F.xxhash64(F.col("match_id")), F.lit(256))).orderBy(*order)
     w_final = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("_lr", F.row_number().over(w_local))
