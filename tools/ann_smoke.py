@@ -1,15 +1,26 @@
-"""ANN trainer scale smoke: sampled-fit vs full-fit IVFPQ at volume.
+"""ANN-family scale smoke: the vector-search operators over a corpus
+orders of magnitude beyond the sf0.1 fixtures (5k vectors there).
 
-Usage: python tools/ann_smoke.py [n_vectors] [dim] [sample_frac]
+Usage: python tools/ann_smoke.py [n_vectors]   (default 1_000_000)
 
-Synthesizes n deterministic vectors (hash-derived, no parquet needed),
-then times `ivfpq_fit` with the full-corpus trainers vs the
-`sample_frac` trainers (VERDICT r4 item 2 / "What's wrong" #1: every
-Lloyd's iteration re-scans its training frame, so the sampled fit
-bounds iteration cost while assignment/encode stay full-corpus). Both
-indexes are then searched with the same probes and their ADC top-3
-overlap is reported — the sanity check that the cheaper fit still
-builds the same index family. Prints one JSON line.
+Vectors are generated DISTRIBUTED (spark.range + sin-hash expressions —
+no driver loops, no Python row funcs): 64 dims, values in [-1, 1],
+deterministic per (id, dim). Planted structure: ids sharing (id % 1000)
+use a common base pattern with per-id jitter, so near-neighbor queries
+have real answers.
+
+Stages timed (each is the registered operator):
+  gen       materialize the corpus (baseline scan cost)
+  quantize  binary_quantize — 64 dims -> 2 packed words, scan-level
+  hamming   hamming_topk for 8 queries over the full corpus (two-phase
+            salted ranking; the 100 TB cheap-scan stage)
+  rerank    binary_rerank_topk — Hamming shortlist 64 + exact cosine
+  sq8       sq8 train (2 passes) + dequantized encode pass
+  ivf_fit   kmeans_fit kc=16 on a 10% deterministic sample (iters x
+            sample scans, the FAISS-style bounded fit)
+  ivf_search ivf_topk for the 8 queries at nprobe=2
+
+Prints one JSON line mirroring tools/corpus_smoke.py.
 """
 
 from __future__ import annotations
@@ -25,60 +36,82 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 from api_to_amt_data_lake_spark.operators.similarity import (  # noqa: E402
-    ivfpq_fit,
-    ivfpq_topk,
+    binary_quantize,
+    binary_rerank_topk,
+    hamming_topk,
+    ivf_topk,
+    kmeans_fit,
+    sq8_dequantized,
+    sq8_minmax,
 )
 from api_to_amt_data_lake_spark.session import get_spark  # noqa: E402
+
+DIMS = 64
+
+
+def build_vectors(spark, n: int):
+    """(vec_id, embedding: array<double>) — deterministic, distributed."""
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(DIMS)),
+        lambda i: (
+            F.sin(F.col("vec_id") % 1000 * i)              # shared pattern
+            + F.sin(F.xxhash64(F.col("vec_id"), i) % 1000 / 100.0) / 10
+        ))
+    return base.select("vec_id", emb.alias("embedding"))
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.01
     spark = get_spark("ann_smoke")
+    t: dict[str, float] = {}
+    rows: dict[str, int] = {}
 
-    # Deterministic synthetic corpus: element (i, j) from xxhash64 —
-    # generated distributed, never collected.
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000))
-                   / F.lit(1000.0)))
-    corpus = spark.range(n).select(
-        F.col("id").alias("vec_id"), vec.alias("embedding"))
-    corpus = corpus.localCheckpoint()  # pin: time the trainers, not gen
+    t0 = time.time()
+    corpus = build_vectors(spark, n).localCheckpoint()
+    rows["gen"] = corpus.count()
+    t["gen"] = round(time.time() - t0, 2)
 
-    out: dict[str, object] = {"n_vectors": n, "dim": dim,
-                              "sample_frac": frac}
-    indexes = {}
-    for label, sf in (("full_fit", None), ("sampled_fit", frac)):
-        t0 = time.time()
-        coarse, book, codes = ivfpq_fit(
-            corpus, "vec_id", "embedding", kc=8, coarse_iters=2,
-            m=4, k=8, iters=2, sample_frac=sf)
-        codes = codes.localCheckpoint()  # materialize the encode pass
-        n_codes = codes.count()
-        out[f"{label}_sec"] = round(time.time() - t0, 1)
-        out[f"{label}_codes"] = n_codes
-        indexes[label] = (coarse, book, codes)
-        print(f"# {label}: {out[f'{label}_sec']}s "
-              f"({n_codes} code rows)", file=sys.stderr)
+    queries = corpus.filter(F.col("vec_id") < 8)
 
-    # Index-quality aggregate: mean ADC distance of each index's top-3.
-    # (Exact top-3 overlap is NOT the right metric on hash-uniform
-    # vectors — distance concentration makes the true top-3 a near-tie
-    # lottery; per-row accuracy contracts live in q95c/q95d and the
-    # clustered-fixture recall test. A garbage sampled codebook would
-    # show up here as blown-up reconstruction/ADC distances.)
-    q = corpus.filter(F.col("vec_id") < 20)
-    for label, (coarse, book, codes) in indexes.items():
-        top = ivfpq_topk(q, coarse, book, codes, "vec_id",
-                         "embedding", m=4, k=3, nprobe=2)
-        mean_adc = top.agg(F.avg("adc_dist")).collect()[0][0]
-        out[f"{label}_mean_adc_top3"] = round(float(mean_adc), 4)
-    ratio = out["sampled_fit_mean_adc_top3"] / \
-        max(out["full_fit_mean_adc_top3"], 1e-9)
-    out["sampled_vs_full_adc_ratio"] = round(ratio, 3)
-    print(json.dumps(out))
+    t0 = time.time()
+    bits = binary_quantize(corpus, "vec_id", "embedding", dims=DIMS)
+    bits = bits.localCheckpoint()
+    rows["quantize"] = bits.count()
+    t["quantize"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    qb = bits.filter(F.col("vec_id") < 8)
+    rows["hamming"] = hamming_topk(qb, bits, "vec_id", k=10).count()
+    t["hamming"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["rerank"] = binary_rerank_topk(
+        queries, corpus, "vec_id", "embedding", dims=DIMS,
+        shortlist=64, k=10).count()
+    t["rerank"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    deq = sq8_dequantized(corpus, "embedding",
+                          sq8_minmax(corpus, "embedding"))
+    rows["sq8"] = deq.select(F.sum(F.element_at("embedding", 1))).count()
+    t["sq8"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    cents = kmeans_fit(corpus, "vec_id", "embedding", k=16, iters=2,
+                       sample_frac=0.1)
+    rows["ivf_fit"] = cents.count()
+    t["ivf_fit"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["ivf_search"] = ivf_topk(
+        queries, corpus, cents, "vec_id", "embedding",
+        k=10, nprobe=2).count()
+    t["ivf_search"] = round(time.time() - t0, 2)
+
+    print(json.dumps({"n_vectors": n, "dims": DIMS, "sec": t,
+                      "rows": rows,
+                      "total_sec": round(sum(t.values()), 2)}))
 
 
 if __name__ == "__main__":
