@@ -661,3 +661,42 @@ def test_bucketed_snapshot_refresh_parity_and_plan(spark, tmp_path):
             for v in range(3):
                 spark.sql("DROP TABLE IF EXISTS " + snapshot_table_name(
                     bkt_root, 2023, ep, v))
+
+
+def test_snapshot_changes_cdf(spark, tmp_path):
+    """Change data feed between retained versions: diff(v0, v1) yields
+    exactly the insert/update/delete rows the second refresh applied."""
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        refresh_snapshot,
+        snapshot_changes,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "id string, v long, name string")
+
+    inc1 = docs([("a", 1, "alpha"), ("b", 1, "bravo"), ("c", 1, "charlie")])
+    refresh_snapshot(spark, inc1, None, str(tmp_path), 2023, "ep_cdf",
+                     key_col="id", version_col="v")
+    inc2 = docs([("b", 2, "BRAVO2"), ("d", 2, "delta"),
+                 ("a", 1, "alpha")])          # a re-sent unchanged
+    dels = spark.createDataFrame([("c",)], "id string")
+    refresh_snapshot(spark, inc2, dels, str(tmp_path), 2023, "ep_cdf",
+                     key_col="id", version_col="v")
+
+    ch = snapshot_changes(spark, str(tmp_path), 2023, "ep_cdf", "id",
+                          from_version=0, to_version=1)
+    got = {r["id"]: (r["_change_type"], r["v"], r["name"])
+           for r in ch.collect()}
+    # unchanged key 'a' is absent; b updated, c deleted (old state
+    # carried), d inserted
+    assert got == {
+        "b": ("update", 2, "BRAVO2"),
+        "c": ("delete", 1, "charlie"),
+        "d": ("insert", 2, "delta"),
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not available"):
+        snapshot_changes(spark, str(tmp_path), 2023, "ep_cdf", "id",
+                         from_version=7, to_version=1)
