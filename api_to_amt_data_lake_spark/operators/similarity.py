@@ -199,6 +199,26 @@ def ivf_probe_buckets(
     )
 
 
+def _centroid_scores_expr(vec_col: Column,
+                          cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<d,cid>> of (rounded squared-euclidean, centroid id)
+    for a vector column against LITERAL centroids — the model folded
+    into the expression, so nearest-centroid logic runs at scan speed
+    with no join and no shuffle. Struct order (d first, cid second)
+    makes array_min/array_sort reproduce ivf_assign's min-struct
+    semantics exactly (round-6 distance, centroid-id tiebreak)."""
+    v = _as_double(vec_col)
+    return F.array(*[
+        F.struct(
+            F.round(F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in cv]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x), 6).alias("d"),
+            F.lit(cid).cast("long").alias("cid"))
+        for cid, cv in cents
+    ])
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
     id_col: str, vec_col: str, k: int, nprobe: int = 1,
@@ -209,14 +229,29 @@ def ivf_topk(
     by design, rising with nprobe; nprobe = #centroids degenerates to the
     exact brute-force search). The scale win is the bucket equi-join
     replacing the cross join: cost scales with nprobe/k of the corpus.
+
+    The trained centroids are a MODEL (k×dim values), so search folds
+    them into the scan as literals: each corpus row computes its bucket
+    inline (`array_min` over per-centroid distances) — zero shuffle and
+    zero join on the corpus side, where `ivf_assign`'s groupBy argmin
+    (right for the training loop, which must stay lazy) would exchange
+    the whole corpus once for the assignment and again for the join
+    back. At 100 TB that is two full-corpus shuffles saved per search.
     """
-    assign = ivf_assign(corpus, centroids, id_col, vec_col)
-    corpus_b = corpus.join(assign, id_col).select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"), "bucket"
+    cent_rows = centroids.select(F.col(id_col), F.col(vec_col)).collect()
+    cents = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
+    corpus_b = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"),
+        F.array_min(_centroid_scores_expr(F.col(vec_col), cents))
+        .getField("cid").alias("bucket"),
     )
-    probes = ivf_probe_buckets(queries, centroids, id_col, vec_col, nprobe)
-    queries_b = queries.join(probes, id_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+    queries_b = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.explode(F.transform(
+            F.slice(F.array_sort(
+                _centroid_scores_expr(F.col(vec_col), cents)),
+                1, nprobe),
+            lambda s: s.getField("cid"))).alias("bucket"),
     )
     sims = (
         F.broadcast(queries_b)
