@@ -208,10 +208,13 @@ def _centroid_scores_expr(vec_col: Column,
     makes array_min/array_sort reproduce ivf_assign's min-struct
     semantics exactly (round-6 distance, centroid-id tiebreak)."""
     v = _as_double(vec_col)
+    # One ArrayType literal per centroid (F.lit(list)), not dim-many
+    # scalar literals: the expression tree stays small, so analysis /
+    # codegen cost does not grow with k*dim.
     return F.array(*[
         F.struct(
             F.round(F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(x)) for x in cv]),
+                F.zip_with(v, F.lit([float(x) for x in cv]),
                            lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, x: acc + x), 6).alias("d"),
             F.lit(cid).cast("long").alias("cid"))
@@ -624,19 +627,68 @@ def _explode_subvectors(df: DataFrame, id_col: str, vec_col: str,
              F.col("_s.sv").alias("sv"))
 
 
+def _folded_pq_pairs_expr(vec_col: str, codebook: DataFrame) -> Column:
+    """array<struct<sub_idx,code>> computed inline from a MATERIALIZED
+    codebook: collect the m×k entries, slice each subvector by the
+    codebook's own per-sub dimensions (contiguous equal splits, matching
+    `_subvector`), argmin via array_min over literal struct(d, cent_id)
+    — the same raw-double distance and cent-id tiebreak as the groupBy
+    path, with zero shuffle and zero join."""
+    rows = codebook.select("sub_idx", "cent_id", "centroid").collect()
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub_idx"]), []).append(
+            (int(r["cent_id"]), [float(x) for x in r["centroid"]]))
+    v = _as_double(F.col(vec_col))
+    dim_of = {j: len(by_sub[j][0][1]) for j in by_sub}
+
+    def code_for(j: int):
+        start = sum(dim_of[i] for i in range(j))
+        sv = F.slice(v, start + 1, dim_of[j])
+        scores = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(sv, F.lit(list(cv)),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+                F.lit(cid).cast("long").alias("c"))
+            for cid, cv in by_sub[j]
+        ])
+        return F.array_min(scores).getField("c")
+
+    return F.array(*[
+        F.struct(F.lit(j).cast("int").alias("sub_idx"),
+                 code_for(j).alias("code"))
+        for j in sorted(by_sub)
+    ])
+
+
 def pq_encode(
     corpus: DataFrame, codebook: DataFrame, id_col: str, vec_col: str,
-    m: int = 4,
+    m: int = 4, folded: bool = False,
 ) -> DataFrame:
     """Assign every subvector its nearest codebook centroid. Output:
     (id, sub_idx, code) — m small-int rows per vector, the compressed
     representation a 100 TB corpus actually stores (the float vectors are
     only needed again for re-ranking).
 
-    Plan: one corpus pass; the m×k codebook is broadcast; argmin per
-    (id, sub_idx) is a partial-aggregated min(struct(dist, cent_id)) —
-    no shuffle carries vectors, only (id, sub, code) triples.
+    Default plan: one corpus pass; the m×k codebook is broadcast; argmin
+    per (id, sub_idx) is a partial-aggregated min(struct(dist, cent_id))
+    — no shuffle carries vectors, only (id, sub, code) triples.
+
+    `folded=True` is the post-training shape (ivfpq_fit uses it): the
+    codebook is a trained MODEL, so collect its m×k rows and compute
+    every subvector's code inline (array_min over literal per-centroid
+    distances, same raw-double distance and cent-id tiebreak) — zero
+    shuffle, zero join; the encode pass becomes a pure scan projection.
+    Requires a materialized codebook (pq_fit returns one).
     """
+    if folded:
+        pairs = _folded_pq_pairs_expr(vec_col, codebook)
+        return corpus.select(
+            F.col(id_col), F.explode(pairs).alias("_p")
+        ).select(id_col, F.col("_p.sub_idx").alias("sub_idx"),
+                 F.col("_p.code").alias("code"))
     subs = _explode_subvectors(corpus, id_col, vec_col, m)
     d = sq_euclidean(F.col("sv"), F.col("centroid"))
     return (
@@ -651,13 +703,44 @@ def pq_encode(
 
 def ivf_residuals(
     corpus: DataFrame, coarse: DataFrame, id_col: str, vec_col: str,
+    folded: bool = False,
 ) -> DataFrame:
     """(id, bucket, residual): assign every vector to its nearest coarse
     centroid (`ivf_assign` semantics — round-6 distance, centroid-id
     tiebreak) and subtract that centroid. The residual space is what
     IVF-PQ quantizes: residuals cluster near the origin, so a small PQ
     codebook covers them far better than it covers raw vectors.
-    Centroids broadcast; the subtraction is a scan-level zip_with."""
+    Default: centroids broadcast, subtraction is a scan-level zip_with
+    (one keyed exchange for the argmin + one join back).
+
+    `folded=True` (post-training, used by ivfpq_fit): collect the
+    trained kc×dim centroids and compute bucket AND residual inline —
+    array_min over literal struct(d, cid, cv) keeps the exact
+    round-6 + cid-tiebreak argmin (cv never decides: (d, cid) is
+    unique) and hands back the winning centroid vector for the
+    subtraction. Zero shuffle, zero join — the residual pass becomes a
+    scan projection."""
+    if folded:
+        rows = coarse.select(F.col(id_col), F.col(vec_col)).collect()
+        v = _as_double(F.col(vec_col))
+        scores = F.array(*[
+            F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(
+                        v, F.lit([float(x) for x in r[1]]),
+                        lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6).alias("d"),
+                F.lit(r[0]).cast("long").alias("cid"),
+                F.lit([float(x) for x in r[1]]).alias("cv"))
+            for r in rows
+        ])
+        best = F.array_min(scores)
+        return corpus.select(
+            F.col(id_col),
+            best.getField("cid").alias("bucket"),
+            F.zip_with(v, best.getField("cv"),
+                       lambda a, b: a - b).alias(vec_col),
+        )
     assign = ivf_assign(corpus, coarse, id_col, vec_col)
     cents = F.broadcast(coarse.select(
         F.col(id_col).alias("bucket"), _as_double(F.col(vec_col)).alias("_cv")
@@ -701,14 +784,24 @@ def ivfpq_fit(
     """
     coarse = kmeans_fit(corpus, id_col, vec_col, k=kc, iters=coarse_iters,
                         sample_frac=sample_frac)
-    res = ivf_residuals(corpus, coarse, id_col, vec_col)
+    # kmeans_fit returns a MATERIALIZED model (it fills its cache with a
+    # count), so the residual pass can fold the centroids into the scan:
+    # bucket + residual inline, no assignment exchange, no join back.
+    res = ivf_residuals(corpus, coarse, id_col, vec_col, folded=True)
     if pin:
         res = res.localCheckpoint()
     rvecs = res.select(id_col, vec_col)
     book = pq_fit(rvecs, id_col, vec_col, m=m, k=k, iters=iters,
                   sample_frac=sample_frac)
-    codes = pq_encode(rvecs, book, id_col, vec_col, m=m) \
-        .join(res.select(id_col, "bucket"), id_col)
+    # Same post-training shape for the encode pass: the codebook is
+    # materialized, so codes are computed inline per row — and because
+    # `res` already carries the bucket, emitting it in the same
+    # projection removes the codes↔res id join entirely.
+    pairs = _folded_pq_pairs_expr(vec_col, book)
+    codes = res.select(
+        F.col(id_col), F.col("bucket"), F.explode(pairs).alias("_p")
+    ).select(id_col, "bucket", F.col("_p.sub_idx").alias("sub_idx"),
+             F.col("_p.code").alias("code"))
     return coarse, book, codes
 
 

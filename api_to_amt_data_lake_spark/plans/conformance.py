@@ -4457,7 +4457,7 @@ def q95_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_fit/pq_encode/pq_adc_topk`)."""
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     book = pq_fit(e, "vec_id", "embedding", m=4, k=8, iters=3)
-    codes = pq_encode(e, book, "vec_id", "embedding", m=4)
+    codes = pq_encode(e, book, "vec_id", "embedding", m=4, folded=True)
     q = e.filter(F.col("vec_id") < 5)
     return pq_adc_topk(q, codes, book, "vec_id", "embedding", m=4, k=3) \
         .select("query_id", "match_id", "adc_dist",
