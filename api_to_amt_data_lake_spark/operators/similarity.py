@@ -199,6 +199,19 @@ def ivf_probe_buckets(
     )
 
 
+def _vec_lit(values) -> Column:
+    """A float vector as ONE ArrayType Literal (numpy path of F.lit).
+    F.lit(list) desugars to array(lit, lit, ...) — dim scalar nodes per
+    centroid, so folding a k x dim model into an expression costs
+    O(k*dim) analysis/optimization work on EVERY query build. The
+    ndarray form is a single Literal node from the start: tree size
+    stays O(k) and codegen references the array object instead of
+    inlining dim constants."""
+    import numpy as np
+
+    return F.lit(np.asarray([float(x) for x in values], dtype=np.float64))
+
+
 def _centroid_scores_expr(vec_col: Column,
                           cents: list[tuple[int, list[float]]]) -> Column:
     """array<struct<d,cid>> of (rounded squared-euclidean, centroid id)
@@ -206,20 +219,26 @@ def _centroid_scores_expr(vec_col: Column,
     into the expression, so nearest-centroid logic runs at scan speed
     with no join and no shuffle. Struct order (d first, cid second)
     makes array_min/array_sort reproduce ivf_assign's min-struct
-    semantics exactly (round-6 distance, centroid-id tiebreak)."""
+    semantics exactly (round-6 distance, centroid-id tiebreak).
+
+    Built as ONE zip_with over (literal id array, literal vector
+    array), not a per-centroid Python loop: expression construction is
+    k+2 driver calls instead of ~5k py4j round-trips, which is where a
+    per-query second went at small scale (the JVM work per row is
+    identical)."""
+    import numpy as np
+
     v = _as_double(vec_col)
-    # One ArrayType literal per centroid (F.lit(list)), not dim-many
-    # scalar literals: the expression tree stays small, so analysis /
-    # codegen cost does not grow with k*dim.
-    return F.array(*[
-        F.struct(
+    ids = F.lit(np.asarray([int(cid) for cid, _ in cents],
+                           dtype=np.int64))
+    vecs = F.array(*[_vec_lit(cv) for _, cv in cents])
+    return F.zip_with(
+        ids, vecs,
+        lambda cid, cv: F.struct(
             F.round(F.aggregate(
-                F.zip_with(v, F.lit([float(x) for x in cv]),
-                           lambda a, b: (a - b) * (a - b)),
+                F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, x: acc + x), 6).alias("d"),
-            F.lit(cid).cast("long").alias("cid"))
-        for cid, cv in cents
-    ])
+            cid.alias("cid")))
 
 
 def ivf_topk(
@@ -633,7 +652,12 @@ def _folded_pq_pairs_expr(vec_col: str, codebook: DataFrame) -> Column:
     codebook's own per-sub dimensions (contiguous equal splits, matching
     `_subvector`), argmin via array_min over literal struct(d, cent_id)
     — the same raw-double distance and cent-id tiebreak as the groupBy
-    path, with zero shuffle and zero join."""
+    path, with zero shuffle and zero join. Per sub-space the scores are
+    ONE zip_with over (literal id array, literal vector array) — k+2
+    driver calls per sub, not ~6k py4j round-trips (see
+    `_centroid_scores_expr`)."""
+    import numpy as np
+
     rows = codebook.select("sub_idx", "cent_id", "centroid").collect()
     by_sub: dict[int, list[tuple[int, list[float]]]] = {}
     for r in rows:
@@ -645,15 +669,16 @@ def _folded_pq_pairs_expr(vec_col: str, codebook: DataFrame) -> Column:
     def code_for(j: int):
         start = sum(dim_of[i] for i in range(j))
         sv = F.slice(v, start + 1, dim_of[j])
-        scores = F.array(*[
-            F.struct(
+        ids = F.lit(np.asarray([cid for cid, _ in by_sub[j]],
+                               dtype=np.int64))
+        vecs = F.array(*[_vec_lit(cv) for _, cv in by_sub[j]])
+        scores = F.zip_with(
+            ids, vecs,
+            lambda cid, cv: F.struct(
                 F.aggregate(
-                    F.zip_with(sv, F.lit(list(cv)),
-                               lambda a, b: (a - b) * (a - b)),
+                    F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0), lambda acc, x: acc + x).alias("d"),
-                F.lit(cid).cast("long").alias("c"))
-            for cid, cv in by_sub[j]
-        ])
+                cid.alias("c")))
         return F.array_min(scores).getField("c")
 
     return F.array(*[
@@ -721,19 +746,21 @@ def ivf_residuals(
     subtraction. Zero shuffle, zero join — the residual pass becomes a
     scan projection."""
     if folded:
+        import numpy as np
+
         rows = coarse.select(F.col(id_col), F.col(vec_col)).collect()
         v = _as_double(F.col(vec_col))
-        scores = F.array(*[
-            F.struct(
+        ids = F.lit(np.asarray([int(r[0]) for r in rows],
+                               dtype=np.int64))
+        vecs = F.array(*[_vec_lit(r[1]) for r in rows])
+        scores = F.zip_with(
+            ids, vecs,
+            lambda cid, cv: F.struct(
                 F.round(F.aggregate(
-                    F.zip_with(
-                        v, F.lit([float(x) for x in r[1]]),
-                        lambda a, b: (a - b) * (a - b)),
+                    F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0), lambda acc, x: acc + x), 6).alias("d"),
-                F.lit(r[0]).cast("long").alias("cid"),
-                F.lit([float(x) for x in r[1]]).alias("cv"))
-            for r in rows
-        ])
+                cid.alias("cid"),
+                cv.alias("cv")))
         best = F.array_min(scores)
         return corpus.select(
             F.col(id_col),
