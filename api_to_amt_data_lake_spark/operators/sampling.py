@@ -268,3 +268,56 @@ def dsir_logweights(
             F.round(F.sum("logratio").cast("double"), 6)
             .alias("dsir_logw"))
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    seed: int = 11,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Per-domain quota sampling — the crawl-curation host cap (keep at
+    most `cap` documents per domain/source so a handful of giant hosts
+    cannot dominate the training mix; the move C4/RefinedWeb apply to
+    common-crawl hosts). Which documents survive is decided by a seeded
+    md5 order, never arrival order: reruns, retries and repartitions all
+    keep the same rows, and a new seed is a fresh draw.
+
+    Output: the kept rows plus `domain_rank` (1-based position of the
+    row in its domain's seeded order; every rank ≤ cap).
+
+    Scale shape: the naive `row_number() OVER (PARTITION BY domain)`
+    puts each domain in ONE task — a hot host with 10^9 docs is a
+    straggler. Instead rank twice: phase 1 partitions by (domain, salt)
+    — salt = first hex char of the row's own md5 key, so a hot domain
+    spreads over `n_salt` tasks — and keeps each salt's top `cap`;
+    phase 2 ranks the ≤ n_salt×cap survivors per domain. A row in the
+    true top-cap of its domain is necessarily in the top-cap of its own
+    salt, so the two-phase result is EXACTLY the single-window answer
+    (the q99z oracle states it as one window), while no task ever holds
+    more than max(|domain|/n_salt, n_salt×cap) rows.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    keyed = df.withColumn("_key", key).withColumn(
+        "_salt",
+        F.conv(F.substring("_key", 1, 1), 16, 10).cast("int") % n_salt)
+    w_salt = Window.partitionBy(domain_col, "_salt").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc())
+    survivors = (
+        keyed.withColumn("_r", F.row_number().over(w_salt))
+        .filter(F.col("_r") <= cap)
+        .drop("_r", "_salt")
+    )
+    w_dom = Window.partitionBy(domain_col).orderBy(
+        F.col("_key").asc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn(
+            "domain_rank", F.row_number().over(w_dom).cast("long"))
+        .filter(F.col("domain_rank") <= cap)
+        .drop("_key")
+    )

@@ -139,3 +139,79 @@ def hll_rollup_estimates(
         .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("hll")))
              .alias("n_distinct"))
     )
+
+
+def grid_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Fixed-grid quantile sketch: per (keys, bin) row counts, where
+    bin = floor(value / bin_width). The quantile analog of the HLL
+    partial above — percentiles do NOT cascade (p90 of p90s is not the
+    p90), but binned counts DO: sketches merge by cell-wise addition
+    (an ordinary partial-aggregated groupBy), so a coarser-level
+    quantile needs only each finer group's grid, never the raw rows.
+    The grid is sparse — only non-empty bins appear — and its size is
+    bounded by the value range / bin_width regardless of row count.
+
+    Exactness contract: the bin is integer/decimal arithmetic (floor of
+    an exact decimal division), bit-identical in any engine; the
+    resulting quantile estimate is the true quantile rounded UP to its
+    bin's upper edge — error ≤ bin_width, deterministic, and equal
+    whether the grid was built directly or merged from partials
+    (conformance q98d states both as one oracle).
+    """
+    return (
+        df.groupBy(
+            *[F.col(k) for k in key_cols],
+            F.floor(F.col(value_col) / F.lit(bin_width))
+            .cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grid_merge(
+    sketch: DataFrame, to_keys: list[str],
+) -> DataFrame:
+    """Merge grid partials up to coarser keys: cell-wise addition —
+    the mergeability that makes the sketch a sketch. Input rows per
+    group = its bin count, so rolling a 10^9-row fact table from
+    nation to region grain reads |nations|×|bins| rows, not the fact
+    table."""
+    return (
+        sketch.groupBy(*[F.col(k) for k in to_keys], F.col("bin"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def grid_quantiles(
+    sketch: DataFrame,
+    key_cols: list[str],
+    bin_width: int,
+    pcts: list[int] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group quantile estimates from a grid sketch: cumulative bin
+    counts (window partitioned by the group — never partition-less),
+    then for each percentile the first bin whose cumulative count
+    reaches it; the estimate is that bin's upper edge. The threshold
+    compare is pure integer arithmetic (100*cum >= pct*total), so no
+    float rounding can flip a bin cross-engine."""
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy(*key_cols).orderBy("bin")
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn(
+            "tot",
+            F.sum("cnt").over(Window.partitionBy(*key_cols)))
+    )
+    aggs = [
+        F.min(
+            F.when(100 * F.col("cum") >= p * F.col("tot"),
+                   (F.col("bin") + 1) * bin_width)
+        ).cast("long").alias(f"p{p}_est")
+        for p in pcts
+    ]
+    return cum.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)

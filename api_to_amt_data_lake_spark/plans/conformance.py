@@ -6057,6 +6057,89 @@ def q99y_direct_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARITY_BASELINES["q99y_hll_distinct_rollup"] = q99y_direct_parity
 
 
+@register("q99z_domain_cap", oracle="""
+SELECT doc_id, source, domain_rank FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':11'), doc_id)
+      AS domain_rank
+  FROM documents) t
+WHERE domain_rank <= 10
+""")
+def q99z_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-curation host cap: keep ≤10 documents per source under a
+    seeded md5 order, computed with the two-phase salted rank (no
+    hot-domain single-task window) but EQUAL to the oracle's single
+    PARTITION BY window — `operators/sampling.py::domain_cap`."""
+    from api_to_amt_data_lake_spark.operators.sampling import domain_cap
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return domain_cap(d, "source", "doc_id", cap=10).select(
+        "doc_id", "source", "domain_rank")
+
+
+@register("q98d_quantile_sketch_rollup", oracle="""
+WITH b AS (
+  SELECT r_name,
+    CAST(floor(o_totalprice / 5000) AS BIGINT) AS bin,
+    COUNT(*) AS cnt
+  FROM orders, customer, nation, region
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT r_name, bin,
+    SUM(cnt) OVER (PARTITION BY r_name ORDER BY bin) AS cum,
+    SUM(cnt) OVER (PARTITION BY r_name) AS tot
+  FROM b
+)
+SELECT r_name,
+  CAST(MIN(CASE WHEN 100*cum >= 50*tot THEN (bin+1)*5000 END) AS BIGINT)
+    AS p50_est,
+  CAST(MIN(CASE WHEN 100*cum >= 90*tot THEN (bin+1)*5000 END) AS BIGINT)
+    AS p90_est,
+  CAST(MIN(CASE WHEN 100*cum >= 99*tot THEN (bin+1)*5000 END) AS BIGINT)
+    AS p99_est
+FROM cum GROUP BY r_name
+""")
+def q98d_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile rollup via mergeable grid-sketch partials: per-NATION
+    binned order-value counts, cell-wise-added up to REGION, quantiles
+    read off the merged grid — percentiles do not cascade (the q99x sum
+    cascade has no naive quantile analog), so this is the sketch-partial
+    answer, and unlike HLL (q99y) the grid is exactly SQL-expressible:
+    the oracle bins the raw rows at region grain directly, proving
+    merged-from-nation == built-direct —
+    `operators/sketches.py::grid_sketch/grid_merge/grid_quantiles`."""
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        grid_merge,
+        grid_quantiles,
+        grid_sketch,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey",
+                                                   "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey",
+                                                     "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey",
+                                                   "n_regionkey", "n_name")
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # customer scales with the fact tables — never broadcast it; the
+    # broadcastable dims (nation, region) fold onto customer first, then
+    # orders<->customer is the one shuffle equi-join.
+    cust_region = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name")
+    )
+    fact = o.join(cust_region, F.col("o_custkey") == F.col("c_custkey"))
+    nation_grids = grid_sketch(fact, ["r_name", "n_name"],
+                               "o_totalprice", 5000)
+    region_grids = grid_merge(nation_grids, ["r_name"])
+    return grid_quantiles(region_grids, ["r_name"], 5000)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -538,3 +538,76 @@ def test_binary_rerank_topk_reranks_by_exact_cosine(spark):
         assert [m for _, m in exact] == [m for _, m, _ in got]
         for (s, _), (_, _, gs) in zip(exact, got):
             assert abs(s - gs) < 2e-6
+
+
+def test_domain_cap_equals_single_window(spark):
+    from pyspark.sql import Window
+
+    from api_to_amt_data_lake_spark.operators.sampling import domain_cap
+
+    rows = [(i, f"d{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = domain_cap(df, "source", "doc_id", cap=7, seed=11)
+    got = {(r["doc_id"], r["source"], r["domain_rank"])
+           for r in out.collect()}
+    # Naive single-window reference: identical membership AND ranks.
+    key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                            F.lit("11")))
+    w = Window.partitionBy("source").orderBy(key.asc(),
+                                             F.col("doc_id").asc())
+    ref = (df.withColumn("domain_rank",
+                         F.row_number().over(w).cast("long"))
+           .filter(F.col("domain_rank") <= 7))
+    want = {(r["doc_id"], r["source"], r["domain_rank"])
+            for r in ref.collect()}
+    assert got == want
+    # Every domain capped, ranks dense 1..7.
+    per = {}
+    for _, s, rk in got:
+        per.setdefault(s, []).append(rk)
+    assert all(sorted(v) == list(range(1, 8)) for v in per.values())
+    # Partitioning-invariant: same survivors at any parallelism.
+    got2 = {(r["doc_id"], r["source"], r["domain_rank"])
+            for r in domain_cap(df.repartition(13), "source", "doc_id",
+                                cap=7, seed=11).collect()}
+    assert got2 == want
+
+
+def test_domain_cap_small_domain_kept_whole(spark):
+    from api_to_amt_data_lake_spark.operators.sampling import domain_cap
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), *[(i, "big") for i in range(10, 40)]],
+        ["doc_id", "source"])
+    out = domain_cap(df, "source", "doc_id", cap=5)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"tiny": 2, "big": 5}
+
+
+def test_grid_sketch_merge_equals_direct(spark):
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        grid_merge,
+        grid_quantiles,
+        grid_sketch,
+    )
+
+    rows = [("r1", f"n{i % 4}", float(v))
+            for i, v in enumerate(range(0, 5000, 7))]
+    rows += [("r2", "n9", float(v)) for v in range(100, 900, 3)]
+    df = spark.createDataFrame(rows, ["region", "nation", "val"])
+    fine = grid_sketch(df, ["region", "nation"], "val", 50)
+    merged = grid_merge(fine, ["region"])
+    direct = grid_sketch(df, ["region"], "val", 50)
+    assert ({tuple(r) for r in merged.collect()}
+            == {tuple(r) for r in direct.collect()})
+    # Quantile estimate = true quantile rounded up to its bin edge.
+    q = {r["region"]: r for r in
+         grid_quantiles(merged, ["region"], 50).collect()}
+    import math
+    for region in ("r1", "r2"):
+        rv = sorted(v for rg, _, v in rows if rg == region)
+        for pct in (50, 90, 99):
+            exact = rv[math.ceil(pct / 100 * len(rv)) - 1]
+            est = q[region][f"p{pct}_est"]
+            assert exact <= est <= exact + 50, (region, pct, exact, est)
