@@ -294,6 +294,51 @@ def ivf_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Approximate k-NN graph of the corpus against ITSELF — every
+    vector's k most cosine-similar neighbors among vectors sharing its
+    IVF bucket. Output: (src_id, dst_id, cosine_sim, rank). This is the
+    all-pairs primitive behind embedding-based curation: SemDeDup prunes
+    it, cluster-keeper selection walks it, and its connected components
+    are the near-dup groups at embedding (not token) granularity.
+
+    Plan: bucket assignment is the FOLDED centroid argmin (zero
+    assignment shuffle — `_centroid_scores_expr`), then one bucket-keyed
+    self-join scoped to same-bucket pairs: work is sum of bucket sizes
+    squared, never corpus², and the per-node top-k window partitions by
+    src (uniform, high-cardinality). Parallelism of the self-join is
+    bounded by the centroid count — size kc ~ sqrt(n) at scale (the
+    FAISS rule) so buckets stay both numerous and small.
+    """
+    cent_rows = centroids.select(F.col(id_col), F.col(vec_col)).collect()
+    cents = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
+    b = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.array_min(_centroid_scores_expr(F.col(vec_col), cents))
+        .getField("cid").alias("bucket"))
+    a = b.select(F.col(id_col).alias("src_id"),
+                 F.col(vec_col).alias("_av"), "bucket")
+    c = b.select(F.col(id_col).alias("dst_id"),
+                 F.col(vec_col).alias("_bv"), "bucket")
+    sims = (
+        a.join(c, "bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id", "dst_id",
+            F.round(cosine(F.col("_av"), F.col("_bv")), 6)
+            .alias("cosine_sim"))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _training_sample(
     corpus: DataFrame, id_col: str, sample_frac: float | None,
 ) -> DataFrame:

@@ -1888,6 +1888,51 @@ def q63_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+@register("q63b_knn_graph", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id < 8),
+dists AS (
+  SELECT v.vec_id, cent.cent_id,
+    round(list_sum(list_transform(range(1, len(v.v) + 1),
+      i -> (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i]))), 6) AS d
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cent_id AS bucket FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+sims AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM (SELECT v.*, assign.bucket FROM v JOIN assign USING (vec_id)) a
+  JOIN (SELECT v.*, assign.bucket FROM v JOIN assign USING (vec_id)) b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+)
+SELECT src_id, dst_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_id ORDER BY cosine_sim DESC, dst_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 3
+""")
+def q63b_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-itself approximate k-NN graph (every vector's top-3
+    same-IVF-bucket cosine neighbors) — the all-pairs primitive SemDeDup
+    and embedding-cluster curation consume. Folded bucket assignment
+    (zero shuffle), one bucket-keyed self-join, per-src top-k window —
+    `operators/similarity.py::knn_graph`."""
+    from api_to_amt_data_lake_spark.operators.similarity import knn_graph
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                       "embedding")
+    cent = e.filter(F.col("vec_id") < 8)
+    return knn_graph(e, cent, "vec_id", "embedding", k=3).select(
+        "src_id", "dst_id", "cosine_sim",
+        F.col("rank").cast("int").alias("rank"))
+
+
 @register("q12_curation_pipeline", oracle="""
 WITH keepers AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)

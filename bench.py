@@ -85,6 +85,8 @@ HEADLINE = [
     "q99w_group_percentiles",
     "q99x_rollup_cascade",
     "q99y_hll_distinct_rollup",
+    "q99z_domain_cap",
+    "q98d_quantile_sketch_rollup",
 ]
 
 

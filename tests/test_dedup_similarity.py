@@ -798,3 +798,23 @@ def test_sampled_ivfpq_recall_contract(spark):
     full, sampled = recall(None), recall(0.75)
     assert full >= 0.9, f"full-fit recall {full}"
     assert sampled >= 0.7, f"sampled-fit recall {sampled}"
+
+
+def test_knn_graph_same_cluster_neighbors(spark):
+    from api_to_amt_data_lake_spark.operators.similarity import knn_graph
+
+    # Two tight clusters far apart; centroids = one member of each.
+    cl_a = [(i, [10.0 + 0.01 * i, 0.0, 0.0]) for i in range(4)]
+    cl_b = [(10 + i, [0.0, 10.0 + 0.01 * i, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(cl_a + cl_b, ["vec_id", "embedding"])
+    cents = df.filter(F.col("vec_id").isin(0, 10))
+    g = knn_graph(df, cents, "vec_id", "embedding", k=2)
+    rows = g.collect()
+    # Every node gets exactly k neighbors, all from its own cluster.
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src_id"], []).append(r["dst_id"])
+        same = (r["src_id"] < 10) == (r["dst_id"] < 10)
+        assert same, (r["src_id"], r["dst_id"])
+    assert all(len(v) == 2 for v in per_src.values())
+    assert len(per_src) == 8

@@ -18,6 +18,9 @@ Stages timed (each is the registered operator):
   sq8       sq8 train (2 passes) + dequantized encode pass
   ivf_fit   kmeans_fit kc=16 on a 10% deterministic sample (iters x
             sample scans, the FAISS-style bounded fit)
+  ivfpq_residual / ivfpq_book / ivfpq_encode
+            the post-training IVFPQ index build: FOLDED residual scan,
+            sampled PQ codebook fit on residuals, FOLDED code scan
   ivf_search ivf_topk for the 8 queries at nprobe=2
 
 Prints one JSON line mirroring tools/corpus_smoke.py.
@@ -39,8 +42,11 @@ from api_to_amt_data_lake_spark.operators.similarity import (  # noqa: E402
     binary_quantize,
     binary_rerank_topk,
     hamming_topk,
+    ivf_residuals,
     ivf_topk,
     kmeans_fit,
+    pq_encode,
+    pq_fit,
     sq8_dequantized,
     sq8_minmax,
 )
@@ -102,6 +108,27 @@ def main() -> None:
                        sample_frac=0.1)
     rows["ivf_fit"] = cents.count()
     t["ivf_fit"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    # Post-training IVFPQ passes, both FOLDED (model collected into the
+    # scan): residual projection, then code assignment — zero corpus
+    # shuffles, the 100 TB index-build path.
+    res = ivf_residuals(corpus, cents, "vec_id", "embedding",
+                        folded=True).localCheckpoint()
+    rows["ivfpq_residual"] = res.count()
+    t["ivfpq_residual"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    book = pq_fit(res.select("vec_id", "embedding"), "vec_id",
+                  "embedding", m=4, k=8, iters=2, sample_frac=0.1)
+    rows["ivfpq_book"] = book.count()
+    t["ivfpq_book"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["ivfpq_encode"] = pq_encode(
+        res.select("vec_id", "embedding"), book, "vec_id", "embedding",
+        m=4, folded=True).count()
+    t["ivfpq_encode"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     rows["ivf_search"] = ivf_topk(
