@@ -20,6 +20,9 @@ Stages timed (each is the registered operator, not a re-implementation):
   chunks     sliding-window chunking (shuffle-free explode)
   cms        count-min sketch build (bounded-state shuffle)
   sample     A-ES weighted sample top-k
+  domain_cap two-phase salted per-domain quota (cap=1000/source)
+  grid_quantiles per-source fixed-grid length quantiles (mergeable
+             binned-count partials)
 
 Prints one JSON line with per-stage seconds and row counts, mirroring
 `tools/scale_smoke.py` for the AMT view pipeline.
@@ -183,6 +186,23 @@ def main() -> None:
         corpus, corpus.filter(F.col("source") == "src3"),
         "text", "doc_id").count()
     t["dsir"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from api_to_amt_data_lake_spark.operators.sampling import domain_cap
+    rows["domain_cap"] = domain_cap(
+        corpus.select("doc_id", "source"), "source", "doc_id",
+        cap=1000).count()
+    t["domain_cap"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        grid_quantiles,
+        grid_sketch,
+    )
+    rows["grid_quantiles"] = grid_quantiles(
+        grid_sketch(corpus, ["source"], "n_chars", 10),
+        ["source"], 10).count()
+    t["grid_quantiles"] = round(time.time() - t0, 2)
 
     print(json.dumps({"n_docs": n, "sec": t, "rows": rows,
                       "total_sec": round(sum(t.values()), 2)}))
