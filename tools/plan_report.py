@@ -62,6 +62,16 @@ SHOWCASE = [
     ("q99x_rollup_cascade", "rollup cascade: day HashAggregate reads "
      "the hour aggregate's output, week reads day — each coarser "
      "level re-aggregates partials, never the raw scan"),
+    ("q99z_domain_cap", "per-domain quota: two salted-rank windows, "
+     "both with non-empty partition keys — no hot domain ever owns a "
+     "single-task window"),
+    ("q98d_quantile_sketch_rollup", "grid quantile sketch: "
+     "partial->final count agg on (keys, bin); region level "
+     "re-aggregates the nation grids, never the fact scan; dims "
+     "broadcast onto customer before the one fact shuffle"),
+    ("q63b_knn_graph", "corpus self-kNN: folded centroid argmin in the "
+     "scan projection (no assignment Exchange), bucket-keyed "
+     "self-join, per-src top-k window"),
 ]
 
 
