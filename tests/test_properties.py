@@ -398,3 +398,59 @@ def test_resample_locf_matches_python_model(spark, rows):
             want[(k, str(s))] = cur
             s += timedelta(hours=1)
     assert got == want
+
+
+class TestGridQuantiles:
+    """grid_sketch/grid_quantiles vs a pure-Python quantile model."""
+
+    @SETTINGS
+    @given(vals=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=60))
+    def test_estimate_is_true_quantile_rounded_up_to_bin_edge(
+            self, spark, vals):
+        import math
+
+        from api_to_amt_data_lake_spark.operators.sketches import (
+            grid_quantiles,
+            grid_sketch,
+        )
+
+        width = 100
+        df = spark.createDataFrame(
+            [("g", int(v)) for v in vals], ["k", "v"])
+        out = grid_quantiles(
+            grid_sketch(df, ["k"], "v", width), ["k"], width).collect()[0]
+        sv = sorted(vals)
+        for pct in (50, 90, 99):
+            exact = sv[math.ceil(pct / 100 * len(sv)) - 1]
+            est = out[f"p{pct}_est"]
+            assert est == (exact // width + 1) * width
+
+
+class TestDomainCap:
+    """domain_cap vs a pure-Python md5-order model."""
+
+    @SETTINGS
+    @given(rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=500),
+                  st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=80, unique_by=lambda r: r[0]))
+    def test_matches_python_md5_order(self, spark, rows):
+        import hashlib
+
+        from api_to_amt_data_lake_spark.operators.sampling import domain_cap
+
+        cap = 4
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        got = {(r["doc_id"], r["domain_rank"])
+               for r in domain_cap(df, "source", "doc_id", cap=cap,
+                                   seed=11).collect()}
+        want = set()
+        for dom in {s for _, s in rows}:
+            members = sorted(
+                (i for i, s in rows if s == dom),
+                key=lambda i: (
+                    hashlib.md5(f"{i}:11".encode()).hexdigest(), i))
+            want |= {(i, rk + 1) for rk, i in enumerate(members[:cap])}
+        assert got == want
