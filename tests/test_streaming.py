@@ -534,3 +534,56 @@ def test_fold_scd2_per_key_timestamps_and_tombstones(spark, tmp_path):
             for r in read_history(spark, hroot, "dim").collect()}
     assert (1, "C", t4, datetime(9999, 12, 31), True) in hist
     assert sum(1 for k, s, f, t, cur in hist if k == 1) == 3
+
+
+def test_stream_value_grids_match_batch_and_merge_up(spark, tmp_path, sf_dir):
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        grid_quantiles,
+        grid_sketch,
+    )
+    from api_to_amt_data_lake_spark.streaming.quantiles import (
+        hourly_value_grids,
+        stream_hourly_value_grids,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "gsrc")
+    events.write.parquet(src)
+
+    q = stream_hourly_value_grids(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "gckpt"),
+        output_dir=str(tmp_path / "gout"),
+        key_cols=["event_type"],
+        value_col="value",
+        bin_width=10,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "gout"))
+    raw = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    want = hourly_value_grids(raw, ["event_type"], "value", 10)
+    key = ["bucket_start", "event_type", "bin"]
+    n_got, n_want = got.count(), want.count()
+    # Append mode withholds only windows still inside the 2h watermark.
+    assert 0 < n_got <= n_want
+    assert got.join(want, key + ["cnt"]).count() == n_got
+
+    # Mergeability end-to-end: quantiles from the STREAMED hourly
+    # partials (merged over all fully-emitted hours) == quantiles from a
+    # direct grid over the same hours' raw events.
+    import pyspark.sql.functions as F
+    emitted_hours = got.select("bucket_start").distinct()
+    merged = (got.groupBy("event_type", "bin")
+              .agg(F.sum("cnt").alias("cnt")))
+    direct = grid_sketch(
+        raw.join(
+            emitted_hours.withColumnRenamed("bucket_start", "_h"),
+            F.date_trunc("hour", F.col("ts")) == F.col("_h"), "left_semi"),
+        ["event_type"], "value", 10)
+    assert ({tuple(r) for r in
+             grid_quantiles(merged, ["event_type"], 10).collect()}
+            == {tuple(r) for r in
+                grid_quantiles(direct, ["event_type"], 10).collect()})
