@@ -61,6 +61,11 @@ def grouped_percentiles_disc(
     percentile. No per-row buffering anywhere; the window partition
     holds at most |distinct values| rows however big the group is.
     Identical arithmetic in ANSI SQL (conformance q99w).
+
+    NULL values are excluded before the frequency table is built —
+    percentile_disc ignores NULLs, and engines disagree on NULL sort
+    position (Spark windows sort them first, DuckDB last), so keeping
+    them would shift every percentile in a null-containing group.
     """
     from pyspark.sql import Window
 
@@ -69,6 +74,7 @@ def grouped_percentiles_disc(
         f"p{str(p).replace('0.', '')}" for p in percentiles]
     counts = (
         df.select(F.col(group_col), v.alias("_v"))
+        .where(F.col("_v").isNotNull())
         .groupBy(group_col, "_v")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
@@ -112,6 +118,10 @@ def cascade_time_rollups(
     state instead. Each level returns
     (bucket_start, *key_cols, n_events, value_sum) with value_sum kept
     in DECIMAL until the caller casts, so the re-aggregation is exact.
+    decimal(18,2) leaves 16 integer digits of headroom: Spark's
+    non-ANSI cast turns an overflowing value into NULL (silently
+    dropping it from the sum), so the base cast must be wide enough
+    for any single event value, not just the 9,2 the test data needs.
     """
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     keys = list(key_cols)
@@ -120,7 +130,7 @@ def cascade_time_rollups(
             F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"),
             *[F.col(k) for k in keys])
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum(v.cast("decimal(9,2)")).alias("value_sum"))
+             F.sum(v.cast("decimal(18,2)")).alias("value_sum"))
     )
 
     def up(lower: DataFrame, unit: str) -> DataFrame:

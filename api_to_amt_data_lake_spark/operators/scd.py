@@ -185,6 +185,11 @@ def scd2_close_keys(
     Same scale shape as `scd2_apply`: the join touches current rows
     only, history rows stream through the filter + union.
     """
+    if as_of is None and as_of_col is None:
+        # Without a close time `valid_from < NULL` is null → coalesced
+        # to False → every tombstone silently dropped. Fail loudly.
+        raise ValueError(
+            "scd2_close_keys needs a close time: pass as_of or as_of_col")
     cur = history.filter(F.col("is_current"))
     old = history.filter(~F.col("is_current"))
     to_t = dict(history.dtypes)["valid_to"]

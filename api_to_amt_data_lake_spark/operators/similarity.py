@@ -229,8 +229,15 @@ def _centroid_scores_expr(vec_col: Column,
     import numpy as np
 
     v = _as_double(vec_col)
-    ids = F.lit(np.asarray([int(cid) for cid, _ in cents],
-                           dtype=np.int64))
+    if all(isinstance(cid, (int, np.integer)) for cid, _ in cents):
+        ids = F.lit(np.asarray([int(cid) for cid, _ in cents],
+                               dtype=np.int64))
+    else:
+        # Non-integer centroid ids (string labels, etc.): keep the id
+        # column's own type instead of failing int() at plan build.
+        # k literal nodes instead of one ndarray Literal — fine, the
+        # O(k*dim) vector payload below dominates either way.
+        ids = F.array(*[F.lit(cid) for cid, _ in cents])
     vecs = F.array(*[_vec_lit(cv) for _, cv in cents])
     return F.zip_with(
         ids, vecs,
@@ -1069,10 +1076,15 @@ def binary_rerank_topk(
     data while recall is set by the shortlist depth (contract: q90c).
 
     Returns (query_id, match_id, cosine_sim, rank) with rank <= k.
+
+    Queries are quantized from their OWN vectors (not looked up in the
+    quantized corpus), so arbitrary query vectors work — a query id
+    absent from the corpus still shortlists, and a query id that
+    collides with a corpus id searches with the query's vector, same
+    contract as every other *_topk here.
     """
     bits = binary_quantize(corpus, id_col, vec_col, dims)
-    qbits = bits.join(
-        queries.select(F.col(id_col)), id_col, "left_semi")
+    qbits = binary_quantize(queries, id_col, vec_col, dims)
     short = hamming_topk(qbits, bits, id_col, k=shortlist) \
         .select("query_id", "match_id")
     qv = queries.select(F.col(id_col).alias("query_id"),

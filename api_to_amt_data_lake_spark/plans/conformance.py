@@ -100,7 +100,7 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _dec(c, p: int = 9, s: int = 2):
+def _dec(c, p: int = 18, s: int = 2):
     col = F.col(c) if isinstance(c, str) else c
     return col.cast(f"decimal({p},{s})")
 
@@ -111,14 +111,14 @@ def _dec(c, p: int = 9, s: int = 2):
 
 @register("q01_pricing_summary", oracle="""
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
-           * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
-           * CAST(1 - l_discount AS DECIMAL(9,2))
-           * CAST(1 + l_tax AS DECIMAL(9,2))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))
+           * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -148,8 +148,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q02_revenue_by_nation", oracle="""
 SELECT r_name, n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
-           * CAST(1 - l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -262,7 +262,7 @@ def q06_expression_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q07_interval_containment", oracle="""
 SELECT o_orderpriority, COUNT(*) AS n_items,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS price_sum
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
   AND l_shipdate >= o_orderdate
@@ -418,7 +418,7 @@ def q54_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q55_substring_predicates", oracle="""
 SELECT p_brand, COUNT(*) AS n_parts,
-  CAST(SUM(CAST(p_retailprice AS DECIMAL(9,2))) AS DOUBLE) AS price_sum
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
 FROM part
 WHERE (p_type LIKE '%ECONOMY%' OR p_type LIKE '%PROMO%') AND NOT p_name LIKE '%blue%'
 GROUP BY p_brand
@@ -441,7 +441,7 @@ def q55_substring_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q16_datekey_range", oracle="""
 SELECT l_returnflag, COUNT(*) AS n_items,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS qty_sum
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
 FROM lineitem
 WHERE strftime(l_shipdate, '%Y%m%d') BETWEEN '19960101' AND '19961231'
 GROUP BY l_returnflag
@@ -660,7 +660,7 @@ def q57_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q25_tumbling_window", oracle="""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   event_type, COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS value_sum
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events GROUP BY 1, 2
 """)
 def q25_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,7 +1193,7 @@ def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q43_cube", oracle="""
 SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -1238,8 +1238,8 @@ def q44_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q45_salted_join", oracle="""
 SELECT o.o_orderpriority,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
-           * CAST(1 - l.l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
   COUNT(*) AS n_lines
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
@@ -5251,8 +5251,8 @@ def q99g_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q99h_local_supplier_volume", oracle="""
 SELECT n.n_name,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
-           * CAST(1 - l.l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -5292,8 +5292,8 @@ def q99h_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q99i_returned_item_customers", oracle="""
 SELECT c.c_custkey, c.c_name,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(9,2))
-           * CAST(1 - l.l_discount AS DECIMAL(9,2))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
   CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
   n.n_name
 FROM customer c
@@ -5337,11 +5337,11 @@ def q99i_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH big AS (
   SELECT l_orderkey
   FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(9,2))) > 140
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 140
 )
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS total_qty
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM customer c
 JOIN orders o   ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -5975,7 +5975,7 @@ def q99v_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q99w_group_percentiles", oracle="""
 WITH c AS (
   SELECT l_returnflag, l_quantity AS v, COUNT(*) AS n
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
 ), cum AS (
   SELECT l_returnflag, v,
     SUM(n) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
@@ -6011,15 +6011,15 @@ def q99w_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH lv AS (
   SELECT 'hour' AS granularity, date_trunc('hour', ts) AS b,
     event_type, COUNT(*) AS n_events,
-    CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS value_sum
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
   FROM events GROUP BY 2, 3
   UNION ALL
   SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
-    CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE)
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
   FROM events GROUP BY 2, 3
   UNION ALL
   SELECT 'week', date_trunc('week', ts), event_type, COUNT(*),
-    CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE)
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
   FROM events GROUP BY 2, 3
 )
 SELECT granularity, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,

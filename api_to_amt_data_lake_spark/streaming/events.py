@@ -28,7 +28,7 @@ def _windowed_counts(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(9,2)")).cast("double")
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
             .alias("value_sum"),
         )
         .select(

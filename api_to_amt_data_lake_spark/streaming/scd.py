@@ -108,8 +108,10 @@ def fold_scd2_batch(
     )
     newest = newest.localCheckpoint()  # reused for upserts + deletes
     base = os.path.join(str(history_root), name)
-    if newest.limit(1).count() > 0:
-        as_of = newest.agg(F.max(ts_col)).collect()[0][0]
+    if not newest.isEmpty():
+        # No batch-wide as_of agg: with per-key times (as_of_col) the
+        # scalar is only consulted for absent-key closes, which
+        # partial=True disables — so the extra job was pure overhead.
         hist = read_history(spark, history_root, name)
         if hist is None:
             empty = newest.select(
@@ -127,7 +129,7 @@ def fold_scd2_batch(
             upserts, deletes = newest, None
         merged = scd2_apply(
             hist, upserts.select(key_col, *attrs, ts_col),
-            key_col, attrs, as_of, partial=True, as_of_col=ts_col)
+            key_col, attrs, None, partial=True, as_of_col=ts_col)
         if deletes is not None:
             merged = scd2_close_keys(
                 merged, deletes.select(key_col, ts_col), key_col,

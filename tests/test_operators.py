@@ -611,3 +611,106 @@ def test_grid_sketch_merge_equals_direct(spark):
             exact = rv[math.ceil(pct / 100 * len(rv)) - 1]
             est = q[region][f"p{pct}_est"]
             assert exact <= est <= exact + 50, (region, pct, exact, est)
+
+
+def test_grouped_percentiles_disc_ignores_nulls(spark):
+    """percentile_disc semantics ignore NULLs: a null-heavy group must
+    report percentiles of its non-null values only (r7 advisor fix —
+    engines also disagree on NULL sort position, so counting them
+    shifted every percentile)."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        grouped_percentiles_disc,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 11)]
+    rows += [("g", None)] * 90
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = grouped_percentiles_disc(df, "g", "v", (0.5, 1.0),
+                                   out_names=("p50", "p100")).collect()
+    assert out[0]["p50"] == 5.0 and out[0]["p100"] == 10.0
+
+
+def test_scd2_close_keys_requires_close_time(spark):
+    """Passing neither as_of nor as_of_col must raise, not silently
+    drop every tombstone (valid_from < NULL is null → coalesced False)."""
+    import pytest as _pytest
+
+    from api_to_amt_data_lake_spark.operators.scd import scd2_close_keys
+
+    hist = spark.createDataFrame(
+        [("k1", "a", "2024-01-01", "9999-12-31", True)],
+        "k string, attr string, valid_from string, valid_to string, "
+        "is_current boolean")
+    dels = spark.createDataFrame([("k1",)], "k string")
+    with _pytest.raises(ValueError, match="as_of"):
+        scd2_close_keys(hist, dels, "k")
+
+
+def test_binary_rerank_topk_arbitrary_query_vectors(spark):
+    """Queries are quantized from their own vectors: a query id absent
+    from the corpus still returns k matches, and a query id colliding
+    with a corpus id searches with the QUERY's vector (r7 advisor fix;
+    the old left-semi lookup returned zero rows / the corpus vector)."""
+    import numpy as np
+
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        binary_rerank_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(10, 64)).astype("float64")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    # query id 999 is NOT in the corpus; id 0 IS but carries vec[5].
+    queries = spark.createDataFrame(
+        [(999, [float(x) for x in vecs[3]]),
+         (0, [float(x) for x in vecs[5]])],
+        "vec_id long, embedding array<double>")
+    out = binary_rerank_topk(queries, corpus, "vec_id", "embedding",
+                             dims=64, shortlist=10, k=1).collect()
+    top = {r["query_id"]: r["match_id"] for r in out}
+    # Exact nearest neighbour of vecs[3] / vecs[5] among the corpus.
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    assert top[999] == int(np.argmax(sims[3] - np.eye(10)[3] * 2)) or \
+        top[999] == 3  # its own copy is the nearest corpus row
+    # query 0 searched with vecs[5], so its best non-self match is row 5.
+    assert top[0] == 5
+
+
+def test_ivf_topk_string_centroid_ids(spark):
+    """Folded centroid scoring must preserve non-integer centroid ids
+    (r7 advisor fix: int() coercion failed at plan build)."""
+    from api_to_amt_data_lake_spark.operators.similarity import ivf_topk
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]),
+         ("c", [0.0, 1.0]), ("d", [0.1, 0.9])],
+        "vec_id string, embedding array<double>")
+    cents = spark.createDataFrame(
+        [("east", [1.0, 0.0]), ("north", [0.0, 1.0])],
+        "vec_id string, embedding array<double>")
+    q = corpus.filter("vec_id = 'a'")
+    out = ivf_topk(q, corpus, cents, "vec_id", "embedding",
+                   k=1, nprobe=1).collect()
+    assert len(out) == 1 and out[0]["match_id"] == "b"
+
+
+def test_cascade_time_rollups_wide_values(spark):
+    """Values >= 10^7 must survive the decimal cast (r7 advisor fix:
+    decimal(9,2) nulled them out of value_sum under non-ANSI casts)."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        cascade_time_rollups,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "big", 50_000_000.0),
+         ("2024-01-01 00:20:00", "big", 25_000_000.5)],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    hour, day, week = cascade_time_rollups(df, "ts", ["event_type"],
+                                           "value")
+    r = hour.collect()[0]
+    assert float(r["value_sum"]) == 75_000_000.5 and r["n_events"] == 2
