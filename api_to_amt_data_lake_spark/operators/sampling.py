@@ -291,8 +291,9 @@ def domain_cap(
     Scale shape: the naive `row_number() OVER (PARTITION BY domain)`
     puts each domain in ONE task — a hot host with 10^9 docs is a
     straggler. Instead rank twice: phase 1 partitions by (domain, salt)
-    — salt = first hex char of the row's own md5 key, so a hot domain
-    spreads over `n_salt` tasks — and keeps each salt's top `cap`;
+    — salt = pmod(xxhash64(md5 key), n_salt), so a hot domain spreads
+    over the full `n_salt` tasks (any n_salt, not just 16) — and keeps
+    each salt's top `cap`;
     phase 2 ranks the ≤ n_salt×cap survivors per domain. A row in the
     true top-cap of its domain is necessarily in the top-cap of its own
     salt, so the two-phase result is EXACTLY the single-window answer
@@ -304,8 +305,7 @@ def domain_cap(
     key = F.md5(F.concat_ws(
         ":", F.col(id_col).cast("string"), F.lit(str(seed))))
     keyed = df.withColumn("_key", key).withColumn(
-        "_salt",
-        F.conv(F.substring("_key", 1, 1), 16, 10).cast("int") % n_salt)
+        "_salt", F.pmod(F.xxhash64("_key"), F.lit(n_salt)))
     w_salt = Window.partitionBy(domain_col, "_salt").orderBy(
         F.col("_key").asc(), F.col(id_col).asc())
     survivors = (

@@ -14,6 +14,8 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4385,14 +4387,19 @@ SELECT query_id, match_id, adc_dist, CAST(rank AS INT) AS rank FROM (
 
 def _ivfpq_oracle(kc: int = 4, coarse_iters: int = 2, m: int = 2,
                   k: int = 4, iters: int = 2, dim: int = 64,
-                  topk: int = 3) -> str:
+                  topk: int = 3, sample_cond: str | None = None) -> str:
     """Unrolled IVFPQ in SQL: coarse Lloyd's k-means on full vectors,
     round-6 assignment, residual subtraction, per-subspace Lloyd's on
     the residuals, raw-distance code assignment, per-bucket ADC with
     the exact-decimal fold. With nprobe=1 a query's probed bucket IS
     its assignment bucket (identical round-6 + bucket-ASC ordering), so
-    the query residual is its own residual row."""
+    the query residual is its own residual row. With `sample_cond`,
+    both trainers iterate over the filtered subset only while
+    assignment/encode stay full-corpus — the train-on-base /
+    encode-everything shape the persisted-index append contract (q95e)
+    pins."""
     sub = dim // m
+    train_v = "v" if sample_cond is None else "vtrain"
     head = [f"""WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), cpositions AS (
@@ -4400,7 +4407,10 @@ def _ivfpq_oracle(kc: int = 4, coarse_iters: int = 2, m: int = 2,
 ), positions AS (
   SELECT unnest(range(1, {sub + 1})) AS pos
 )"""]
-    head.append(_kmeans_ctes("c_", "v", "cpositions", kc, coarse_iters))
+    if sample_cond is not None:
+        head.append(f""",
+vtrain AS (SELECT * FROM v WHERE {sample_cond})""")
+    head.append(_kmeans_ctes("c_", train_v, "cpositions", kc, coarse_iters))
     head.append(f""",
 afinal AS (
   SELECT vec_id, bucket FROM (
@@ -4419,11 +4429,15 @@ res AS (
   JOIN cc_{coarse_iters} s ON s.bucket = a.bucket
 )""")
     for j in range(m):
+        rtrain = f"r{j}" if sample_cond is None else f"rt{j}"
         head.append(f""",
 r{j} AS (
   SELECT vec_id, v[{j * sub + 1}:{(j + 1) * sub}] AS v FROM res
 )""")
-        head.append(_kmeans_ctes(f"s{j}_", f"r{j}", "positions", k, iters))
+        if sample_cond is not None:
+            head.append(f""",
+rt{j} AS (SELECT * FROM r{j} WHERE {sample_cond})""")
+        head.append(_kmeans_ctes(f"s{j}_", rtrain, "positions", k, iters))
         head.append(f""",
 code{j} AS (
   SELECT vec_id, {j} AS sub_idx, bucket AS code FROM (
@@ -4737,6 +4751,48 @@ def q95d_sampled_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the only affordable fit shape — iters × sample
     instead of iters × corpus — and this row pins its accuracy."""
     return _ivfpq_recall_frame(spark, sf_dir, (2,), 0.5)
+
+
+@register("q95e_persisted_ivfpq",
+          oracle=_ivfpq_oracle(sample_cond=_SAMPLE_COND_HALF))
+def q95e_persisted_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index with incremental shard append
+    (`sources/ann_index.py`, VERDICT r6 item 1): train IVFPQ on the
+    deterministic Knuth-hash HALF of the corpus, persist it
+    (bucket-partitioned codes + immutable models), fold the OTHER half
+    in with `ann_index_append` (pure folded-encode scan of the
+    increment — no retrain, no rewrite of existing code files), then
+    search the loaded index with partition-pruned probes. Hash-matches
+    the fully-unrolled oracle that trains on the half and encodes the
+    union — i.e. the persisted/append path is bit-identical to encoding
+    everything in one lineage."""
+    import hashlib
+    import tempfile
+
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        _M32,
+        hash_bucket,
+    )
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        ann_index_append,
+        ann_index_search,
+        build_ann_index,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = hash_bucket(F.col("vec_id").cast("long")) < int(0.5 * _M32)
+    base, shard = e.filter(half), e.filter(~half)
+    # Stable per-sf path (NOT a context-managed tempdir: the returned
+    # DataFrame lazily reads these files after this function returns).
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"ann_index_q95e_{tag}")
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    ann_index_append(spark, root, shard)
+    q = e.filter(F.col("vec_id") < 5)
+    return ann_index_search(spark, root, q, k=3, nprobe=1) \
+        .select("query_id", "match_id", "adc_dist",
+                F.col("rank").cast("int").alias("rank"))
 
 
 @register("q93_corpus_shuffle", oracle="""

@@ -573,6 +573,36 @@ def test_domain_cap_equals_single_window(spark):
     assert got2 == want
 
 
+def test_domain_cap_salt_spreads_past_16(spark):
+    """VERDICT r6 item 3: the old first-hex-char salt saturated at 16
+    groups, silently breaking the phase-2 n_salt×cap bound for
+    n_salt > 16. With pmod(xxhash64(_key), n_salt) a hot domain must
+    spread over (nearly) all 64 salts — and results stay the exact
+    single-window answer regardless of salt count."""
+    from pyspark.sql import Window
+
+    from api_to_amt_data_lake_spark.operators.sampling import domain_cap
+
+    rows = [(i, "hot") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # Reproduce phase 1's salt column and count distinct groups.
+    key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                            F.lit("11")))
+    n_groups = (df.withColumn("_key", key)
+                .select(F.pmod(F.xxhash64("_key"), F.lit(64)).alias("s"))
+                .distinct().count())
+    assert n_groups > 16  # 2000 uniform draws over 64 salts fill them
+    out = domain_cap(df, "source", "doc_id", cap=9, seed=11, n_salt=64)
+    got = {(r["doc_id"], r["domain_rank"]) for r in out.collect()}
+    w = Window.partitionBy("source").orderBy(key.asc(),
+                                             F.col("doc_id").asc())
+    want = {(r["doc_id"], r["domain_rank"]) for r in
+            df.withColumn("domain_rank",
+                          F.row_number().over(w).cast("long"))
+            .filter(F.col("domain_rank") <= 9).collect()}
+    assert got == want
+
+
 def test_domain_cap_small_domain_kept_whole(spark):
     from api_to_amt_data_lake_spark.operators.sampling import domain_cap
 
