@@ -118,12 +118,15 @@ def lsh_bands(
 _SALT_PAIR_BUDGET = float(1 << 21)
 
 
-def _auto_n_salt(banded: DataFrame, max_salt: int = 64) -> int | None:
-    """Pick a salt factor from a cheap band-cardinality probe: one
-    map-side-combined count per (band_idx, band_val) — the shuffle
-    carries bucket COUNTS, never rows — reduced to two scalars on the
-    driver. That is a planning decision from a runtime statistic, the
-    same kind AQE itself collects.
+def _auto_n_salt(banded: DataFrame, max_salt: int = 64,
+                 key_cols: tuple[str, ...] = ("band_idx", "band_val"),
+                 ) -> int | None:
+    """Pick a salt factor from a cheap bucket-cardinality probe: one
+    map-side-combined count per bucket key (the shuffle carries bucket
+    COUNTS, never rows) — reduced to two scalars on the driver. That is
+    a planning decision from a runtime statistic, the same kind AQE
+    itself collects. `key_cols` names the self-join's bucket key
+    (LSH bands here; `similarity.knn_graph` probes its IVF `bucket`).
 
     Cost model: a band self-join's work is QUADRATIC per bucket (a
     bucket of m rows probes ~m² pairs), so the probe aggregates
@@ -138,7 +141,7 @@ def _auto_n_salt(banded: DataFrame, max_salt: int = 64) -> int | None:
     Returns None for distributions that don't need salting.
     """
     row = (
-        banded.groupBy("band_idx", "band_val")
+        banded.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .agg(
             F.max("_n").alias("mx"),

@@ -303,7 +303,7 @@ def ivf_topk(
 
 def knn_graph(
     corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
-    k: int,
+    k: int, n_salt: int | str | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph of the corpus against ITSELF — every
     vector's k most cosine-similar neighbors among vectors sharing its
@@ -319,6 +319,18 @@ def knn_graph(
     src (uniform, high-cardinality). Parallelism of the self-join is
     bounded by the centroid count — size kc ~ sqrt(n) at scale (the
     FAISS rule) so buckets stay both numerous and small.
+
+    `n_salt` is the hot-bucket escape hatch (same contract as
+    `dedup.lsh_candidate_pairs`): real embedding distributions cluster
+    — one dense topic can put a large share of the corpus into ONE IVF
+    bucket, and the plain self-join lands that bucket's quadratic probe
+    work on a single task. With n_salt set, the left side spreads each
+    bucket over n_salt shuffle partitions and the right side replicates
+    per salt. `"auto"` probes the bucket histogram first (one
+    counts-only aggregate, `dedup._auto_n_salt` cost model: salt only
+    when the hottest bucket's m² pair work dwarfs the per-task share)
+    — uniform corpora keep the plain join. Results are identical
+    either way (per-src top-k is salt-invariant; parity-tested).
     """
     cent_rows = centroids.select(F.col(id_col), F.col(vec_col)).collect()
     cents = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
@@ -326,12 +338,27 @@ def knn_graph(
         F.col(id_col), F.col(vec_col),
         F.array_min(_centroid_scores_expr(F.col(vec_col), cents))
         .getField("cid").alias("bucket"))
+    if n_salt == "auto":
+        from api_to_amt_data_lake_spark.operators.dedup import _auto_n_salt
+
+        # Pin the assignment: the probe is an action, and both join
+        # sides reuse the frame — otherwise the folded argmin scan
+        # would run three times.
+        b = b.localCheckpoint()
+        n_salt = _auto_n_salt(b, key_cols=("bucket",))
     a = b.select(F.col(id_col).alias("src_id"),
                  F.col(vec_col).alias("_av"), "bucket")
     c = b.select(F.col(id_col).alias("dst_id"),
                  F.col(vec_col).alias("_bv"), "bucket")
+    if n_salt:
+        from api_to_amt_data_lake_spark.operators.joins import salted_join
+
+        joined = salted_join(a, c, "bucket", "bucket", n_salt=n_salt) \
+            .select("src_id", "dst_id", "_av", "_bv")
+    else:
+        joined = a.join(c, "bucket")
     sims = (
-        a.join(c, "bucket")
+        joined
         .filter(F.col("src_id") != F.col("dst_id"))
         .select(
             "src_id", "dst_id",

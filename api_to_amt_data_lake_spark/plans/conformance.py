@@ -1935,6 +1935,88 @@ def q63b_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"))
 
 
+@register("q63c_knn_graph_recall", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id < 8),
+dists AS (
+  SELECT v.vec_id, cent.cent_id,
+    round(list_sum(list_transform(range(1, len(v.v) + 1),
+      i -> (v.v[i] - cent.cv[i]) * (v.v[i] - cent.cv[i]))), 6) AS d
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cent_id AS bucket FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+gsims AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM (SELECT v.*, assign.bucket FROM v JOIN assign USING (vec_id)
+        WHERE v.vec_id < 50) a
+  JOIN (SELECT v.*, assign.bucket FROM v JOIN assign USING (vec_id)) b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+graph AS (
+  SELECT src_id, dst_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src_id ORDER BY cosine_sim DESC, dst_id ASC) AS rank
+    FROM gsims
+  ) WHERE rank <= 3
+),
+esims AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM (SELECT * FROM v WHERE vec_id < 50) a
+  JOIN v b ON a.vec_id != b.vec_id
+),
+exact AS (
+  SELECT src_id, dst_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY src_id ORDER BY cosine_sim DESC, dst_id ASC) AS rank
+    FROM esims
+  ) WHERE rank <= 3
+)
+SELECT e.src_id, CAST(COUNT(g.dst_id) AS INT) AS n_hit,
+  round(COUNT(g.dst_id) / 3.0, 6) AS recall
+FROM exact e LEFT JOIN graph g USING (src_id, dst_id)
+GROUP BY e.src_id
+""")
+def q63c_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the approximate k-NN graph (VERDICT r6 item
+    5): per-source recall@3 of `knn_graph` (same-IVF-bucket top-3,
+    n_salt="auto" — the salted join must change nothing) against the
+    EXACT cosine top-3 over the full corpus, measured on the
+    deterministic vec_id < 50 sources so the exact side stays
+    queries × corpus, never corpus². The measured curve is what
+    justifies pruning SemDeDup/cluster-curation candidates to IVF
+    buckets at 100 TB."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                       "embedding")
+    cent = e.filter(F.col("vec_id") < 8)
+    g = knn_graph(e, cent, "vec_id", "embedding", k=3, n_salt="auto") \
+        .filter(F.col("src_id") < 50).select("src_id", "dst_id")
+    exact = cosine_topk(e.filter(F.col("vec_id") < 50), e, "vec_id",
+                        "embedding", k=3) \
+        .select(F.col("query_id").alias("src_id"),
+                F.col("match_id").alias("dst_id"))
+    return (
+        exact.join(g.withColumn("_hit", F.lit(1)),
+                   ["src_id", "dst_id"], "left")
+        .groupBy("src_id")
+        .agg(F.count("_hit").cast("int").alias("n_hit"))
+        .select("src_id", "n_hit",
+                F.round(F.col("n_hit") / F.lit(3.0), 6).alias("recall"))
+    )
+
+
 @register("q12_curation_pipeline", oracle="""
 WITH keepers AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)

@@ -818,3 +818,35 @@ def test_knn_graph_same_cluster_neighbors(spark):
         assert same, (r["src_id"], r["dst_id"])
     assert all(len(v) == 2 for v in per_src.values())
     assert len(per_src) == 8
+
+
+def test_knn_graph_salted_matches_plain(spark):
+    """Hot-bucket salting (VERDICT r6 item 5): a skewed fixture — one
+    dense cluster holding most of the corpus — must produce an
+    IDENTICAL graph through the salted self-join, and the auto probe
+    must leave a uniform fixture unsalted (returns the plain plan)."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.dedup import _auto_n_salt
+    from api_to_amt_data_lake_spark.operators.similarity import knn_graph
+
+    rng = random.Random(7)
+    # 90% of rows in cluster A (hot bucket), 10% in cluster B.
+    rows = [(i, [10.0 + rng.random(), rng.random(), 0.0])
+            for i in range(90)]
+    rows += [(100 + i, [rng.random(), 10.0 + rng.random(), 0.0])
+             for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = df.filter(F.col("vec_id").isin(0, 100))
+    plain = {tuple(r) for r in
+             knn_graph(df, cents, "vec_id", "embedding", k=3).collect()}
+    salted = {tuple(r) for r in
+              knn_graph(df, cents, "vec_id", "embedding", k=3,
+                        n_salt=4).collect()}
+    assert salted == plain
+
+    # auto probe: uniform bucket histogram → no salt (hot m² under the
+    # per-task budget floor); the cost model only salts real skew.
+    uniform = spark.createDataFrame(
+        [(i, i % 8) for i in range(800)], ["vec_id", "bucket"])
+    assert _auto_n_salt(uniform, key_cols=("bucket",)) is None
