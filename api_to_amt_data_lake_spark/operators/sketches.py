@@ -19,6 +19,8 @@ SQL dialects disagree on. w is therefore 16^hex_chars.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -184,6 +186,72 @@ def grid_merge(
         sketch.groupBy(*[F.col(k) for k in to_keys], F.col("bin"))
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def log_grid_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    growth: float = 1.1,
+) -> DataFrame:
+    """UNBOUNDED-domain mergeable quantile sketch: geometric bins
+    bin = floor(ln(v) / ln(growth)) over POSITIVE values. Where
+    `grid_sketch` needs a known [lo, hi] and pays error = one fixed
+    bin width (terrible at the head of a long-tailed column),
+    geometric bins need NO range at all and pin the RELATIVE error:
+    a value in bin b lies in [g^b, g^(b+1)), so the bin's upper edge
+    over-estimates any quantile in it by at most a factor `growth` —
+    the t-digest/KLL use case (token counts, doc lengths at 100 TB)
+    with grid mergeability: partials still merge by cell-wise addition
+    (`grid_merge`), and the whole domain of a 64-bit column is
+    ≤ log_g(2^63) bins (~460 at g=1.1) regardless of row count.
+
+    Rows with value <= 0 are excluded (log domain) — count them
+    separately if zeros matter. Engine portability: the ln ratio is
+    rounded to 9dp before floor, so the ≤1-ulp libm differences
+    between engines cannot flip a bin (same idiom as the round-6
+    distance contract in similarity.py).
+    """
+    b = F.floor(F.round(
+        F.log(F.col(value_col).cast("double"))
+        / F.lit(math.log(growth)), 9)).cast("long")
+    return (
+        df.where(F.col(value_col) > 0)
+        .groupBy(*[F.col(k) for k in key_cols], b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def log_grid_quantiles(
+    sketch: DataFrame,
+    key_cols: list[str],
+    growth: float = 1.1,
+    pcts: list[int] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group quantile estimates from a log-grid sketch: the first
+    bin whose cumulative count reaches the percentile, estimated at the
+    bin's UPPER edge g^(bin+1) — so for every percentile
+    exact <= estimate <= exact * growth (the pinned relative-error
+    contract conformance q98e checks against exact percentile_disc).
+    Same integer threshold arithmetic as `grid_quantiles`; the edge is
+    rounded to 6dp so both engines emit the identical double."""
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy(*key_cols).orderBy("bin")
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn(
+            "tot",
+            F.sum("cnt").over(Window.partitionBy(*key_cols)))
+    )
+    edge = F.round(F.exp((F.col("bin") + 1) * F.lit(math.log(growth))), 6)
+    aggs = [
+        F.min(
+            F.when(100 * F.col("cum") >= p * F.col("tot"), edge)
+        ).alias(f"p{p}_est")
+        for p in pcts
+    ]
+    return cum.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
 
 
 def grid_quantiles(

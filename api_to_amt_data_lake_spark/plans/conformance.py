@@ -14,6 +14,7 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
+import math
 import os
 
 from collections.abc import Callable
@@ -6408,6 +6409,94 @@ def q98d_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "o_totalprice", 5000)
     region_grids = grid_merge(nation_grids, ["r_name"])
     return grid_quantiles(region_grids, ["r_name"], 5000)
+
+
+_LN_G = math.log(1.1)
+
+
+@register("q98e_log_quantile_sketch", oracle=f"""
+WITH b AS (
+  SELECT lang,
+    CAST(floor(round(ln(n_chars::DOUBLE) / {_LN_G!r}, 9)) AS BIGINT)
+      AS bin,
+    COUNT(*) AS cnt
+  FROM documents WHERE n_chars > 0
+  GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bin,
+    SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+    SUM(cnt) OVER (PARTITION BY lang) AS tot
+  FROM b
+), est AS (
+  SELECT lang,
+    MIN(CASE WHEN 100*cum >= 50*tot
+        THEN round(exp((bin+1) * {_LN_G!r}), 6) END) AS p50_est,
+    MIN(CASE WHEN 100*cum >= 90*tot
+        THEN round(exp((bin+1) * {_LN_G!r}), 6) END) AS p90_est,
+    MIN(CASE WHEN 100*cum >= 99*tot
+        THEN round(exp((bin+1) * {_LN_G!r}), 6) END) AS p99_est
+  FROM cum GROUP BY lang
+), c AS (
+  SELECT lang, n_chars AS v, COUNT(*) AS n
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), xcum AS (
+  SELECT lang, v,
+    SUM(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+    SUM(n) OVER (PARTITION BY lang) AS tot
+  FROM c
+), exact AS (
+  SELECT lang,
+    MIN(CASE WHEN cum >= ceil(0.5 * tot) THEN v END) AS p50_ex,
+    MIN(CASE WHEN cum >= ceil(0.9 * tot) THEN v END) AS p90_ex,
+    MIN(CASE WHEN cum >= ceil(0.99 * tot) THEN v END) AS p99_ex
+  FROM xcum GROUP BY lang
+)
+SELECT est.lang, p50_est, p50_ex, p90_est, p90_ex, p99_est, p99_ex,
+  (p50_est >= p50_ex AND p50_est <= p50_ex * 1.1::DOUBLE AND
+   p90_est >= p90_ex AND p90_est <= p90_ex * 1.1::DOUBLE AND
+   p99_est >= p99_ex AND p99_est <= p99_ex * 1.1::DOUBLE)
+  AS within_bound
+FROM est JOIN exact USING (lang)
+""")
+def q98e_log_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED-domain quantile sketch (VERDICT r6 item 6):
+    `grid_sketch` needs a known [lo, hi]; real corpus columns (token
+    counts, doc lengths at 100 TB) don't have one. `log_grid_sketch`
+    bins geometrically — floor(ln(v)/ln(1.1)) — so no range pass is
+    needed, the whole 64-bit domain is ≤ ~460 bins, partials still
+    merge by cell-wise addition (built per (lang, source) here, merged
+    up to lang), and every estimate carries a PINNED RELATIVE error:
+    the row itself checks exact <= est <= exact × growth against the
+    exact percentile_disc (`within_bound`), and the oracle re-derives
+    both sides in SQL."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        grouped_percentiles_disc,
+    )
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        grid_merge,
+        log_grid_quantiles,
+        log_grid_sketch,
+    )
+
+    d = read_table(spark, sf_dir, "documents") \
+        .select("lang", "source", "n_chars")
+    partials = log_grid_sketch(d, ["lang", "source"], "n_chars",
+                               growth=1.1)
+    est = log_grid_quantiles(grid_merge(partials, ["lang"]), ["lang"],
+                             growth=1.1)
+    exact = grouped_percentiles_disc(
+        d, "lang", "n_chars", (0.5, 0.9, 0.99),
+        out_names=("p50_ex", "p90_ex", "p99_ex"))
+    g = F.lit(1.1)
+    bound = F.lit(True)
+    for p in ("p50", "p90", "p99"):
+        bound = bound & (F.col(f"{p}_est") >= F.col(f"{p}_ex")) \
+            & (F.col(f"{p}_est") <= F.col(f"{p}_ex") * g)
+    return (
+        est.join(exact, "lang")
+        .select("lang", "p50_est", "p50_ex", "p90_est", "p90_ex",
+                "p99_est", "p99_ex", bound.alias("within_bound"))
+    )
 
 
 # ---------------------------------------------------------------------------
