@@ -146,7 +146,16 @@ def fold_bucketed(
 
     out = os.path.join(base, f"v{next_v}")
     tmp = out + _TMP_SUFFIX
+    # Cluster the write by bucket BEFORE partitionBy: without it every
+    # task holds rows of ~every touched bucket and the write emits
+    # tasks × buckets small files (measured 5× slower at 1M rows / 512
+    # buckets); with it each bucket dir gets ~one file, so reads,
+    # partition discovery and the hard-link pass all touch O(buckets)
+    # files. The exchange carries only the touched buckets' rows — the
+    # same clustering price Delta/Iceberg MERGE pays to rewrite whole
+    # files.
     (merged.withColumn("_bkt", bucket_col(key_col, n_buckets))
+     .repartition(F.col("_bkt"))
      .write.partitionBy("_bkt").parquet(tmp))
     if prev_dir is not None:
         touched_dirs = {f"_bkt={b}" for b in touched}

@@ -87,6 +87,11 @@ HEADLINE = [
     "q99y_hll_distinct_rollup",
     "q99z_domain_cap",
     "q98d_quantile_sketch_rollup",
+    # round 7
+    "q63c_knn_graph_recall",
+    "q95e_persisted_ivfpq",
+    "q98e_log_quantile_sketch",
+    "q99za_scd2_merge_store",
 ]
 
 

@@ -136,6 +136,40 @@ def main() -> None:
         k=10, nprobe=2).count()
     t["ivf_search"] = round(time.time() - t0, 2)
 
+    # Persisted index lifecycle: save the trained models + codes (90% of
+    # the corpus), append the last 10% as a new shard (folded-encode
+    # scan of the increment only), then search from the loaded index
+    # with partition-pruned probes. index_append vs ivfpq_encode is the
+    # incremental-vs-full comparison; index_search reads nprobe/kc of
+    # the code files.
+    import shutil
+    import tempfile
+
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        ann_index_append,
+        ann_index_search,
+        save_ann_index,
+    )
+    root = tempfile.mkdtemp(prefix="ann_index_smoke_") + "/idx"
+    cut = int(n * 0.9)
+    t0 = time.time()
+    base_codes = pq_encode(
+        res.filter(F.col("vec_id") < cut).select("vec_id", "embedding"),
+        book, "vec_id", "embedding", m=4, folded=True) \
+        .join(res.select("vec_id", "bucket"), "vec_id")
+    save_ann_index(root, cents, book, base_codes, "vec_id", "embedding",
+                   m=4)
+    t["index_save"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    ann_index_append(spark, root,
+                     corpus.filter(F.col("vec_id") >= cut))
+    t["index_append"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    rows["index_search"] = ann_index_search(
+        spark, root, queries, k=10, nprobe=2).count()
+    t["index_search"] = round(time.time() - t0, 2)
+    shutil.rmtree(root, ignore_errors=True)
+
     print(json.dumps({"n_vectors": n, "dims": DIMS, "sec": t,
                       "rows": rows,
                       "total_sec": round(sum(t.values()), 2)}))

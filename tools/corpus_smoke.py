@@ -204,6 +204,43 @@ def main() -> None:
         ["source"], 10).count()
     t["grid_quantiles"] = round(time.time() - t0, 2)
 
+    # Unbounded-domain variant: geometric bins over the same column —
+    # same bounded-state shape, no [lo, hi] needed.
+    t0 = time.time()
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        log_grid_quantiles,
+        log_grid_sketch,
+    )
+    rows["log_grid"] = log_grid_quantiles(
+        log_grid_sketch(corpus, ["source"], "n_chars", growth=1.1),
+        ["source"], growth=1.1).count()
+    t["log_grid"] = round(time.time() - t0, 2)
+
+    # MERGE-splice store: init the snapshot with 99% of the corpus,
+    # then fold a 100-doc CDC batch. The bucketed store (n_buckets=512)
+    # rewrites only the batch's touched buckets (~90) and hard-links
+    # the rest; the plain store rewrites all n rows. The two fold
+    # timings are the steady-state streaming cost comparison.
+    import shutil
+    import tempfile
+
+    from api_to_amt_data_lake_spark.streaming.sink import fold_batch
+    slim = corpus.select("doc_id", "source", "n_chars")
+    init = slim.filter(F.col("doc_id") < int(n * 0.99))
+    inc = slim.filter(F.col("doc_id") >= n - 100)
+    for mode, nb in (("plain", None), ("splice", 512)):
+        root = tempfile.mkdtemp(prefix=f"merge_store_{mode}_")
+        t0 = time.time()
+        fold_batch(spark, init, 0, root, 2024, "docs", "doc_id",
+                   "n_chars", n_buckets=nb)
+        t[f"store_init_{mode}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        fold_batch(spark, inc, 1, root, 2024, "docs", "doc_id",
+                   "n_chars", n_buckets=nb)
+        t[f"store_fold_{mode}"] = round(time.time() - t0, 2)
+        rows[f"store_fold_{mode}"] = 100
+        shutil.rmtree(root, ignore_errors=True)
+
     print(json.dumps({"n_docs": n, "sec": t, "rows": rows,
                       "total_sec": round(sum(t.values()), 2)}))
 

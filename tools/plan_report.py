@@ -72,6 +72,18 @@ SHOWCASE = [
     ("q63b_knn_graph", "corpus self-kNN: folded centroid argmin in the "
      "scan projection (no assignment Exchange), bucket-keyed "
      "self-join, per-src top-k window"),
+    ("q95e_persisted_ivfpq", "search over a LOADED + APPENDED index: "
+     "codes read back partition-pruned from the bucket-partitioned "
+     "store, ADC tables broadcast — the persisted-index path carries "
+     "no trainer lineage at all"),
+    ("q98e_log_quantile_sketch", "unbounded-domain log-grid sketch: "
+     "partial->final count agg on geometric bins, lang-level merge "
+     "re-aggregates (lang, source) partials; exact percentile side "
+     "windows over distinct values only"),
+    ("q99za_scd2_merge_store", "SCD2 read back from the bucketed "
+     "MERGE-splice store: a plain partitioned-parquet scan — all fold "
+     "work happened incrementally at write time, touched-buckets "
+     "only"),
 ]
 
 
