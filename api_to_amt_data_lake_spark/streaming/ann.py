@@ -1,0 +1,111 @@
+"""Streaming ANN index maintenance: foreachBatch + ann_index_append.
+
+Composes the persisted IVFPQ index (`sources/ann_index.py`) with the
+streaming fold discipline of `streaming/sink.py`: a stream of NEW
+embedding rows (id, vector) keeps the index current — each micro-batch
+is folded-encoded against the FROZEN trained models (no retrain, a pure
+scan projection of the increment) and appended as new code files under
+its buckets. This is the standing shape of a production vector index: a
+crawl/embedding pipeline emits vectors continuously, the index absorbs
+them shard by shard, and searches (`ann_index_search`) always see every
+row appended so far with partition-pruned reads.
+
+Replay safety mirrors the other sinks: the last applied batch id is
+recorded in a marker file inside the index directory AFTER the append
+commits; a replayed batch id is SKIPPED outright. A crash between the
+append and the marker write re-appends on replay, which — unlike the
+upsert sinks — would duplicate that batch's code rows; the exposure is
+one micro-batch and `dedupe_codes` (one keyed distinct over the codes,
+offline) restores exactness, the same recovery contract Delta users get
+from OPTIMIZE after a dirty append. Callers who need strict
+exactly-once should stage each batch to a path named by batch id and
+move it in (rename is atomic); the marker path keeps the common case
+(restart after commit) exact with zero overhead.
+
+The models are trained ONCE (`build_ann_index`, typically on a sample —
+`sample_frac`); drift is handled by periodic re-index, not by mutating
+a live index — matching FAISS/IVF production practice where centroid
+stability is what makes shard appends consistent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from api_to_amt_data_lake_spark.sources.ann_index import (
+    ann_index_append,
+    load_ann_index,
+)
+
+
+def _marker(index_root: str) -> str:
+    return os.path.join(str(index_root), "_last_batch")
+
+
+def last_applied_batch(index_root: str) -> int:
+    try:
+        with open(_marker(index_root)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def fold_ann_batch(spark: SparkSession, batch_df: DataFrame,
+                   batch_id: int, index_root: str) -> bool:
+    """Append one micro-batch of (id, vector) rows to the persisted
+    index; returns False when the batch id was already applied
+    (replay skipped). Empty batches advance the marker only."""
+    if batch_id <= last_applied_batch(index_root):
+        return False
+    if not batch_df.isEmpty():
+        ann_index_append(spark, index_root, batch_df)
+    tmp = _marker(index_root) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, _marker(index_root))
+    return True
+
+
+def dedupe_codes(spark: SparkSession, index_root: str) -> int:
+    """Offline recovery after a dirty append (crash between append and
+    marker): rewrite the codes with one distinct over the full code key
+    (id, bucket, sub_idx, code) — duplicate rows from a replayed batch
+    collapse; rows are never otherwise equal across batches because ids
+    are unique across shards (the append contract). Returns the row
+    count removed. One shuffle over the codes (ids, not vectors)."""
+    coarse, book, codes, meta = load_ann_index(spark, index_root)
+    import shutil
+
+    before = codes.count()
+    clean = codes.distinct()
+    tmp = os.path.join(str(index_root), "codes._tmp")
+    clean.write.partitionBy("bucket").parquet(tmp)
+    final = os.path.join(str(index_root), "codes")
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    after = spark.read.parquet(final).count()
+    return before - after
+
+
+def stream_ann_index(
+    stream_df: DataFrame,
+    index_root: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start a stream appending every micro-batch of embedding rows to
+    the persisted ANN index. The index must already exist
+    (`build_ann_index`); the stream's columns must include the index's
+    id and vector columns. Returns the StreamingQuery."""
+    spark = stream_df.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_ann_batch(spark, batch_df, batch_id, index_root)
+
+    writer = stream_df.writeStream.foreachBatch(fold) \
+        .option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,83 @@
+"""Streaming ANN index maintenance: stream-appended == batch-built."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from api_to_amt_data_lake_spark.operators.sampling import _M32, hash_bucket
+from api_to_amt_data_lake_spark.sources.ann_index import (
+    ann_index_search,
+    build_ann_index,
+)
+from api_to_amt_data_lake_spark.streaming.ann import (
+    dedupe_codes,
+    fold_ann_batch,
+    last_applied_batch,
+    stream_ann_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet")) \
+        .select("vec_id", "embedding")
+
+
+def test_stream_appended_index_matches_batch(spark, tmp_path):
+    """Build the models on the base half; stream the other half in as
+    two micro-batch files; search results must equal the index where
+    the same shard was appended in one batch call."""
+    e = _emb(spark)
+    half = hash_bucket(F.col("vec_id").cast("long")) < int(0.5 * _M32)
+    base, shard = e.filter(half), e.filter(~half)
+
+    batch_root = str(tmp_path / "batch_idx")
+    build_ann_index(base, batch_root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    stream_root = str(tmp_path / "stream_idx")
+    build_ann_index(base, stream_root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        ann_index_append,
+    )
+    ann_index_append(spark, batch_root, shard)
+
+    # Stream the shard as two files -> two micro-batches.
+    src = tmp_path / "src"
+    src.mkdir()
+    mid = F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0
+    shard.filter(mid).coalesce(1).write.parquet(str(src / "f1"))
+    shard.filter(~mid).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (spark.readStream.schema(shard.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    q = stream_ann_index(stream, stream_root,
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    probes = e.filter(F.col("vec_id") < 5)
+    want = sorted(map(tuple, ann_index_search(
+        spark, batch_root, probes, k=3, nprobe=2).collect()))
+    got = sorted(map(tuple, ann_index_search(
+        spark, stream_root, probes, k=3, nprobe=2).collect()))
+    assert got == want and len(got) > 0
+
+    # Replay: same batch id is skipped (no duplicate codes).
+    last = last_applied_batch(stream_root)
+    assert last >= 1
+    n_before = spark.read.parquet(
+        os.path.join(stream_root, "codes")).count()
+    assert fold_ann_batch(spark, shard, last, stream_root) is False
+    assert spark.read.parquet(
+        os.path.join(stream_root, "codes")).count() == n_before
+
+    # Dirty-append recovery: force a duplicate append, then dedupe.
+    assert fold_ann_batch(spark, shard.limit(5), last + 1, stream_root)
+    removed = dedupe_codes(spark, stream_root)
+    assert removed == 5 * 2  # m=2 code rows per duplicated vector
+    clean = sorted(map(tuple, ann_index_search(
+        spark, stream_root, probes, k=3, nprobe=2).collect()))
+    assert clean == want
