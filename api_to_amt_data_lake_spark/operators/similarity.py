@@ -341,11 +341,13 @@ def knn_graph(
     if n_salt == "auto":
         from api_to_amt_data_lake_spark.operators.dedup import _auto_n_salt
 
-        # Pin the assignment: the probe is an action, and both join
-        # sides reuse the frame — otherwise the folded argmin scan
-        # would run three times.
-        b = b.localCheckpoint()
-        n_salt = _auto_n_salt(b, key_cols=("bucket",))
+        # Probe over the bucket column ONLY: the histogram aggregate
+        # never materializes a vector, so no checkpoint of the corpus
+        # is needed (pinning id+vector+bucket would double storage and
+        # tie the query to executor-local lineage). The folded argmin
+        # runs once for the probe and once per join side — the same
+        # per-side cost the plain path already pays, at scan speed.
+        n_salt = _auto_n_salt(b.select("bucket"), key_cols=("bucket",))
     a = b.select(F.col(id_col).alias("src_id"),
                  F.col(vec_col).alias("_av"), "bucket")
     c = b.select(F.col(id_col).alias("dst_id"),

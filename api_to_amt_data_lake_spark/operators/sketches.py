@@ -212,6 +212,9 @@ def log_grid_sketch(
     between engines cannot flip a bin (same idiom as the round-6
     distance contract in similarity.py).
     """
+    if growth <= 1.0:
+        raise ValueError("growth must be > 1 (geometric bin ratio); "
+                         f"got {growth}")
     b = F.floor(F.round(
         F.log(F.col(value_col).cast("double"))
         / F.lit(math.log(growth)), 9)).cast("long")
@@ -235,6 +238,9 @@ def log_grid_quantiles(
     contract conformance q98e checks against exact percentile_disc).
     Same integer threshold arithmetic as `grid_quantiles`; the edge is
     rounded to 6dp so both engines emit the identical double."""
+    if growth <= 1.0:
+        raise ValueError("growth must be > 1 (geometric bin ratio); "
+                         f"got {growth}")
     from pyspark.sql import Window
 
     w_cum = Window.partitionBy(*key_cols).orderBy("bin")

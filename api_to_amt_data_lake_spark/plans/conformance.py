@@ -6437,8 +6437,11 @@ WITH b AS (
         THEN round(exp((bin+1) * {_LN_G!r}), 6) END) AS p99_est
   FROM cum GROUP BY lang
 ), c AS (
+  -- Same n_chars > 0 domain as the sketch side: the pinned-error
+  -- contract compares like with like (a zero-length doc would shift
+  -- the exact percentile but never enter the log grid).
   SELECT lang, n_chars AS v, COUNT(*) AS n
-  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+  FROM documents WHERE n_chars > 0 GROUP BY 1, 2
 ), xcum AS (
   SELECT lang, v,
     SUM(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
@@ -6484,9 +6487,11 @@ def q98e_log_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                growth=1.1)
     est = log_grid_quantiles(grid_merge(partials, ["lang"]), ["lang"],
                              growth=1.1)
+    # Exact side restricted to the sketch's log domain (n_chars > 0) so
+    # the within_bound contract compares identical populations.
     exact = grouped_percentiles_disc(
-        d, "lang", "n_chars", (0.5, 0.9, 0.99),
-        out_names=("p50_ex", "p90_ex", "p99_ex"))
+        d.where(F.col("n_chars") > 0), "lang", "n_chars",
+        (0.5, 0.9, 0.99), out_names=("p50_ex", "p90_ex", "p99_ex"))
     g = F.lit(1.1)
     bound = F.lit(True)
     for p in ("p50", "p90", "p99"):

@@ -34,14 +34,14 @@ exchanged on the key — plan-audited in tests/test_bucket_store.py.
 from __future__ import annotations
 
 import os
-import re
 import shutil
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_VERSION_RE = re.compile(r"^v(\d+)$")
+from api_to_amt_data_lake_spark.sources.versioned import complete_versions
+
 _TMP_SUFFIX = "._tmp"
 
 
@@ -51,13 +51,7 @@ def bucket_col(key_col: str, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
 
 
-def _versions(base: str) -> list[int]:
-    if not os.path.isdir(base):
-        return []
-    return sorted(
-        int(m.group(1)) for d in os.listdir(base)
-        if (m := _VERSION_RE.match(d))
-        and os.path.exists(os.path.join(base, d, "_SUCCESS")))
+_versions = complete_versions
 
 
 def current_version(root: str, name: str) -> int | None:
@@ -130,19 +124,32 @@ def fold_bucketed(
         if d.endswith(_TMP_SUFFIX):
             shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
-    touched = sorted(
-        r["_b"] for r in batch_keys.select(
-            bucket_col(key_col, n_buckets).alias("_b")).distinct().collect())
     vs = _versions(base)
+    touched: list | None = None
     if not vs:
+        # First fold: everything the merge emits is new — the touched
+        # probe's result would never be read, so don't pay its job.
         merged = merge_touched(None)
         prev_dir, next_v = None, 0
     else:
         prev_dir = os.path.join(base, f"v{vs[-1]}")
         cur = spark.read.parquet(prev_dir)
-        touched_rows = cur.filter(F.col("_bkt").isin(touched)).drop("_bkt")
-        merged = merge_touched(touched_rows)
         next_v = vs[-1] + 1
+        if "_bkt" not in cur.columns:
+            # Migration from a plain (non-bucketed) store: the previous
+            # version has no bucket layout to prune or link, so this
+            # fold reads it whole and rewrites it once into bucketed
+            # form; every later fold splices. Mixing modes is legal,
+            # matching refresh_snapshot's contract.
+            merged = merge_touched(cur)
+        else:
+            touched = sorted(
+                r["_b"] for r in batch_keys.select(
+                    bucket_col(key_col, n_buckets).alias("_b"))
+                .distinct().collect())
+            touched_rows = cur.filter(
+                F.col("_bkt").isin(touched)).drop("_bkt")
+            merged = merge_touched(touched_rows)
 
     out = os.path.join(base, f"v{next_v}")
     tmp = out + _TMP_SUFFIX
@@ -157,7 +164,7 @@ def fold_bucketed(
     (merged.withColumn("_bkt", bucket_col(key_col, n_buckets))
      .repartition(F.col("_bkt"))
      .write.partitionBy("_bkt").parquet(tmp))
-    if prev_dir is not None:
+    if prev_dir is not None and touched is not None:
         touched_dirs = {f"_bkt={b}" for b in touched}
         for d in os.listdir(prev_dir):
             if d.startswith("_bkt=") and d not in touched_dirs:

@@ -42,8 +42,10 @@ from api_to_amt_data_lake_spark.operators.merge import (
     apply_tombstones,
     upsert_latest,
 )
-
-_VERSION_RE = re.compile(r"^v(\d+)$")
+from api_to_amt_data_lake_spark.sources.versioned import (
+    VERSION_RE as _VERSION_RE,
+)
+from api_to_amt_data_lake_spark.sources.versioned import complete_versions
 
 
 def snapshot_table_name(snapshot_root: str, school_year: str | int,
@@ -65,16 +67,9 @@ def _snapshot_dir(snapshot_root: str, school_year: str | int,
 def current_version(snapshot_root: str, school_year: str | int,
                     endpoint: str) -> int | None:
     """Highest complete snapshot version, or None before the first one."""
-    base = _snapshot_dir(snapshot_root, school_year, endpoint)
-    if not os.path.isdir(base):
-        return None
-    versions = [
-        int(m.group(1))
-        for d in os.listdir(base)
-        if (m := _VERSION_RE.match(d))
-        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-    ]
-    return max(versions) if versions else None
+    versions = complete_versions(
+        _snapshot_dir(snapshot_root, school_year, endpoint))
+    return versions[-1] if versions else None
 
 
 def list_versions(snapshot_root: str, school_year: str | int,
@@ -82,15 +77,8 @@ def list_versions(snapshot_root: str, school_year: str | int,
     """All complete, un-pruned snapshot versions, ascending — the
     time-travel surface (version retention is `refresh_snapshot`'s
     keep_versions)."""
-    base = _snapshot_dir(snapshot_root, school_year, endpoint)
-    if not os.path.isdir(base):
-        return []
-    return sorted(
-        int(m.group(1))
-        for d in os.listdir(base)
-        if (m := _VERSION_RE.match(d))
-        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-    )
+    return complete_versions(
+        _snapshot_dir(snapshot_root, school_year, endpoint))
 
 
 def read_snapshot(spark: SparkSession, snapshot_root: str,

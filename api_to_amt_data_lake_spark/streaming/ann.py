@@ -38,6 +38,10 @@ from api_to_amt_data_lake_spark.sources.ann_index import (
     ann_index_append,
     load_ann_index,
 )
+from api_to_amt_data_lake_spark.sources.versioned import (
+    read_marker,
+    write_marker,
+)
 
 
 def _marker(index_root: str) -> str:
@@ -45,11 +49,7 @@ def _marker(index_root: str) -> str:
 
 
 def last_applied_batch(index_root: str) -> int:
-    try:
-        with open(_marker(index_root)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return -1
+    return read_marker(_marker(index_root))
 
 
 def fold_ann_batch(spark: SparkSession, batch_df: DataFrame,
@@ -61,10 +61,7 @@ def fold_ann_batch(spark: SparkSession, batch_df: DataFrame,
         return False
     if not batch_df.isEmpty():
         ann_index_append(spark, index_root, batch_df)
-    tmp = _marker(index_root) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, _marker(index_root))
+    write_marker(_marker(index_root), batch_id)
     return True
 
 
@@ -74,17 +71,27 @@ def dedupe_codes(spark: SparkSession, index_root: str) -> int:
     (id, bucket, sub_idx, code) — duplicate rows from a replayed batch
     collapse; rows are never otherwise equal across batches because ids
     are unique across shards (the append contract). Returns the row
-    count removed. One shuffle over the codes (ids, not vectors)."""
-    coarse, book, codes, meta = load_ann_index(spark, index_root)
+    count removed. One shuffle over the codes (ids, not vectors).
+
+    Crash-safe swap: the clean copy is fully written under a tmp name,
+    the live dir is renamed ASIDE (one atomic rename — readers racing
+    the swap still see a complete directory at one of the two names),
+    the tmp renamed in, and only then is the old copy deleted. A crash
+    at any point leaves a loadable codes dir; stale tmp/old leftovers
+    are cleaned on the next run."""
     import shutil
 
-    before = codes.count()
-    clean = codes.distinct()
-    tmp = os.path.join(str(index_root), "codes._tmp")
-    clean.write.partitionBy("bucket").parquet(tmp)
     final = os.path.join(str(index_root), "codes")
-    shutil.rmtree(final)
+    tmp = final + "._tmp"
+    old = final + "._old"
+    for leftover in (tmp, old):  # crash debris from a prior run
+        shutil.rmtree(leftover, ignore_errors=True)
+    coarse, book, codes, meta = load_ann_index(spark, index_root)
+    before = codes.count()
+    codes.distinct().write.partitionBy("bucket").parquet(tmp)
+    os.rename(final, old)
     os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
     after = spark.read.parquet(final).count()
     return before - after
 

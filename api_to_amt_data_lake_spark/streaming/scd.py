@@ -39,7 +39,6 @@ O(touched buckets), not O(history).
 from __future__ import annotations
 
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,17 +48,13 @@ from api_to_amt_data_lake_spark.operators.scd import (
     scd2_apply,
     scd2_close_keys,
 )
-
-_VERSION_RE = re.compile(r"^v(\d+)$")
-
-
-def _versions(base: str) -> list[int]:
-    if not os.path.isdir(base):
-        return []
-    return sorted(
-        int(m.group(1)) for d in os.listdir(base)
-        if (m := _VERSION_RE.match(d))
-        and os.path.exists(os.path.join(base, d, "_SUCCESS")))
+from api_to_amt_data_lake_spark.sources.versioned import (
+    complete_versions as _versions,
+)
+from api_to_amt_data_lake_spark.sources.versioned import (
+    read_marker,
+    write_marker,
+)
 
 
 def read_history(spark: SparkSession, history_root: str,
@@ -79,11 +74,7 @@ def _marker(history_root: str, name: str) -> str:
 
 
 def last_applied_batch(history_root: str, name: str) -> int:
-    try:
-        with open(_marker(history_root, name)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return -1
+    return read_marker(_marker(history_root, name))
 
 
 def fold_scd2_batch(
@@ -173,11 +164,7 @@ def fold_scd2_batch(
                 if v <= next_v - max(1, keep_versions):
                     shutil.rmtree(os.path.join(base, f"v{v}"),
                                   ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    tmp = _marker(history_root, name) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, _marker(history_root, name))
+    write_marker(_marker(history_root, name), batch_id)
     return True
 
 

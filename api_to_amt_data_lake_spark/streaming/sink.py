@@ -34,6 +34,10 @@ from api_to_amt_data_lake_spark.sources.incremental import (
     merge_increment,
     refresh_snapshot,
 )
+from api_to_amt_data_lake_spark.sources.versioned import (
+    read_marker,
+    write_marker,
+)
 
 
 def _marker_path(snapshot_root: str, school_year: str | int,
@@ -45,11 +49,7 @@ def _marker_path(snapshot_root: str, school_year: str | int,
 def last_applied_batch(snapshot_root: str, school_year: str | int,
                        endpoint: str) -> int:
     """Highest micro-batch id folded into the snapshot, -1 before any."""
-    try:
-        with open(_marker_path(snapshot_root, school_year, endpoint)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return -1
+    return read_marker(_marker_path(snapshot_root, school_year, endpoint))
 
 
 def fold_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
@@ -90,11 +90,8 @@ def fold_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
             spark, batch_df, None, snapshot_root, school_year, endpoint,
             key_col=key_col, version_col=version_col,
         )
-    marker = _marker_path(snapshot_root, school_year, endpoint)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, marker)
+    write_marker(_marker_path(snapshot_root, school_year, endpoint),
+                 batch_id)
     return True
 
 

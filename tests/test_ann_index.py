@@ -42,10 +42,14 @@ def _halves(spark):
 
 @pytest.fixture(scope="module")
 def index_root(spark, tmp_path_factory):
+    """Models trained on the base half, BOTH halves' codes present
+    (shard appended) — the state every test here assumes, built in the
+    fixture so tests stay order-independent."""
     root = str(tmp_path_factory.mktemp("ann") / "idx")
     _, base, shard = _halves(spark)
     build_ann_index(base, root, "vec_id", "embedding", kc=4,
                     coarse_iters=2, m=2, k=4, iters=2)
+    ann_index_append(spark, root, shard)
     return root
 
 
@@ -60,20 +64,23 @@ def _code_files(root: str) -> dict[str, tuple[int, float, int]]:
     return out
 
 
-def test_append_adds_files_without_touching_existing(spark, index_root):
+def test_append_adds_files_without_touching_existing(spark, tmp_path):
+    # Builds its OWN base-only index: this test audits the append
+    # itself, so it must not share the already-appended module fixture.
+    root = str(tmp_path / "idx")
     e, base, shard = _halves(spark)
-    before = _code_files(index_root)
-    n_before = spark.read.parquet(
-        os.path.join(index_root, "codes")).count()
-    ann_index_append(spark, index_root, shard)
-    after = _code_files(index_root)
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    before = _code_files(root)
+    n_before = spark.read.parquet(os.path.join(root, "codes")).count()
+    ann_index_append(spark, root, shard)
+    after = _code_files(root)
     # Every pre-existing file survives byte-identical (same inode, size,
     # mtime) — the append is add-only, the Delta-MERGE shape in parquet.
     for p, sig in before.items():
         assert p in after and after[p] == sig, f"rewrote {p}"
     assert len(after) > len(before)
-    n_after = spark.read.parquet(
-        os.path.join(index_root, "codes")).count()
+    n_after = spark.read.parquet(os.path.join(root, "codes")).count()
     # m=2 code rows per appended vector.
     assert n_after - n_before == shard.count() * 2
 

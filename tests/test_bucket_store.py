@@ -164,6 +164,29 @@ def test_fold_bucketed_upsert_sink_matches_plain(spark, tmp_path):
         read_snapshot(spark, buck, 2024, "ep").columns)
 
 
+def test_plain_store_migrates_into_bucketed(spark, tmp_path):
+    """Opting an EXISTING plain history into n_buckets must work (the
+    refresh_snapshot contract: mixing modes is fine): the first
+    bucketed fold reads the plain version whole, rewrites it bucketed,
+    and later folds splice — final content identical to all-plain."""
+    from api_to_amt_data_lake_spark.streaming.scd import fold_scd2_batch
+
+    plain, mig = str(tmp_path / "plain"), str(tmp_path / "mig")
+    _fold_all(spark, plain, "dim", None)
+    # Migration store: batches 0-1 plain, batches 2-3 bucketed.
+    for i, rows in enumerate(BATCHES):
+        fold_scd2_batch(
+            spark, spark.createDataFrame(rows, SCHEMA), i, mig, "dim",
+            "k", "ts", ["state"], tombstone_col="deleted",
+            n_buckets=8 if i >= 2 else None)
+    assert _hist_rows(spark, mig, "dim") == _hist_rows(spark, plain, "dim")
+    # The migrated store's current version is bucketed on disk.
+    vdir = sorted(d for d in os.listdir(os.path.join(mig, "dim"))
+                  if d.startswith("v"))[-1]
+    assert any(d.startswith("_bkt=") for d in
+               os.listdir(os.path.join(mig, "dim", vdir)))
+
+
 def test_read_current_version_travel(spark, tmp_path):
     root = str(tmp_path / "b")
 

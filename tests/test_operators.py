@@ -651,6 +651,17 @@ def test_log_grid_sketch_unbounded_domain(spark):
         assert exact <= e <= exact * 1.1 + 1e-6, (p, exact, e)
     # Bin count stays tiny despite the 10^6 value range.
     assert direct.count() < 160
+    # growth <= 1 is a contract error (growth=1.0 would divide by
+    # ln(1)=0; growth<1 would invert bin order) — fail loudly.
+    import pytest
+
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        log_grid_quantiles as lgq,
+    )
+    with pytest.raises(ValueError):
+        log_grid_sketch(df, ["k"], "v", growth=1.0)
+    with pytest.raises(ValueError):
+        lgq(direct, ["k"], growth=0.9)
 
 
 def test_grid_sketch_merge_equals_direct(spark):
