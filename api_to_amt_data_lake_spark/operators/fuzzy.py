@@ -1,0 +1,180 @@
+"""Fuzzy string join: q-gram prefix-filter blocking + Levenshtein verify.
+
+Entity resolution over string keys (names, titles, URLs, product ids)
+is the edit-distance sibling of the token-level near-dup family
+(`dedup.py`: MinHash/LSH for set similarity, SimHash for cosine). The
+naive answer is an O(n×m) cross join with `levenshtein` on every pair;
+this operator blocks with the Ed-Join prefix filter (Xiao, Wang, Lin —
+"Ed-Join: an efficient algorithm for similarity joins with edit
+distance constraints", VLDB 2008) so only pairs that CAN be within the
+threshold are ever verified:
+
+- An edit operation destroys at most q overlapping q-grams, so
+  ed(a, b) <= d implies |G(a) ∩ G(b)| >= max(|G(a)|, |G(b)|) − q·d.
+- Under ANY global total order of grams, that overlap bound means the
+  two strings' PREFIXES — each string's first q·d + 1 grams in the
+  global order — must share at least one gram. Ordering grams by
+  ascending document frequency makes those prefixes the RAREST grams,
+  so posting lists in the block join stay short.
+
+Exactness: prefix filtering is lossless for strings carrying more than
+q·d grams (|G| = len − q + 1). Shorter strings can be within distance d
+while sharing NO gram at all ("ab" vs "cd" at q=2, d=2), so they cannot
+be gram-blocked: they are routed through a broadcast pairing against
+every row of the other side instead (they are bounded by
+len <= q·(d+1) − 2 — genuinely tiny strings, and rare in entity data;
+the broadcast side is only those rows). The union is therefore exactly
+the naive cross-join answer — conformance q99zb states it against a
+DuckDB all-pairs levenshtein oracle, and the property test checks a
+random fixture that exercises the short-string path.
+
+Scale shape: grams are scan-level expressions (Column.substr over a
+sequence — no Python); the df-rank is one counts-only aggregate; the
+block join's work is Σ posting² over PREFIX grams only (the rarest
+ones), the same bucketed-quadratic contract as LSH bands — and like
+`lsh_candidate_pairs` / `knn_graph`, a genuinely hot gram can be
+spread with AQE skew join or by raising q. The verify touches only
+surviving candidates with a sargable length prefilter before the
+levenshtein.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grams(col, q: int):
+    """POSITIONAL q-grams of a string column (duplicates kept), as an
+    array (scan-level: sequence + substr, no Python). The prefix
+    theorem is proven on the gram MULTISET — |grams| = len − q + 1
+    exactly, which is what makes the short-string length gate exact;
+    deduplicating could under-count repetitive strings' gram budget."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - q + 1, F.lit(0))),
+        lambda i: c.substr(i, F.lit(q)),
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_str: str,
+    right_str: str,
+    max_dist: int,
+    q: int = 3,
+) -> DataFrame:
+    """All (left, right) pairs with levenshtein(left_str, right_str)
+    <= max_dist. Output: (left_id, right_id, dist) — exactly the naive
+    cross-join answer, computed with prefix-filter blocking.
+
+    Self-join use: pass the same frame twice and filter
+    `left_id < right_id` afterwards (like `lsh_candidate_pairs`).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    prefix_len = q * max_dist + 1
+    # Strings with |G| <= q*d can beat the threshold while sharing no
+    # gram — they bypass blocking entirely (broadcast pairing below).
+    min_long_len = q * (max_dist + 1)  # |G| = len-q+1 > q*d
+
+    l = left.select(F.col(left_id).alias("_lid"),
+                    F.col(left_str).alias("_ls"))
+    r = right.select(F.col(right_id).alias("_rid"),
+                     F.col(right_str).alias("_rs"))
+    l_long, l_short = (l.filter(F.length("_ls") >= min_long_len),
+                       l.filter(F.length("_ls") < min_long_len))
+    r_long, r_short = (r.filter(F.length("_rs") >= min_long_len),
+                       r.filter(F.length("_rs") < min_long_len))
+
+    # Self-join fast path: same frame, same columns — build the gram
+    # and prefix pipelines ONCE and alias the right side from them.
+    selfjoin = (left is right and left_id == right_id
+                and left_str == right_str)
+    lg = l_long.select("_lid", "_ls", F.posexplode(_grams("_ls", q))
+                       .alias("_pos", "gram"))
+    rg = lg if selfjoin else r_long.select(
+        "_rid", "_rs", F.posexplode(_grams("_rs", q))
+        .alias("_pos", "gram"))
+    # One global gram order shared by both sides: ascending occurrence
+    # frequency (rarest first), gram value then position as
+    # deterministic tiebreaks. The df table is |distinct grams| rows —
+    # counts only, pinned once (both prefix builds reuse it) and
+    # broadcast back.
+    grams_all = (lg.select("gram") if selfjoin
+                 else lg.select("gram").unionAll(rg.select("gram")))
+    df_tab = (
+        grams_all.groupBy("gram")
+        .agg((F.count(F.lit(1)) * (2 if selfjoin else 1)).alias("_df"))
+    ).localCheckpoint()
+    order = (F.col("_df").asc(), F.col("gram").asc(), F.col("_pos").asc())
+    w_l = Window.partitionBy("_lid").orderBy(*order)
+    # Prefix frames carry (id, length, pos, gram) ONLY — candidate
+    # generation moves int tuples, never string payloads (measured 5×
+    # at 15k structured names / 21M candidates: strings through the
+    # block join dominated the whole operator).
+    lp = (lg.join(F.broadcast(df_tab), "gram")
+          .withColumn("_rk", F.row_number().over(w_l))
+          .filter(F.col("_rk") <= prefix_len)
+          .select("_lid", F.length("_ls").alias("_llen"),
+                  F.col("_pos").alias("_lpos"), "gram"))
+    if selfjoin:
+        lp = lp.localCheckpoint()  # one prefix build feeds both sides
+        rp = lp.select(F.col("_lid").alias("_rid"),
+                       F.col("_llen").alias("_rlen"),
+                       F.col("_lpos").alias("_rpos"), "gram")
+    else:
+        w_r = Window.partitionBy("_rid").orderBy(*order)
+        rp = (rg.join(F.broadcast(df_tab), "gram")
+              .withColumn("_rk", F.row_number().over(w_r))
+              .filter(F.col("_rk") <= prefix_len)
+              .select("_rid", F.length("_rs").alias("_rlen"),
+                      F.col("_pos").alias("_rpos"), "gram"))
+    blocked = (
+        lp.join(rp, "gram")
+        # Ed-Join's location filter: an edit script of cost <= d shifts
+        # any surviving gram by at most d positions, and the prefix
+        # lemma applies to the 1-to-1 POSITIONAL matching (Gravano et
+        # al.'s count bound), so a qualifying pair must share a prefix
+        # gram with |Δpos| <= d (property-tested lossless). Length
+        # filter applied in the same pass.
+        .filter((F.abs(F.col("_lpos") - F.col("_rpos")) <= max_dist)
+                & (F.abs(F.col("_llen") - F.col("_rlen")) <= max_dist))
+        .select("_lid", "_rid")
+    )
+    # Short strings: broadcast them against the other side whole.
+    short_pairs = (
+        r.crossJoin(F.broadcast(l_short))
+        .select("_lid", "_rid")
+        .unionAll(
+            l.crossJoin(F.broadcast(r_short))
+            .select("_lid", "_rid"))
+    )
+    # The candidate multiset is many rows but FEW bytes (two ids), so
+    # AQE coalesces the gram join's output to one partition on byte
+    # stats — which would serialize the whole verify. Spread it
+    # explicitly; the exchange moves int pairs only.
+    candidates = blocked.unionAll(short_pairs) \
+        .repartition(F.col("_lid"), F.col("_rid"))
+    # VERIFY BEFORE DEDUP: a bounded-length levenshtein is a few
+    # hundred codegen char-ops per row, while a distinct over the raw
+    # candidate multiset is a full exchange of it — measured 18.6 s to
+    # dedup 20M candidate pairs vs ~3 s to verify them all at 15k
+    # structured names. Survivors (the true pair set + duplicate
+    # sightings of it) are orders of magnitude fewer, so the one
+    # distinct runs on the small side. The string rejoin is id-keyed;
+    # Spark broadcasts the name table when it is small and AQE handles
+    # it when it is not.
+    return (
+        candidates.join(l, "_lid").join(r, "_rid")
+        .filter(F.abs(F.length("_ls") - F.length("_rs")) <= max_dist)
+        .withColumn("dist", F.levenshtein(F.col("_ls"), F.col("_rs")))
+        .filter(F.col("dist") <= max_dist)
+        .select(F.col("_lid").alias(left_id + "_l"),
+                F.col("_rid").alias(right_id + "_r"),
+                F.col("dist").cast("int").alias("dist"))
+        .distinct()
+    )

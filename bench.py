@@ -92,6 +92,7 @@ HEADLINE = [
     "q95e_persisted_ivfpq",
     "q98e_log_quantile_sketch",
     "q99za_scd2_merge_store",
+    "q99zb_fuzzy_join",
 ]
 
 

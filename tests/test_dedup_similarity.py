@@ -820,6 +820,43 @@ def test_knn_graph_same_cluster_neighbors(spark):
     assert len(per_src) == 8
 
 
+def test_fuzzy_join_equals_naive_cross_join(spark):
+    """Prefix-filter blocking must be LOSSLESS: on a random fixture of
+    short and repetitive strings (the adversarial cases for q-gram
+    blocking — strings below the gram budget can be within distance d
+    while sharing no gram), fuzzy_join == the naive all-pairs
+    levenshtein join, at two thresholds."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.fuzzy import fuzzy_join
+
+    rng = random.Random(11)
+    alpha = "abc"
+    rows = [(i, "".join(rng.choice(alpha)
+                        for _ in range(rng.randint(1, 10))))
+            for i in range(120)]
+    rows += [(200 + i, "a" * rng.randint(2, 8)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["sid", "s"])
+    # Two input shapes: the same object twice exercises the self-join
+    # fast path (one shared prefix build); a distinct-object copy with
+    # identical rows exercises the general two-sided path.
+    df2 = df.select("sid", "s")
+    for d, q, rhs in ((1, 3, df), (2, 2, df), (1, 3, df2)):
+        got = {
+            (r["sid_l"], r["sid_r"], r["dist"])
+            for r in fuzzy_join(df, rhs, "sid", "sid", "s", "s",
+                                max_dist=d, q=q)
+            .filter(F.col("sid_l") < F.col("sid_r")).collect()}
+        a = df.select(F.col("sid").alias("ia"), F.col("s").alias("sa"))
+        b = df.select(F.col("sid").alias("ib"), F.col("s").alias("sb"))
+        want = {
+            (r["ia"], r["ib"], r["d"])
+            for r in a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+            .withColumn("d", F.levenshtein("sa", "sb").cast("int"))
+            .filter(F.col("d") <= d).collect()}
+        assert got == want, f"d={d} q={q}: {len(got)} vs {len(want)}"
+
+
 def test_knn_graph_salted_matches_plain(spark):
     """Hot-bucket salting (VERDICT r6 item 5): a skewed fixture — one
     dense cluster holding most of the corpus — must produce an
