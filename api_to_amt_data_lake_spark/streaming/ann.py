@@ -88,7 +88,13 @@ def dedupe_codes(spark: SparkSession, index_root: str) -> int:
         shutil.rmtree(leftover, ignore_errors=True)
     coarse, book, codes, meta = load_ann_index(spark, index_root)
     before = codes.count()
-    codes.distinct().write.partitionBy("bucket").parquet(tmp)
+    # Cluster by bucket before partitionBy (the bucket_store lesson:
+    # unclustered partitioned writes emit tasks × partitions small
+    # files) — the recovery rewrite doubles as compaction of the
+    # per-append file accumulation.
+    from pyspark.sql import functions as F
+    codes.distinct().repartition(F.col("bucket")) \
+        .write.partitionBy("bucket").parquet(tmp)
     os.rename(final, old)
     os.rename(tmp, final)
     shutil.rmtree(old, ignore_errors=True)
