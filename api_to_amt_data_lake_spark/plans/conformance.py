@@ -4785,6 +4785,9 @@ def _ivfpq_recall_frame(spark: SparkSession, sf_dir: str,
         .filter(F.col("rk") <= 3)
         .select("query_id", "match_id")
     )
+    # `exact` feeds BOTH the hits join and the (nprobe × query) base —
+    # pin it so the ground-truth corpus scan + window run once.
+    exact = exact.localCheckpoint()
     approx = None
     for np_ in nprobes:
         a = ivfpq_topk(q, coarse, book, codes, "vec_id", "embedding",

@@ -33,7 +33,9 @@ Why this shape at 100 TB:
   (`ivf_residuals(folded=True)` + `_folded_pq_pairs_expr`): bucket,
   residual and all m codes are computed inline per row — a pure scan
   projection over the new shard with zero shuffle and zero join
-  (plan-audited in tests/test_ann_index.py).
+  (plan-audited in tests/test_ann_index.py). The WRITE then clusters
+  the increment's code rows by bucket (one increment-sized exchange)
+  so each append adds ~one file per touched bucket.
 
 Equivalence contract (q95e): search over a LOADED + APPENDED index
 hash-matches `ivfpq_topk` over the union corpus encoded in one lineage,
@@ -78,7 +80,9 @@ def save_ann_index(
     os.makedirs(index_root)
     coarse.write.parquet(os.path.join(index_root, "coarse"))
     book.write.parquet(os.path.join(index_root, "book"))
-    (codes.write.partitionBy("bucket")
+    # Cluster by bucket before partitionBy — unclustered partitioned
+    # writes emit tasks × buckets small files (SCALE.md failure mode 8).
+    (codes.repartition(F.col("bucket")).write.partitionBy("bucket")
      .parquet(os.path.join(index_root, "codes")))
     meta = {"id_col": id_col, "vec_col": vec_col, "m": int(m),
             "appended_shards": 0}
@@ -139,14 +143,19 @@ def ann_index_append(
     retraining and without touching existing code files.
 
     The loaded models are folded into the shard scan (`encode_shard`),
-    so the append is one scan projection over the increment — zero
-    shuffle, zero join, and the partitioned append writes only new
-    files under the touched bucket dirs. The caller owns id uniqueness
-    across shards (same contract as the incremental-LSH store)."""
+    so the encode is one scan projection over the increment — zero
+    shuffle, zero join; the write clusters the increment's code rows by
+    bucket (one increment-sized exchange) and adds only new files under
+    the touched bucket dirs. The caller owns id uniqueness across
+    shards (same contract as the incremental-LSH store)."""
     coarse, book, codes, meta = load_ann_index(spark, index_root)
     new_codes = encode_shard(shard, coarse, book,
                              meta["id_col"], meta["vec_col"])
-    (new_codes.write.mode("append").partitionBy("bucket")
+    # Cluster the increment by bucket before the partitioned append —
+    # the exchange carries only the shard's code rows, and each append
+    # adds ~one file per touched bucket instead of tasks × buckets.
+    (new_codes.repartition(F.col("bucket"))
+     .write.mode("append").partitionBy("bucket")
      .parquet(os.path.join(index_root, "codes")))
     meta["appended_shards"] = int(meta.get("appended_shards", 0)) + 1
     tmp = os.path.join(index_root, _META + ".tmp")
