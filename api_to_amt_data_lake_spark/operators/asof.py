@@ -51,15 +51,22 @@ def asof_join(
     - `tolerance_seconds`: nulls out matches older than
       ``left_ts - tolerance`` (and drops the row under 'inner').
     - `matched_ts_col`: optionally expose the matched right timestamp.
-    - `direction`: 'backward' (default — most recent right at or before)
-      or 'forward' (earliest right at or after, pandas
-      ``merge_asof(direction='forward')``); tolerance then bounds how
-      far AHEAD the match may be. Same plan either way: one shuffle on
-      the key, one per-key sort, value carry in the mirrored frame.
+    - `direction`: 'backward' (default — most recent right at or before),
+      'forward' (earliest right at or after), or 'nearest' (whichever
+      of the two is closest in time; equidistant ties resolve BACKWARD,
+      matching pandas ``merge_asof(direction='nearest')``); tolerance
+      bounds the match's distance in the chosen direction(s). Same plan
+      for all three: one shuffle on the key, ONE per-key sort — nearest
+      evaluates both carry frames inside the same WindowExec and picks
+      per row, it never joins twice.
     """
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, left_ts, right_ts, how,
+                             tolerance_seconds, matched_ts_col)
     if direction not in ("backward", "forward"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}")
+            "direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}")
     fwd = direction == "forward"
     on = list(on)
     key_set = set(on)
@@ -130,6 +137,93 @@ def asof_join(
     elif how != "left":
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
 
+    if matched_ts_col is not None:
+        return out.withColumnRenamed(_MATCH, matched_ts_col)
+    return out.drop(_MATCH)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    how: str,
+    tolerance_seconds: int | None,
+    matched_ts_col: str | None,
+) -> DataFrame:
+    """direction='nearest': both the backward carry (last over the
+    preceding frame) and the forward carry (first over the following
+    frame) are window expressions over ONE partition+sort — Spark
+    evaluates them in a single WindowExec, so nearest costs the same
+    one shuffle + one sort as either one-sided variant. Per left row
+    the closer match wins; equidistant ties resolve backward (right
+    rows sort before left rows at equal timestamps, so a distance-0
+    backward match always exists to win the tie — pandas semantics)."""
+    on = list(on)
+    key_set = set(on)
+    payload = [c for c in left.columns if c not in key_set]
+    rvals = [c for c in right.columns if c not in key_set and c != right_ts]
+    clash = set(rvals) & set(payload)
+    if clash:
+        raise ValueError(
+            f"right value columns collide with left: {sorted(clash)}")
+
+    def null_like(df: DataFrame, name: str) -> Column:
+        return F.lit(None).cast(df.schema[name].dataType).alias(name)
+
+    l2 = left.select(
+        *on, *payload, *[null_like(right, c) for c in rvals],
+        F.col(left_ts).alias(_TS), F.lit(1).alias(_SIDE))
+    r2 = right.select(
+        *on, *[null_like(left, c) for c in payload], *rvals,
+        F.col(right_ts).alias(_TS), F.lit(0).alias(_SIDE))
+    base = Window.partitionBy(*on).orderBy(_TS, _SIDE)
+    w_b = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_f = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    r_ts = F.when(F.col(_SIDE) == 0, F.col(_TS))
+    carried = l2.unionByName(r2).select(
+        *on, *payload, F.col(_TS), F.col(_SIDE),
+        *[F.last(c, ignorenulls=True).over(w_b).alias(f"_b_{c}")
+          for c in rvals],
+        *[F.first(c, ignorenulls=True).over(w_f).alias(f"_f_{c}")
+          for c in rvals],
+        F.last(r_ts, ignorenulls=True).over(w_b).alias("_b_ts"),
+        F.first(r_ts, ignorenulls=True).over(w_f).alias("_f_ts"),
+    ).filter(F.col(_SIDE) == 1)
+    # Distance arithmetic needs a numeric image of the ts column;
+    # TIMESTAMP_NTZ refuses a direct long cast, and second-truncating
+    # casts would mis-rank sub-second gaps — exact microseconds for any
+    # timestamp flavor, plain long for numeric event-time columns.
+    ts_type = dict(left.dtypes)[left_ts]
+    if ts_type.startswith("timestamp"):
+        def to_num(c):
+            return F.unix_micros(c.cast("timestamp_ltz"))
+        tol_num = (None if tolerance_seconds is None
+                   else tolerance_seconds * 1_000_000)
+    else:
+        def to_num(c):
+            return c.cast("long")
+        tol_num = tolerance_seconds
+    l_us = to_num(F.col(_TS))
+    d_b = l_us - to_num(F.col("_b_ts"))
+    d_f = to_num(F.col("_f_ts")) - l_us
+    pick_back = F.col("_f_ts").isNull() | (
+        F.col("_b_ts").isNotNull() & (d_b <= d_f))
+    chosen = F.when(pick_back, F.col("_b_ts")).otherwise(F.col("_f_ts"))
+    in_tol = (F.lit(True) if tol_num is None else
+              F.abs(to_num(chosen) - l_us) <= tol_num)
+    out = carried.select(
+        *on, *payload,
+        *[F.when(in_tol,
+                 F.when(pick_back, F.col(f"_b_{c}"))
+                 .otherwise(F.col(f"_f_{c}"))).alias(c) for c in rvals],
+        F.when(in_tol, chosen).alias(_MATCH),
+    )
+    if how == "inner":
+        out = out.filter(F.col(_MATCH).isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     if matched_ts_col is not None:
         return out.withColumnRenamed(_MATCH, matched_ts_col)
     return out.drop(_MATCH)

@@ -1193,6 +1193,51 @@ def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q99zc_asof_nearest", oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), ranked AS (
+  SELECT c.user_id, c.event_id, c.ts AS cts, p.ts AS pts,
+    p.purchase_value,
+    row_number() OVER (PARTITION BY c.user_id, c.event_id, c.ts
+      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+               p.ts ASC) AS rn
+  FROM clicks c LEFT JOIN purchases p USING (user_id)
+)
+SELECT user_id, event_id,
+  strftime(cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  purchase_value,
+  strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM ranked WHERE rn = 1
+""")
+def q99zc_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof parity,
+    `operators/asof.py::asof_join(direction='nearest')`): each click
+    matches the user's CLOSEST purchase in either time direction,
+    equidistant ties backward. Both carry frames evaluate inside one
+    WindowExec over one key shuffle + sort — never a second join; the
+    oracle is the naive per-click argmin over |Δt|."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(clicks, purchases, on=["user_id"],
+                       direction="nearest", matched_ts_col="_pts")
+    return joined.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_value",
+        F.date_format("_pts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
 @register("q43_cube", oracle="""
 SELECT l_returnflag, l_linestatus,
   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,

@@ -93,6 +93,7 @@ HEADLINE = [
     "q98e_log_quantile_sketch",
     "q99za_scd2_merge_store",
     "q99zb_fuzzy_join",
+    "q99zc_asof_nearest",
 ]
 
 

@@ -129,6 +129,60 @@ def test_asof_join_tolerance_and_inner(spark):
     assert [r["tag"] for r in inner.collect()] == ["early"]
 
 
+def test_asof_join_nearest_matches_naive(spark):
+    """direction='nearest' == per-left argmin over |Δt| with
+    equidistant ties resolved backward (pandas merge_asof semantics),
+    on a randomized per-key fixture covering no-backward, no-forward,
+    exact-tie and tolerance cases — all in ONE window pass (no second
+    join)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from api_to_amt_data_lake_spark.operators import asof_join
+
+    rng = random.Random(5)
+    base = datetime(2024, 1, 1)
+    lrows = [(k, base + timedelta(minutes=rng.randint(0, 500)), i)
+             for i in range(80) for k in (i % 4,)]
+    rrows = [(k, base + timedelta(minutes=rng.randint(0, 500)), float(j))
+             for j in range(60) for k in (j % 4,)]
+    # force an exact tie: right at t±10 around a left at t
+    lrows.append((9, base + timedelta(minutes=100), 900))
+    rrows += [(9, base + timedelta(minutes=90), 1.0),
+              (9, base + timedelta(minutes=110), 2.0)]
+    left = spark.createDataFrame(lrows, ["uid", "ts", "tag"])
+    right = (spark.createDataFrame(rrows, ["uid", "ts", "px"])
+             .groupBy("uid", "ts").agg(F.max("px").alias("px")))
+    for tol in (None, 1200):
+        got = {(r["tag"], r["px"], r["mts"]) for r in asof_join(
+            left, right, on=["uid"], direction="nearest",
+            tolerance_seconds=tol, matched_ts_col="mts").collect()}
+        # Naive reference: per left row, min |Δt| with backward tie-break.
+        from pyspark.sql import Window as W
+        l = left.select("uid", F.col("ts").alias("lts"), "tag")
+        r = right.select("uid", F.col("ts").alias("rts"), "px")
+        j = l.join(r, "uid", "left")
+        if tol is not None:
+            j = j.withColumn("rts", F.when(
+                F.abs(F.col("rts").cast("long")
+                      - F.col("lts").cast("long")) <= tol,
+                F.col("rts"))).withColumn(
+                "px", F.when(F.col("rts").isNotNull(), F.col("px")))
+        w = W.partitionBy("uid", "lts", "tag").orderBy(
+            F.abs(F.col("rts").cast("long") - F.col("lts").cast("long"))
+            .asc_nulls_last(), F.col("rts").asc())
+        want = {(r["tag"], r["px"], r["rts"]) for r in
+                j.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("tag", "px", "rts").collect()}
+        assert got == want, f"tol={tol}"
+    # the planted tie resolved backward
+    row = {r["tag"]: r for r in asof_join(
+        left, right, on=["uid"], direction="nearest",
+        matched_ts_col="mts").collect()}[900]
+    assert row["px"] == 1.0 and row["mts"] == base + timedelta(minutes=90)
+
+
 def test_salted_join_matches_plain(spark):
     from api_to_amt_data_lake_spark.operators import salted_join
 
