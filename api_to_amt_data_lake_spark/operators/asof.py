@@ -26,6 +26,84 @@ _SIDE = "_asof_side"
 _MATCH = "_asof_match_ts"
 
 
+def _ts_to_num(c: Column, dtype: str) -> Column:
+    """Monotonic numeric image of an event-time column for distance /
+    tolerance arithmetic. Timestamps map to exact MICROSECONDS: LTZ via
+    unix_micros directly; NTZ from its own wall-clock fields — a cast
+    through the session zone is NON-MONOTONIC across DST spring-forward
+    gaps, and this is a library callable under any session timezone;
+    DATE via unix_date. Numeric event-time columns pass through as
+    long, keeping the caller's own units."""
+    if dtype == "timestamp":
+        return F.unix_micros(c)
+    if dtype == "timestamp_ntz":
+        return (
+            F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+            + (F.hour(c) * F.lit(3600) + F.minute(c) * F.lit(60)
+               + F.second(c)).cast("long") * F.lit(1_000_000)
+            + F.date_format(c, "SSSSSS").cast("long"))
+    if dtype == "date":
+        return F.unix_date(c).cast("long") * F.lit(86_400_000_000)
+    return c.cast("long")
+
+
+def _num_tolerance(tolerance_seconds: int | None, dtype: str) -> int | None:
+    """tolerance_seconds in _ts_to_num units (µs for temporal types)."""
+    if tolerance_seconds is None:
+        return None
+    if dtype.startswith("timestamp") or dtype == "date":
+        return tolerance_seconds * 1_000_000
+    return tolerance_seconds
+
+
+def _asof_frames(left, right, on, left_ts, right_ts, right_side):
+    """Shared prologue: column resolution + the mirrored union frames.
+    The right side travels as ONE struct column (_RS: every right value
+    plus the matched timestamp), so the window carry moves whole right
+    ROWS atomically — per-column carries with ignorenulls would skip a
+    right row's genuinely-NULL value and stitch an older row's value
+    onto a newer match (pandas merge_asof returns the matched row's
+    NULL, and so does this)."""
+    from pyspark.sql import types as T
+
+    on = list(on)
+    key_set = set(on)
+    payload = [c for c in left.columns if c not in key_set]
+    rvals = [c for c in right.columns if c not in key_set and c != right_ts]
+    clash = set(rvals) & set(payload)
+    if clash:
+        raise ValueError(
+            f"right value columns collide with left: {sorted(clash)}")
+    rs_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in rvals]
+        + [T.StructField(_MATCH, right.schema[right_ts].dataType)])
+    l2 = left.select(
+        *on, *payload,
+        F.lit(None).cast(rs_type).alias("_RS"),
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE))
+    r2 = right.select(
+        *on,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in payload],
+        F.struct(*[F.col(c) for c in rvals],
+                 F.col(right_ts).alias(_MATCH)).alias("_RS"),
+        F.col(right_ts).alias(_TS),
+        F.lit(right_side).alias(_SIDE))
+    return on, payload, rvals, l2.unionByName(r2)
+
+
+def _asof_finish(out: DataFrame, how: str,
+                 matched_ts_col: str | None) -> DataFrame:
+    if how == "inner":
+        out = out.filter(F.col(_MATCH).isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if matched_ts_col is not None:
+        return out.withColumnRenamed(_MATCH, matched_ts_col)
+    return out.drop(_MATCH)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,17 +126,20 @@ def asof_join(
       arbitrarily.
     - `how`: 'left' keeps unmatched left rows (right values null);
       'inner' drops them.
-    - `tolerance_seconds`: nulls out matches older than
-      ``left_ts - tolerance`` (and drops the row under 'inner').
+    - `tolerance_seconds`: nulls out matches farther than the tolerance
+      in the match direction (and drops the row under 'inner').
+      Timestamp/date columns measure in real time; numeric event-time
+      columns measure in their own units.
     - `matched_ts_col`: optionally expose the matched right timestamp.
     - `direction`: 'backward' (default — most recent right at or before),
       'forward' (earliest right at or after), or 'nearest' (whichever
       of the two is closest in time; equidistant ties resolve BACKWARD,
-      matching pandas ``merge_asof(direction='nearest')``); tolerance
-      bounds the match's distance in the chosen direction(s). Same plan
-      for all three: one shuffle on the key, ONE per-key sort — nearest
-      evaluates both carry frames inside the same WindowExec and picks
-      per row, it never joins twice.
+      matching pandas ``merge_asof(direction='nearest')``). Same plan
+      for all three: one shuffle on the key, ONE per-key sort — the
+      matched right row travels as a struct (atomic: a NULL value in
+      the matched row stays NULL, never replaced by an older row's),
+      and nearest evaluates both carry frames inside the same
+      WindowExec, never joining twice.
     """
     if direction == "nearest":
         return _asof_nearest(left, right, on, left_ts, right_ts, how,
@@ -68,35 +149,11 @@ def asof_join(
             "direction must be 'backward', 'forward' or 'nearest', "
             f"got {direction!r}")
     fwd = direction == "forward"
-    on = list(on)
-    key_set = set(on)
-    payload = [c for c in left.columns if c not in key_set]
-    rvals = [c for c in right.columns if c not in key_set and c != right_ts]
-    clash = set(rvals) & set(payload)
-    if clash:
-        raise ValueError(f"right value columns collide with left: {sorted(clash)}")
-
-    def null_like(df: DataFrame, name: str) -> Column:
-        return F.lit(None).cast(df.schema[name].dataType).alias(name)
-
-    l2 = left.select(
-        *on,
-        *payload,
-        *[null_like(right, c) for c in rvals],
-        F.col(left_ts).alias(_TS),
-        F.lit(1).alias(_SIDE),
-    )
     # Side ordering places right rows on the INCLUSIVE side of ties:
-    # backward → right before left (0 < 1) in a preceding frame;
-    # forward → right after left (2 > 1) in a following frame.
-    right_side = 2 if fwd else 0
-    r2 = right.select(
-        *on,
-        *[null_like(left, c) for c in payload],
-        *rvals,
-        F.col(right_ts).alias(_TS),
-        F.lit(right_side).alias(_SIDE),
-    )
+    # backward -> right before left (0 < 1) in a preceding frame;
+    # forward -> right after left (2 > 1) in a following frame.
+    on, payload, rvals, unioned = _asof_frames(
+        left, right, on, left_ts, right_ts, 2 if fwd else 0)
 
     w = Window.partitionBy(*on).orderBy(_TS, _SIDE)
     if fwd:
@@ -105,41 +162,27 @@ def asof_join(
     else:
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         carry = F.last
-    carried = l2.unionByName(r2).select(
-        *on,
-        *payload,
-        *[carry(c, ignorenulls=True).over(w).alias(c) for c in rvals],
-        carry(F.when(F.col(_SIDE) == right_side, F.col(_TS)),
-              ignorenulls=True)
-        .over(w)
-        .alias(_MATCH),
+    carried = unioned.select(
+        *on, *payload,
+        carry("_RS", ignorenulls=True).over(w).alias("_m"),
         F.col(_SIDE),
+    ).filter(F.col(_SIDE) == 1)
+
+    ts_type = dict(left.dtypes)[left_ts]
+    tol = _num_tolerance(tolerance_seconds, ts_type)
+    if tol is not None:
+        l_num = _ts_to_num(F.col(left_ts), ts_type)
+        m_num = _ts_to_num(F.col(f"_m.{_MATCH}"), ts_type)
+        in_tol = ((m_num <= l_num + tol) if fwd
+                  else (m_num >= l_num - tol))
+    else:
+        in_tol = F.lit(True)
+    out = carried.select(
+        *on, *payload,
+        *[F.when(in_tol, F.col(f"_m.{c}")).alias(c) for c in rvals],
+        F.when(in_tol, F.col(f"_m.{_MATCH}")).alias(_MATCH),
     )
-    out = carried.filter(F.col(_SIDE) == 1).drop(_SIDE)
-
-    if tolerance_seconds is not None:
-        if fwd:
-            in_tol = F.col(_MATCH).cast("long") <= (
-                F.col(left_ts).cast("long") + F.lit(tolerance_seconds)
-            )
-        else:
-            in_tol = F.col(_MATCH).cast("long") >= (
-                F.col(left_ts).cast("long") - F.lit(tolerance_seconds)
-            )
-        out = out.select(
-            *on,
-            *payload,
-            *[F.when(in_tol, F.col(c)).alias(c) for c in rvals],
-            F.when(in_tol, F.col(_MATCH)).alias(_MATCH),
-        )
-    if how == "inner":
-        out = out.filter(F.col(_MATCH).isNotNull())
-    elif how != "left":
-        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
-
-    if matched_ts_col is not None:
-        return out.withColumnRenamed(_MATCH, matched_ts_col)
-    return out.drop(_MATCH)
+    return _asof_finish(out, how, matched_ts_col)
 
 
 def _asof_nearest(
@@ -160,73 +203,33 @@ def _asof_nearest(
     the closer match wins; equidistant ties resolve backward (right
     rows sort before left rows at equal timestamps, so a distance-0
     backward match always exists to win the tie — pandas semantics)."""
-    on = list(on)
-    key_set = set(on)
-    payload = [c for c in left.columns if c not in key_set]
-    rvals = [c for c in right.columns if c not in key_set and c != right_ts]
-    clash = set(rvals) & set(payload)
-    if clash:
-        raise ValueError(
-            f"right value columns collide with left: {sorted(clash)}")
-
-    def null_like(df: DataFrame, name: str) -> Column:
-        return F.lit(None).cast(df.schema[name].dataType).alias(name)
-
-    l2 = left.select(
-        *on, *payload, *[null_like(right, c) for c in rvals],
-        F.col(left_ts).alias(_TS), F.lit(1).alias(_SIDE))
-    r2 = right.select(
-        *on, *[null_like(left, c) for c in payload], *rvals,
-        F.col(right_ts).alias(_TS), F.lit(0).alias(_SIDE))
+    on, payload, rvals, unioned = _asof_frames(
+        left, right, on, left_ts, right_ts, 0)
     base = Window.partitionBy(*on).orderBy(_TS, _SIDE)
     w_b = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_f = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    r_ts = F.when(F.col(_SIDE) == 0, F.col(_TS))
-    carried = l2.unionByName(r2).select(
+    carried = unioned.select(
         *on, *payload, F.col(_TS), F.col(_SIDE),
-        *[F.last(c, ignorenulls=True).over(w_b).alias(f"_b_{c}")
-          for c in rvals],
-        *[F.first(c, ignorenulls=True).over(w_f).alias(f"_f_{c}")
-          for c in rvals],
-        F.last(r_ts, ignorenulls=True).over(w_b).alias("_b_ts"),
-        F.first(r_ts, ignorenulls=True).over(w_f).alias("_f_ts"),
+        F.last("_RS", ignorenulls=True).over(w_b).alias("_mb"),
+        F.first("_RS", ignorenulls=True).over(w_f).alias("_mf"),
     ).filter(F.col(_SIDE) == 1)
-    # Distance arithmetic needs a numeric image of the ts column;
-    # TIMESTAMP_NTZ refuses a direct long cast, and second-truncating
-    # casts would mis-rank sub-second gaps — exact microseconds for any
-    # timestamp flavor, plain long for numeric event-time columns.
     ts_type = dict(left.dtypes)[left_ts]
-    if ts_type.startswith("timestamp"):
-        def to_num(c):
-            return F.unix_micros(c.cast("timestamp_ltz"))
-        tol_num = (None if tolerance_seconds is None
-                   else tolerance_seconds * 1_000_000)
-    else:
-        def to_num(c):
-            return c.cast("long")
-        tol_num = tolerance_seconds
-    l_us = to_num(F.col(_TS))
-    d_b = l_us - to_num(F.col("_b_ts"))
-    d_f = to_num(F.col("_f_ts")) - l_us
-    pick_back = F.col("_f_ts").isNull() | (
-        F.col("_b_ts").isNotNull() & (d_b <= d_f))
-    chosen = F.when(pick_back, F.col("_b_ts")).otherwise(F.col("_f_ts"))
-    in_tol = (F.lit(True) if tol_num is None else
-              F.abs(to_num(chosen) - l_us) <= tol_num)
+    l_num = _ts_to_num(F.col(_TS), ts_type)
+    d_b = l_num - _ts_to_num(F.col(f"_mb.{_MATCH}"), ts_type)
+    d_f = _ts_to_num(F.col(f"_mf.{_MATCH}"), ts_type) - l_num
+    pick_back = F.col(f"_mf.{_MATCH}").isNull() | (
+        F.col(f"_mb.{_MATCH}").isNotNull() & (d_b <= d_f))
+    chosen = F.when(pick_back, F.col("_mb")).otherwise(F.col("_mf"))
+    tol = _num_tolerance(tolerance_seconds, ts_type)
+    in_tol = (F.lit(True) if tol is None else
+              F.abs(_ts_to_num(chosen.getField(_MATCH), ts_type) - l_num)
+              <= tol)
     out = carried.select(
         *on, *payload,
-        *[F.when(in_tol,
-                 F.when(pick_back, F.col(f"_b_{c}"))
-                 .otherwise(F.col(f"_f_{c}"))).alias(c) for c in rvals],
-        F.when(in_tol, chosen).alias(_MATCH),
+        *[F.when(in_tol, chosen.getField(c)).alias(c) for c in rvals],
+        F.when(in_tol, chosen.getField(_MATCH)).alias(_MATCH),
     )
-    if how == "inner":
-        out = out.filter(F.col(_MATCH).isNotNull())
-    elif how != "left":
-        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
-    if matched_ts_col is not None:
-        return out.withColumnRenamed(_MATCH, matched_ts_col)
-    return out.drop(_MATCH)
+    return _asof_finish(out, how, matched_ts_col)
 
 
 def resample_locf(

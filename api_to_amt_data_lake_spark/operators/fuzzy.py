@@ -76,6 +76,11 @@ def fuzzy_join(
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        # q=0 would make every gram the empty string — the block join
+        # degenerates to the all-pairs cross join this operator exists
+        # to avoid, silently.
+        raise ValueError(f"q must be >= 1, got {q}")
     prefix_len = q * max_dist + 1
     # Strings with |G| <= q*d can beat the threshold while sharing no
     # gram — they bypass blocking entirely (broadcast pairing below).

@@ -129,6 +129,81 @@ def test_asof_join_tolerance_and_inner(spark):
     assert [r["tag"] for r in inner.collect()] == ["early"]
 
 
+def test_asof_join_null_right_values_stay_null(spark):
+    """The matched right row travels ATOMICALLY: a genuinely-NULL value
+    in the matched row must come through as NULL (pandas merge_asof
+    semantics), never be replaced by an older/newer row's value by a
+    per-column ignorenulls carry — in all three directions."""
+    from datetime import datetime
+
+    from api_to_amt_data_lake_spark.operators import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, t(11), "x")], ["uid", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, t(5), 7.0, "a"), (1, t(10), None, "b"), (1, t(15), None, "c"),
+         (1, t(20), 9.0, "d")],
+        ["uid", "ts", "px", "lbl"])
+    for direction, want in (("backward", (None, "b", t(10))),
+                            ("forward", (None, "c", t(15))),
+                            ("nearest", (None, "b", t(10)))):
+        row = asof_join(left, right, on=["uid"], direction=direction,
+                        matched_ts_col="mts").collect()[0]
+        assert (row["px"], row["lbl"], row["mts"]) == want, direction
+
+
+def test_asof_join_nearest_date_and_ntz_columns(spark):
+    """direction='nearest' must accept DATE and TIMESTAMP_NTZ event-time
+    columns (distance arithmetic cannot assume a long-castable type),
+    and tolerance measures real time for both."""
+    from datetime import date
+
+    from pyspark.sql import types as T
+
+    from api_to_amt_data_lake_spark.operators import asof_join
+
+    schema_l = T.StructType([T.StructField("uid", T.LongType()),
+                             T.StructField("ts", T.DateType()),
+                             T.StructField("tag", T.StringType())])
+    schema_r = T.StructType([T.StructField("uid", T.LongType()),
+                             T.StructField("ts", T.DateType()),
+                             T.StructField("px", T.DoubleType())])
+    left = spark.createDataFrame(
+        [(1, date(2024, 1, 10), "x")], schema_l)
+    right = spark.createDataFrame(
+        [(1, date(2024, 1, 1), 1.0), (1, date(2024, 1, 13), 2.0)],
+        schema_r)
+    row = asof_join(left, right, on=["uid"], direction="nearest",
+                    matched_ts_col="mts").collect()[0]
+    assert row["px"] == 2.0 and row["mts"] == date(2024, 1, 13)
+    # tolerance of 2 days (in seconds) excludes both candidates
+    row = asof_join(left, right, on=["uid"], direction="nearest",
+                    tolerance_seconds=2 * 86400,
+                    matched_ts_col="mts").collect()[0]
+    assert row["px"] is None and row["mts"] is None
+    # NTZ columns work and pick the closer side
+    lntz = spark.sql(
+        "select 1 as uid, timestamp_ntz'2024-01-01 10:00:00' as ts, "
+        "'x' as tag")
+    rntz = spark.sql(
+        "select 1 as uid, timestamp_ntz'2024-01-01 09:00:00' as ts, "
+        "1.0 as px union all "
+        "select 1, timestamp_ntz'2024-01-01 10:30:00', 2.0")
+    row = asof_join(lntz, rntz, on=["uid"],
+                    direction="nearest").collect()[0]
+    assert row["px"] == 2.0
+
+
+def test_fuzzy_join_rejects_degenerate_q(spark):
+    import pytest
+
+    from api_to_amt_data_lake_spark.operators.fuzzy import fuzzy_join
+
+    df = spark.createDataFrame([(1, "ab")], ["sid", "s"])
+    with pytest.raises(ValueError):
+        fuzzy_join(df, df, "sid", "sid", "s", "s", max_dist=1, q=0)
+
+
 def test_asof_join_nearest_matches_naive(spark):
     """direction='nearest' == per-left argmin over |Δt| with
     equidistant ties resolved backward (pandas merge_asof semantics),
