@@ -32,8 +32,9 @@ def _ts_to_num(c: Column, dtype: str) -> Column:
     unix_micros directly; NTZ from its own wall-clock fields — a cast
     through the session zone is NON-MONOTONIC across DST spring-forward
     gaps, and this is a library callable under any session timezone;
-    DATE via unix_date. Numeric event-time columns pass through as
-    long, keeping the caller's own units."""
+    DATE via unix_date. Numeric event-time columns pass through
+    UNCHANGED — truncating a DOUBLE/DECIMAL event time to long would
+    mis-rank sub-unit gaps and mis-filter tolerances."""
     if dtype == "timestamp":
         return F.unix_micros(c)
     if dtype == "timestamp_ntz":
@@ -44,7 +45,7 @@ def _ts_to_num(c: Column, dtype: str) -> Column:
             + F.date_format(c, "SSSSSS").cast("long"))
     if dtype == "date":
         return F.unix_date(c).cast("long") * F.lit(86_400_000_000)
-    return c.cast("long")
+    return c
 
 
 def _num_tolerance(tolerance_seconds: int | None, dtype: str) -> int | None:
@@ -58,7 +59,7 @@ def _num_tolerance(tolerance_seconds: int | None, dtype: str) -> int | None:
 
 def _asof_frames(left, right, on, left_ts, right_ts, right_side):
     """Shared prologue: column resolution + the mirrored union frames.
-    The right side travels as ONE struct column (_RS: every right value
+    The right side travels as ONE struct column (every right value
     plus the matched timestamp), so the window carry moves whole right
     ROWS atomically — per-column carries with ignorenulls would skip a
     right row's genuinely-NULL value and stitch an older row's value
@@ -74,20 +75,29 @@ def _asof_frames(left, right, on, left_ts, right_ts, right_side):
     if clash:
         raise ValueError(
             f"right value columns collide with left: {sorted(clash)}")
+    lt, rt = dict(left.dtypes)[left_ts], dict(right.dtypes)[right_ts]
+    temporal = ("timestamp", "timestamp_ntz", "date")
+    if (lt in temporal or rt in temporal) and lt != rt:
+        # Mixed temporal types would decode the matched timestamp with
+        # the wrong _ts_to_num branch (a DATE routed through unix_micros
+        # or vice versa) — require the caller to cast one side.
+        raise ValueError(
+            f"left_ts type {lt!r} and right_ts type {rt!r} differ; "
+            "cast them to one type before the as-of join")
     rs_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in rvals]
         + [T.StructField(_MATCH, right.schema[right_ts].dataType)])
     l2 = left.select(
         *on, *payload,
-        F.lit(None).cast(rs_type).alias("_RS"),
+        F.lit(None).cast(rs_type).alias("_asof_rs"),
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE))
     r2 = right.select(
         *on,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in payload],
-        F.struct(*[F.col(c) for c in rvals],
-                 F.col(right_ts).alias(_MATCH)).alias("_RS"),
+        F.struct(*[right[c] for c in rvals],
+                 right[right_ts].alias(_MATCH)).alias("_asof_rs"),
         F.col(right_ts).alias(_TS),
         F.lit(right_side).alias(_SIDE))
     return on, payload, rvals, l2.unionByName(r2)
@@ -164,7 +174,7 @@ def asof_join(
         carry = F.last
     carried = unioned.select(
         *on, *payload,
-        carry("_RS", ignorenulls=True).over(w).alias("_m"),
+        carry("_asof_rs", ignorenulls=True).over(w).alias("_asof_m"),
         F.col(_SIDE),
     ).filter(F.col(_SIDE) == 1)
 
@@ -172,15 +182,15 @@ def asof_join(
     tol = _num_tolerance(tolerance_seconds, ts_type)
     if tol is not None:
         l_num = _ts_to_num(F.col(left_ts), ts_type)
-        m_num = _ts_to_num(F.col(f"_m.{_MATCH}"), ts_type)
+        m_num = _ts_to_num(F.col("_asof_m").getField(_MATCH), ts_type)
         in_tol = ((m_num <= l_num + tol) if fwd
                   else (m_num >= l_num - tol))
     else:
         in_tol = F.lit(True)
     out = carried.select(
         *on, *payload,
-        *[F.when(in_tol, F.col(f"_m.{c}")).alias(c) for c in rvals],
-        F.when(in_tol, F.col(f"_m.{_MATCH}")).alias(_MATCH),
+        *[F.when(in_tol, F.col("_asof_m").getField(c)).alias(c) for c in rvals],
+        F.when(in_tol, F.col("_asof_m").getField(_MATCH)).alias(_MATCH),
     )
     return _asof_finish(out, how, matched_ts_col)
 
@@ -210,16 +220,16 @@ def _asof_nearest(
     w_f = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     carried = unioned.select(
         *on, *payload, F.col(_TS), F.col(_SIDE),
-        F.last("_RS", ignorenulls=True).over(w_b).alias("_mb"),
-        F.first("_RS", ignorenulls=True).over(w_f).alias("_mf"),
+        F.last("_asof_rs", ignorenulls=True).over(w_b).alias("_asof_mb"),
+        F.first("_asof_rs", ignorenulls=True).over(w_f).alias("_asof_mf"),
     ).filter(F.col(_SIDE) == 1)
     ts_type = dict(left.dtypes)[left_ts]
     l_num = _ts_to_num(F.col(_TS), ts_type)
-    d_b = l_num - _ts_to_num(F.col(f"_mb.{_MATCH}"), ts_type)
-    d_f = _ts_to_num(F.col(f"_mf.{_MATCH}"), ts_type) - l_num
-    pick_back = F.col(f"_mf.{_MATCH}").isNull() | (
-        F.col(f"_mb.{_MATCH}").isNotNull() & (d_b <= d_f))
-    chosen = F.when(pick_back, F.col("_mb")).otherwise(F.col("_mf"))
+    d_b = l_num - _ts_to_num(F.col("_asof_mb").getField(_MATCH), ts_type)
+    d_f = _ts_to_num(F.col("_asof_mf").getField(_MATCH), ts_type) - l_num
+    pick_back = F.col("_asof_mf").getField(_MATCH).isNull() | (
+        F.col("_asof_mb").getField(_MATCH).isNotNull() & (d_b <= d_f))
+    chosen = F.when(pick_back, F.col("_asof_mb")).otherwise(F.col("_asof_mf"))
     tol = _num_tolerance(tolerance_seconds, ts_type)
     in_tol = (F.lit(True) if tol is None else
               F.abs(_ts_to_num(chosen.getField(_MATCH), ts_type) - l_num)
@@ -265,7 +275,7 @@ def resample_locf(
         )
         .groupBy(key_col, "slot")
         .agg(F.max("_tv").alias("_m"))
-        .select(key_col, "slot", F.col("_m.v").alias("_v"))
+        .select(key_col, "slot", F.col("_m").getField("v").alias("_v"))
     )
     grid = (
         df.groupBy(key_col)

@@ -126,9 +126,16 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
             (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
             F.col("n_tokens").alias("_n")),
         "cid", F.col("_n"), window_tokens=64)
-    tot_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
-    n_bins = packed.select("bin_id").distinct().count()
-    assert n_bins >= tot_tokens // 64  # every window holds <= 64 tokens
+    rowsp = sorted(packed.collect(), key=lambda r: r["cid"])
+    # Offsets are EXACTLY the exclusive prefix sums in id order (dense
+    # concat packing — no gap, no overlap), and every bin_id is its
+    # chunk's start window; together these pin the packing contract.
+    run = 0
+    for r in rowsp:
+        assert r["start_offset"] == run, (r["cid"], r["start_offset"], run)
+        assert r["bin_id"] == r["start_offset"] // 64
+        run += r["n_tokens"]
+    assert run == sum(r["n_tokens"] for r in rowsp) and run > 0
 
     # 7. WebDataset export of the curated docs, byte-faithful read-back
     out = str(tmp_path / "wds")

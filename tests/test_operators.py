@@ -194,6 +194,35 @@ def test_asof_join_nearest_date_and_ntz_columns(spark):
     assert row["px"] == 2.0
 
 
+def test_asof_join_fractional_numeric_event_time(spark):
+    """DOUBLE event-time columns keep sub-unit precision: nearest must
+    pick the 0.4-away row over the 0.5-away row (a long truncation
+    would invert them), tolerance must exclude sub-unit overshoots,
+    and mixed temporal ts types fail loudly instead of mis-decoding."""
+    from datetime import datetime
+
+    import pytest
+
+    from api_to_amt_data_lake_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 10.0, "x")], ["uid", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, 9.6, 1.0), (1, 10.5, 2.0)], ["uid", "ts", "px"])
+    row = asof_join(left, right, on=["uid"],
+                    direction="nearest").collect()[0]
+    assert row["px"] == 1.0  # 0.4 behind beats 0.5 ahead
+    row = asof_join(left, right.filter(F.col("px") == 2.0), on=["uid"],
+                    direction="forward", tolerance_seconds=0).collect()[0]
+    assert row["px"] is None  # 0.5 ahead > tolerance 0
+    # mixed temporal types: explicit error, not silent mis-decoding
+    ldate = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1).date(), "x")], ["uid", "ts", "tag"])
+    rts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 5), 1.0)], ["uid", "ts", "px"])
+    with pytest.raises(ValueError):
+        asof_join(ldate, rts, on=["uid"], direction="nearest")
+
+
 def test_fuzzy_join_rejects_degenerate_q(spark):
     import pytest
 
