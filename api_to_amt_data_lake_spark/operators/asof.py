@@ -69,6 +69,16 @@ def _asof_frames(left, right, on, left_ts, right_ts, right_side):
 
     on = list(on)
     key_set = set(on)
+    reserved = sorted({c for c in (*left.columns, *right.columns)
+                       if c.startswith("_asof_")})
+    if reserved:
+        # The union/window plumbing owns the _asof_ namespace (_asof_ts,
+        # _asof_side, _asof_rs, _asof_m, _asof_mb, _asof_mf,
+        # _asof_match_ts); an input column there would collide into
+        # duplicate-column ambiguity or a silently wrong carry.
+        raise ValueError(
+            f"input columns use the reserved _asof_ prefix: {reserved}; "
+            "rename them before the as-of join")
     payload = [c for c in left.columns if c not in key_set]
     rvals = [c for c in right.columns if c not in key_set and c != right_ts]
     clash = set(rvals) & set(payload)
@@ -131,6 +141,9 @@ def asof_join(
 
     - `on`: equi-key column names present in BOTH frames.
     - Non-key `right` columns must not collide with `left` column names.
+    - Column names starting with ``_asof_`` are RESERVED for the
+      operator's internals on both inputs (a clear ValueError, not a
+      silent mis-carry).
     - `right` must be unique per (`on`, `right_ts`) — pre-aggregate
       otherwise; with duplicates the carried value is tie-broken
       arbitrarily.

@@ -20,13 +20,19 @@ threshold are ever verified:
 Exactness: prefix filtering is lossless for strings carrying more than
 q·d grams (|G| = len − q + 1). Shorter strings can be within distance d
 while sharing NO gram at all ("ab" vs "cd" at q=2, d=2), so they cannot
-be gram-blocked: they are routed through a broadcast pairing against
-every row of the other side instead (they are bounded by
-len <= q·(d+1) − 2 — genuinely tiny strings, and rare in entity data;
-the broadcast side is only those rows). The union is therefore exactly
-the naive cross-join answer — conformance q99zb states it against a
-DuckDB all-pairs levenshtein oracle, and the property test checks a
-random fixture that exercises the short-string path.
+be gram-blocked: they are routed through LENGTH-BAND blocking instead —
+any qualifying pair satisfies |len(a) − len(b)| <= d, so bands of width
+d+1 differ by at most 1 between the two strings, and exploding one side
+to {band−1, band, band+1} makes a lossless equi-join. The counterpart
+side of the short stratum is pre-filtered to len < q·(d+1) + d (nothing
+longer can be within d of a short string), so the short route's work is
+Σ |l_band|·|r_band| over BOUNDED-LENGTH bands — never the
+short-side × entire-other-side broadcast cross join of the first
+implementation, which degenerated to the quadratic plan this operator
+exists to avoid on short-heavy corpora (r7 verdict). The union is
+therefore exactly the naive cross-join answer — conformance q99zb
+states it against a DuckDB all-pairs levenshtein oracle, and the
+property test checks a short-heavy random fixture.
 
 Scale shape: grams are scan-level expressions (Column.substr over a
 sequence — no Python); the df-rank is one counts-only aggregate; the
@@ -150,13 +156,42 @@ def fuzzy_join(
                 & (F.abs(F.col("_llen") - F.col("_rlen")) <= max_dist))
         .select("_lid", "_rid")
     )
-    # Short strings: broadcast them against the other side whole.
+    # Short strings: length-band blocking. A qualifying pair has
+    # |Δlen| <= d, so with bands of width d+1 the two bands differ by
+    # at most 1 — explode the short side to {b−1, b, b+1} and equi-join
+    # on the band key. Lossless, shuffle-joined (AQE may still
+    # broadcast a genuinely small side — but never an unguarded
+    # broadcast of a whole input). The counterpart is length-capped:
+    # a short string (len < q·(d+1)) can only reach strings of
+    # len < q·(d+1) + d. Branches are disjoint by construction (left
+    # short vs left long-near), so no candidate is generated twice.
+    width = max_dist + 1
+    near = min_long_len + max_dist  # exclusive length cap, counterpart
+
+    def _band(c):
+        return F.floor(c / width)
+
+    def _short_block(ls, lcol, rs, rcol):
+        lb = ls.select(
+            F.col("_lid"), F.length(lcol).alias("_llen")
+        ).select(
+            "_lid", "_llen",
+            F.explode(F.array(_band(F.col("_llen")) - 1,
+                              _band(F.col("_llen")),
+                              _band(F.col("_llen")) + 1)).alias("_band"))
+        rb = rs.select(F.col("_rid"), F.length(rcol).alias("_rlen"),
+                       _band(F.length(rcol)).alias("_band"))
+        return (lb.join(rb, "_band")
+                .filter(F.abs(F.col("_llen") - F.col("_rlen"))
+                        <= max_dist)
+                .select("_lid", "_rid"))
+
+    r_near = r.filter(F.length("_rs") < near)
+    l_near_long = l.filter((F.length("_ls") >= min_long_len)
+                           & (F.length("_ls") < near))
     short_pairs = (
-        r.crossJoin(F.broadcast(l_short))
-        .select("_lid", "_rid")
-        .unionAll(
-            l.crossJoin(F.broadcast(r_short))
-            .select("_lid", "_rid"))
+        _short_block(l_short, "_ls", r_near, "_rs")
+        .unionAll(_short_block(l_near_long, "_ls", r_short, "_rs"))
     )
     # The candidate multiset is many rows but FEW bytes (two ids), so
     # AQE coalesces the gram join's output to one partition on byte

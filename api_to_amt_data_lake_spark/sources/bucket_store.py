@@ -166,6 +166,20 @@ def fold_bucketed(
      .write.partitionBy("_bkt").parquet(tmp))
     if prev_dir is not None and touched is not None:
         touched_dirs = {f"_bkt={b}" for b in touched}
+        # Contract check (advisor r7): every bucket the merge actually
+        # wrote must be a touched bucket — a merge emitting a key that
+        # hashes elsewhere would otherwise get the previous version's
+        # files hard-linked INTO the same dir, silently resurrecting
+        # the stale row next to the new one. The written buckets are
+        # read off tmp's partition listing: free, no extra job.
+        written = {d for d in os.listdir(tmp) if d.startswith("_bkt=")}
+        stray = sorted(written - touched_dirs)
+        if stray:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                f"merge_touched emitted rows in untouched buckets "
+                f"{stray}; batch_keys must cover every key the merge "
+                "writes")
         for d in os.listdir(prev_dir):
             if d.startswith("_bkt=") and d not in touched_dirs:
                 _link_tree(os.path.join(prev_dir, d), os.path.join(tmp, d))

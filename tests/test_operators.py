@@ -111,6 +111,26 @@ def test_asof_join_basic_and_ties(spark):
     assert out["d"]["px"] is None  # right row is later than left
 
 
+def test_asof_join_rejects_reserved_prefix_columns(spark):
+    """Input columns in the _asof_ namespace must raise a clear
+    ValueError, not collide with the operator's internals (advisor r7)."""
+    from datetime import datetime
+
+    import pytest
+
+    from api_to_amt_data_lake_spark.operators import asof_join
+
+    t0 = datetime(2024, 1, 1, 8)
+    left = spark.createDataFrame([(1, t0, "x")], ["uid", "ts", "_asof_rs"])
+    right = spark.createDataFrame([(1, t0, 1.0)], ["uid", "ts", "px"])
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(left, right, on=["uid"])
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(right, left, on=["uid"])
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(left, right, on=["uid"], direction="nearest")
+
+
 def test_asof_join_tolerance_and_inner(spark):
     from datetime import datetime
 
