@@ -23,9 +23,11 @@ move it in (rename is atomic); the marker path keeps the common case
 (restart after commit) exact with zero overhead.
 
 The models are trained ONCE (`build_ann_index`, typically on a sample —
-`sample_frac`); drift is handled by periodic re-index, not by mutating
-a live index — matching FAISS/IVF production practice where centroid
-stability is what makes shard appends consistent.
+`sample_frac`); drift is handled by periodic re-index
+(`sources/ann_index.py::rebuild_ann_index` — retrain on the current
+corpus, re-encode, atomic generation swap carrying the replay marker),
+not by mutating a live index — matching FAISS/IVF production practice
+where centroid stability is what makes shard appends consistent.
 """
 
 from __future__ import annotations
@@ -53,15 +55,28 @@ def last_applied_batch(index_root: str) -> int:
 
 
 def fold_ann_batch(spark: SparkSession, batch_df: DataFrame,
-                   batch_id: int, index_root: str) -> bool:
+                   batch_id: int, index_root: str,
+                   compact_threshold: int | None = None) -> bool:
     """Append one micro-batch of (id, vector) rows to the persisted
     index; returns False when the batch id was already applied
-    (replay skipped). Empty batches advance the marker only."""
+    (replay skipped). Empty batches advance the marker only.
+
+    `compact_threshold` bounds per-bucket file counts under sustained
+    micro-batching (each append adds ~one file per touched bucket, so a
+    long-lived stream otherwise accumulates thousands): buckets past
+    the threshold are rewritten after the marker commits — compaction
+    is content-preserving, so replay semantics are untouched."""
     if batch_id <= last_applied_batch(index_root):
         return False
     if not batch_df.isEmpty():
         ann_index_append(spark, index_root, batch_df)
     write_marker(_marker(index_root), batch_id)
+    if compact_threshold is not None:
+        from api_to_amt_data_lake_spark.sources.ann_index import (
+            compact_index_buckets,
+        )
+        compact_index_buckets(spark, index_root,
+                              max_files=compact_threshold)
     return True
 
 
@@ -107,15 +122,19 @@ def stream_ann_index(
     index_root: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    compact_threshold: int | None = None,
 ):
     """Start a stream appending every micro-batch of embedding rows to
     the persisted ANN index. The index must already exist
     (`build_ann_index`); the stream's columns must include the index's
-    id and vector columns. Returns the StreamingQuery."""
+    id and vector columns. `compact_threshold` keeps per-bucket file
+    counts bounded under sustained micro-batching (see
+    `fold_ann_batch`). Returns the StreamingQuery."""
     spark = stream_df.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        fold_ann_batch(spark, batch_df, batch_id, index_root)
+        fold_ann_batch(spark, batch_df, batch_id, index_root,
+                       compact_threshold=compact_threshold)
 
     writer = stream_df.writeStream.foreachBatch(fold) \
         .option("checkpointLocation", checkpoint_dir)

@@ -131,3 +131,119 @@ def test_meta_tracks_appends(spark, index_root):
     *_, meta = load_ann_index(spark, index_root)
     assert meta["appended_shards"] >= 1
     assert meta["m"] == 2 and meta["id_col"] == "vec_id"
+
+
+def test_rebuild_matches_fresh_build_and_bumps_generation(
+        spark, tmp_path):
+    """VERDICT r7 item 3: after drifty appends, `rebuild_ann_index`
+    retrains on the current corpus and atomically swaps — search over
+    the rebuilt index must equal search over an index FRESH-built from
+    the same corpus with the same hyperparameters, and the generation
+    counter must advance."""
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        rebuild_ann_index,
+    )
+
+    e, base, shard = _halves(spark)
+    root = str(tmp_path / "idx")
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    ann_index_append(spark, root, shard)
+    gen = rebuild_ann_index(spark, e, root, kc=4, coarse_iters=2,
+                            k=4, iters=2)
+    assert gen == 1
+    *_, meta = load_ann_index(spark, root)
+    assert meta["generation"] == 1 and meta["appended_shards"] == 0
+    assert meta["m"] == 2  # inherited from the previous generation
+
+    fresh = str(tmp_path / "fresh")
+    build_ann_index(e, fresh, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    q = e.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, ann_index_search(
+        spark, root, q, k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, ann_index_search(
+        spark, fresh, q, k=3, nprobe=2).collect()))
+    assert got == want and len(got) > 0
+    # No swap debris.
+    assert not os.path.isdir(root + "._tmp")
+    assert not os.path.isdir(root + "._old")
+
+
+def test_save_swap_is_crash_safe(spark, tmp_path):
+    """Advisor r7: a failure mid-save must leave the PREVIOUS index
+    loadable (the old rmtree-first shape left nothing). Inject a write
+    failure into the new codes and confirm the old index still
+    searches; then simulate the crash window between the two renames
+    and confirm `_repair_root` restores the live index on next load."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from api_to_amt_data_lake_spark.operators.similarity import ivfpq_fit
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        save_ann_index,
+    )
+
+    e, base, _ = _halves(spark)
+    root = str(tmp_path / "idx")
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    q = e.filter(F.col("vec_id") < 5)
+    before = sorted(map(tuple, ann_index_search(
+        spark, root, q, k=3, nprobe=2).collect()))
+
+    coarse, book, codes = ivfpq_fit(
+        e, "vec_id", "embedding", kc=4, coarse_iters=2, m=2, k=4,
+        iters=2)
+    boom = F.udf(lambda v: (_ for _ in ()).throw(RuntimeError("boom")),
+                 T.IntegerType())
+    poisoned = codes.withColumn("code", boom("code"))
+    with _pytest.raises(Exception):
+        save_ann_index(root, coarse, book, poisoned, "vec_id",
+                       "embedding", 2)
+    after = sorted(map(tuple, ann_index_search(
+        spark, root, q, k=3, nprobe=2).collect()))
+    assert after == before  # old index intact
+
+    # Crash window: live root renamed aside, tmp never renamed in.
+    os.rename(root, root + "._old")
+    got = sorted(map(tuple, ann_index_search(
+        spark, root, q, k=3, nprobe=2).collect()))
+    assert got == before
+    assert os.path.isdir(root) and not os.path.isdir(root + "._old")
+
+
+def test_compaction_bounds_files_and_preserves_content(spark, tmp_path):
+    """VERDICT r7 item 4: sustained appends with `compact_threshold`
+    keep per-bucket parquet file counts bounded while the code rows
+    stay exactly the union of every shard appended."""
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        bucket_file_counts,
+        compact_index_buckets,
+    )
+
+    e, base, shard = _halves(spark)
+    root = str(tmp_path / "idx")
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    # 12 micro-shards of the other half, appended with a tight
+    # compaction threshold.
+    parts = shard.withColumn(
+        "_p", F.pmod(F.xxhash64("vec_id"), F.lit(12)))
+    for i in range(12):
+        ann_index_append(spark, root,
+                         parts.filter(F.col("_p") == i).drop("_p"),
+                         compact_threshold=4)
+    counts = bucket_file_counts(root)
+    assert counts and max(counts.values()) <= 4 + 1, counts
+    # Content: exactly base + shard code rows, no loss, no duplicates.
+    codes = spark.read.parquet(os.path.join(root, "codes"))
+    assert codes.count() == e.count() * 2  # m=2 rows per vector
+    assert codes.select("vec_id").distinct().count() == e.count()
+    # Idempotent when under threshold; content stable across a forced
+    # full compaction.
+    h0 = codes.orderBy("vec_id", "sub_idx").collect()
+    assert compact_index_buckets(spark, root, max_files=0) != []
+    h1 = spark.read.parquet(os.path.join(root, "codes")) \
+        .orderBy("vec_id", "sub_idx").collect()
+    assert h1 == h0
