@@ -4926,6 +4926,49 @@ def q95e_persisted_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rank").cast("int").alias("rank"))
 
 
+@register("q95f_rebuilt_index", oracle=_ivfpq_oracle())
+def q95f_rebuilt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index generation rebuild (`sources/ann_index.py::
+    rebuild_ann_index`, VERDICT r7 missing item 1): start from the
+    q95e drifted state — models trained on the Knuth-hash HALF, both
+    halves' codes appended — then RETRAIN on the full corpus and
+    atomically swap the new generation in. The rebuilt index's search
+    must hash-match the fully-unrolled full-corpus IVFPQ oracle (the
+    exact SQL q95b pins), proving the rebuild path ≡ a fresh
+    one-lineage fit on today's corpus: same trainers, same folded
+    re-encode, nothing carried over from the stale generation but the
+    meta (m inherited, generation bumped)."""
+    import hashlib
+    import tempfile
+
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        _M32,
+        hash_bucket,
+    )
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        ann_index_append,
+        ann_index_search,
+        build_ann_index,
+        rebuild_ann_index,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half = hash_bucket(F.col("vec_id").cast("long")) < int(0.5 * _M32)
+    base, shard = e.filter(half), e.filter(~half)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"ann_index_q95f_{tag}")
+    # Stale-generation state: base-half models, full-corpus codes.
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    ann_index_append(spark, root, shard)
+    rebuild_ann_index(spark, e, root, kc=4, coarse_iters=2, k=4,
+                      iters=2)
+    q = e.filter(F.col("vec_id") < 5)
+    return ann_index_search(spark, root, q, k=3, nprobe=1) \
+        .select("query_id", "match_id", "adc_dist",
+                F.col("rank").cast("int").alias("rank"))
+
+
 @register("q93_corpus_shuffle", oracle="""
 SELECT doc_id, CAST(row_number() OVER (
   ORDER BY md5(doc_id || ':42')) - 1 AS BIGINT) AS shuffle_pos

@@ -104,6 +104,8 @@ HEADLINE = [
     "q99za_scd2_merge_store",
     "q99zb_fuzzy_join",
     "q99zc_asof_nearest",
+    # round 8
+    "q95f_rebuilt_index",
 ]
 
 
