@@ -542,10 +542,12 @@ def _decode_gif(b: bytes) -> tuple[int, int, int, bytes]:
 
 def _decode_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch real pixel decode by magic bytes: BMP (struct+numpy),
-    PNG (stdlib zlib inflate + unfilter), GIF (pure-Python LZW), and
+    PNG (stdlib zlib inflate + unfilter), GIF (pure-Python LZW),
     baseline + progressive JPEG (pure-Python Huffman + numpy IDCT,
-    `operators/jpeg.py`) all decode for real. Video bitstreams (H.264)
-    raise a named contract."""
+    `operators/jpeg.py`), and H.264 Annex-B intra streams (NAL/SPS/PPS
+    /slice parse + I_PCM macroblocks, `operators/h264.py`) all decode
+    for real. The named boundary is now INSIDE H.264: entropy-coded
+    (CAVLC/CABAC) macroblock residuals."""
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:8] == b"\x89PNG\r\n\x1a\x0a":
@@ -557,10 +559,16 @@ def _decode_pixels(b: bytes) -> tuple[int, int, int, bytes]:
             decode_jpeg_baseline,
         )
         return decode_jpeg_baseline(b)
+    if b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
+        from api_to_amt_data_lake_spark.operators.h264 import (
+            decode_h264_iframe,
+        )
+        return decode_h264_iframe(b)
     raise ValueError(
-        "pixel decode is real for BMP, PNG, GIF, and baseline + "
-        "progressive JPEG; video bitstreams (H.264) need a codec "
-        "library — contract: "
+        "pixel decode is real for BMP, PNG, GIF, baseline + "
+        "progressive JPEG, and H.264 intra (Annex-B, I_PCM "
+        "macroblocks); entropy-coded H.264 residuals (CAVLC/CABAC) "
+        "need a codec library — contract: "
         "(id, content) -> (id, width, height, channels, pixels)")
 
 

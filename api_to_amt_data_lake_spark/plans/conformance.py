@@ -3122,6 +3122,73 @@ def q74h_mjpeg_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.mapInPandas(decode, out_schema)
 
 
+@register("q74i_h264_pixel_decode", oracle="""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+SELECT d.doc_id, CAST(20 AS INTEGER) AS width,
+  CAST(18 AS INTEGER) AS height,
+  CAST((SELECT sum((20 * (d.doc_id % 6) + 3 * y + 7 * x) % 256)
+        FROM range(20) t(x), range(18) s(y)) AS BIGINT) AS pixel_sum,
+  round(CAST((SELECT sum((20 * (d.doc_id % 6) + 3 * y + 7 * x) % 256)
+              FROM range(20) t(x), range(18) s(y)) AS DOUBLE) / 360,
+        6) AS pixel_mean
+FROM docs d
+""")
+def q74i_h264_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 video bitstream decode END TO END (r8 — the named video
+    boundary moved inward, `operators/h264.py`): each row picks one of
+    six plan-time Annex-B baseline streams (SPS + PPS + one IDR slice
+    of I_PCM macroblocks carrying the gradient 20·(doc_id%6) + 3·y +
+    7·x mod 256 at 20×18 — NOT a macroblock multiple, so frame
+    cropping is exercised, and the gradient's zero bytes force
+    emulation-prevention round-trips). The real NAL/SPS/PPS/slice
+    parser + I_PCM decode turn the stream back into exact pixels, so
+    the oracle is pure arithmetic over (doc_id, x, y). One fused
+    Arrow-batched pass, zero Exchange (the multimodal plan-audit
+    family)."""
+    import numpy as np  # local: plan-time fixtures + Python workers
+    import pandas as pd
+
+    from api_to_amt_data_lake_spark.operators.h264 import (
+        decode_h264_iframe,
+        encode_h264_ipcm,
+    )
+
+    def h264_fixture(m: int) -> str:
+        img = ((20 * m + 3 * np.arange(18)[:, None]
+                + 7 * np.arange(20)[None, :]) % 256).astype(np.uint8)
+        return encode_h264_ipcm(img).hex().upper()
+
+    variants = F.array(*[F.lit(h264_fixture(m)) for m in range(6)])
+    blobs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id"),
+            F.unhex(F.element_at(variants,
+                                 (F.col("doc_id") % 6 + 1).cast("int")))
+            .alias("content"),
+        )
+    )
+
+    out_schema = ("doc_id long, width int, height int, "
+                  "pixel_sum long, pixel_mean double")
+
+    def decode(batches):
+        for pdf in batches:
+            px = [decode_h264_iframe(bytes(b)) for b in pdf["content"]]
+            arrs = [np.frombuffer(p[3], dtype=np.uint8) for p in px]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": [p[0] for p in px],
+                "height": [p[1] for p in px],
+                "pixel_sum": [int(a.sum()) for a in arrs],
+                "pixel_mean": [round(float(a.sum()) / a.size, 6)
+                               for a in arrs],
+            })
+
+    return blobs.mapInPandas(decode, out_schema)
+
+
 @register("q75_feature_ann", oracle=f"""
 WITH feat AS (
   SELECT doc_id AS vec_id,

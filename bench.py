@@ -106,6 +106,7 @@ HEADLINE = [
     "q99zc_asof_nearest",
     # round 8
     "q95f_rebuilt_index",
+    "q74i_h264_pixel_decode",
 ]
 
 

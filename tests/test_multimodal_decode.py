@@ -130,8 +130,90 @@ def test_decode_bmp_pixels_roundtrip(spark):
     np.testing.assert_array_equal(got, img)  # exact: BGR flip + row flip undone
 
 
-def test_decode_image_rejects_video_bitstreams(spark):
-    with pytest.raises(Exception, match="codec"):
+def test_decode_h264_ipcm_roundtrip(spark):
+    """H.264 Annex-B intra decode (r8 — the video boundary moved
+    inward): a conformant baseline stream of I_PCM macroblocks decodes
+    byte-exact through the same decode_image operator, including
+    non-MB-multiple dimensions (frame cropping) and zero-heavy content
+    (emulation-prevention bytes on both encode and decode)."""
+    from api_to_amt_data_lake_spark.operators.h264 import encode_h264_ipcm
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(18, 20), dtype=np.uint8)
+    img[:4, :6] = 0  # zero runs force emulation-prevention bytes
+    out = decode_image(_blob_df(spark, [encode_h264_ipcm(img)])) \
+        .collect()[0]
+    assert (out["width"], out["height"], out["channels"]) == (20, 18, 1)
+    got = np.frombuffer(bytes(out["pixels"]), dtype=np.uint8).reshape(18, 20)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_decode_h264_named_boundaries():
+    """Inside H.264 the boundary is now precise: CABAC streams and
+    entropy-coded (non-I_PCM) macroblocks raise errors NAMING the
+    contract; P/B slices likewise."""
+    from api_to_amt_data_lake_spark.operators.h264 import (
+        _BitWriter,
+        _nal,
+        decode_h264_iframe,
+        encode_h264_ipcm,
+    )
+
+    good = encode_h264_ipcm(np.full((16, 16), 7, dtype=np.uint8))
+    nals = good.split(b"\x00\x00\x00\x01")[1:]  # [sps, pps, slice]
+    sps_nal = b"\x00\x00\x00\x01" + nals[0]
+
+    # CABAC PPS: flip entropy_coding_mode_flag.
+    pps = _BitWriter()
+    for v in (0, 0):
+        pps.ue(v)
+    pps.u(1, 1)  # entropy_coding_mode_flag = CABAC
+    pps.u(0, 1)
+    for v in (0, 0, 0):
+        pps.ue(v)
+    pps.u(0, 1)
+    pps.u(0, 2)
+    for v in (0, 0, 0):
+        pps.se(v)
+    pps.u(1, 1)
+    pps.u(0, 1)
+    pps.u(0, 1)
+    pps.rbsp_trailing()
+    stream = (sps_nal + _nal(3, 8, pps.rbsp())
+              + b"\x00\x00\x00\x01" + nals[2])
+    with pytest.raises(ValueError, match="CABAC"):
+        decode_h264_iframe(stream)
+
+    # Entropy-coded macroblock (mb_type 0 = I_NxN) in a CAVLC slice.
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(7)
+    sl.ue(0)
+    sl.u(0, 4)
+    sl.ue(0)
+    sl.u(1, 1)
+    sl.u(1, 1)
+    sl.se(0)
+    sl.ue(1)
+    sl.ue(0)  # mb_type 0: I_NxN — the named CAVLC boundary
+    sl.rbsp_trailing()
+    stream = (sps_nal + b"\x00\x00\x00\x01" + nals[1]
+              + _nal(3, 5, sl.rbsp()))
+    with pytest.raises(ValueError, match="CAVLC"):
+        decode_h264_iframe(stream)
+
+    # P slice (slice_type 0).
+    sl = _BitWriter()
+    sl.ue(0)
+    sl.ue(0)  # slice_type P
+    sl.rbsp_trailing()
+    with pytest.raises(ValueError, match="intra"):
+        decode_h264_iframe(sps_nal + b"\x00\x00\x00\x01" + nals[1]
+                           + _nal(3, 1, sl.rbsp()))
+
+
+def test_decode_image_rejects_garbage_video_bitstreams(spark):
+    with pytest.raises(Exception, match="H.264|Golomb|slice|NAL"):
         decode_image(_blob_df(spark, [b"\x00\x00\x00\x01h264 nalu"])) \
             .collect()
 

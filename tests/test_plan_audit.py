@@ -24,7 +24,8 @@ PYTHON_OK = {"q36_binary_metadata", "q18_multimodal_decode",
              "q74b_png_pixel_decode", "q74c_gif_pixel_decode",
              "q74d_jpeg_pixel_decode", "q74e_progressive_jpeg_decode",
              "q74f_wav_audio_features", "q74g_audio_goertzel",
-             "q74h_mjpeg_pixel_decode", "q75_feature_ann"}
+             "q74h_mjpeg_pixel_decode", "q74i_h264_pixel_decode",
+             "q75_feature_ann"}
 
 SF_DIR = "/root/testdata/sf0.001"
 
