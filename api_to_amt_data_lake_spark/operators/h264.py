@@ -54,6 +54,8 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def u(self, n: int) -> int:
+        if self.pos + n > 8 * len(self.data):
+            raise ValueError("H.264 bitstream truncated mid-read")
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]
@@ -79,6 +81,8 @@ class _BitReader:
     def bytes_raw(self, n: int) -> bytes:
         assert self.pos % 8 == 0
         start = self.pos >> 3
+        if start + n > len(self.data):
+            raise ValueError("H.264 bitstream truncated mid-read")
         self.pos += 8 * n
         return self.data[start:start + n]
 
@@ -198,6 +202,7 @@ def parse_sps(rbsp: bytes) -> dict:
     r.u(8)  # constraint flags + reserved
     level_idc = r.u(8)
     sps_id = r.ue()
+    chroma_format_idc = 1  # 4:2:0 implied below high profiles
     if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
         chroma_format_idc = r.ue()
         if chroma_format_idc == 3:
@@ -210,10 +215,11 @@ def parse_sps(rbsp: bytes) -> dict:
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
     log2_max_poc_lsb = 0
+    poc_always_zero = 1
     if poc_type == 0:
         log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
-        r.u(1)
+        poc_always_zero = r.u(1)  # delta_pic_order_always_zero_flag
         r.se()
         r.se()
         for _ in range(r.ue()):
@@ -232,8 +238,10 @@ def parse_sps(rbsp: bytes) -> dict:
     return {
         "sps_id": sps_id, "profile_idc": profile_idc,
         "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type, "log2_max_poc_lsb": log2_max_poc_lsb,
+        "poc_always_zero": poc_always_zero,
         "width_mbs": w_mbs, "height_mbs": h_map,
         "crop": crop,
         "width": 16 * w_mbs - 2 * (crop[0] + crop[1]),
@@ -290,11 +298,21 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict,
         r.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
             r.se()
+    elif sps["poc_type"] == 1 and not sps["poc_always_zero"]:
+        r.se()  # delta_pic_order_cnt[0]
+        if pps["bottom_field_poc"]:
+            r.se()  # delta_pic_order_cnt[1]
     if pps["redundant_pic"]:
         r.ue()
-    if nal_ref_idc != 0 and nal_type == 5:
-        r.u(1)  # no_output_of_prior_pics_flag
-        r.u(1)  # long_term_reference_flag
+    if nal_ref_idc != 0:  # dec_ref_pic_marking
+        if nal_type == 5:
+            r.u(1)  # no_output_of_prior_pics_flag
+            r.u(1)  # long_term_reference_flag
+        elif r.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise ValueError(
+                "H.264 adaptive reference-picture marking (memory "
+                "management control ops) not supported in a non-IDR "
+                "reference slice")
     slice_qp = pps["init_qp"] + r.se()
     if pps["deblock_ctrl"]:
         if r.ue() != 1:  # disable_deblocking_filter_idc
@@ -324,15 +342,45 @@ def decode_h264_iframe(b: bytes) -> tuple[int, int, int, bytes]:
                     "H.264 CABAC entropy coding not supported; "
                     "re-encode with CAVLC (entropy_coding_mode_flag=0)")
             r = _BitReader(rbsp)
-            _parse_slice_header(r, sps, pps, nal_type, ref_idc)
+            hdr = _parse_slice_header(r, sps, pps, nal_type, ref_idc)
+            if hdr["first_mb"] != 0:
+                raise ValueError(
+                    "H.264 multi-slice pictures not supported: "
+                    f"slice starts at macroblock {hdr['first_mb']}")
             return _decode_i_slice(r, sps)
     raise ValueError("H.264 stream contains no slice NAL unit")
 
 
+def _more_rbsp_data(r: _BitReader) -> bool:
+    """True while bits remain before the rbsp_stop_bit (the LAST set
+    bit in the RBSP, per the spec's more_rbsp_data())."""
+    i = len(r.data) - 1
+    while i >= 0 and r.data[i] == 0:
+        i -= 1
+    if i < 0:
+        return False
+    b = r.data[i]
+    low = (b & -b).bit_length() - 1  # lowest set bit index
+    stop = 8 * i + (7 - low)  # bit position of the stop bit
+    return r.pos < stop
+
+
 def _decode_i_slice(r: _BitReader, sps: dict) -> tuple[int, int, int, bytes]:
+    if sps["chroma_format_idc"] != 1:
+        # I_PCM payload size and crop units below assume 4:2:0; 4:4:4 /
+        # 4:2:2 / monochrome would mis-stride every macroblock.
+        raise ValueError(
+            f"H.264 chroma_format_idc {sps['chroma_format_idc']}: only "
+            "4:2:0 streams are decoded")
     w_mbs, h_mbs = sps["width_mbs"], sps["height_mbs"]
     y = np.zeros((16 * h_mbs, 16 * w_mbs), dtype=np.uint8)
     for mb in range(w_mbs * h_mbs):
+        if not _more_rbsp_data(r):
+            # Slice data ended (only the rbsp stop bit remains) before
+            # covering the picture: the frame is split across slices.
+            raise ValueError(
+                "H.264 multi-slice pictures not supported: slice data "
+                f"ended after {mb} of {w_mbs * h_mbs} macroblocks")
         mb_type = r.ue()
         if mb_type != 25:  # not I_PCM
             raise ValueError(

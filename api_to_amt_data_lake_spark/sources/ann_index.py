@@ -65,12 +65,42 @@ _META = "meta.json"
 
 def _repair_root(root: str) -> None:
     """Heal the one non-atomic window in the save swap: a crash between
-    rename(root → old) and rename(tmp → root) leaves the complete old
-    index only under the `._old` name. Restore it so loads (and the
-    next save's cleanup) see a live index again."""
-    old = root + "._old"
-    if not os.path.isdir(root) and os.path.isdir(old):
+    rename(root → old) and rename(tmp → root) leaves no live root, the
+    COMPLETE new index under `._tmp` (meta is written into tmp before
+    any rename) and the old one under `._old`. Prefer promoting the new
+    generation; fall back to restoring the old. Single-writer contract:
+    concurrent saves from multiple processes need external locking —
+    a racing reader promoting tmp is tolerated by the saver (its own
+    rename then finds the work already done)."""
+    if os.path.isdir(root):
+        return
+    tmp, old = root + "._tmp", root + "._old"
+    if os.path.isdir(tmp) and os.path.isfile(os.path.join(tmp, _META)):
+        try:
+            os.rename(tmp, root)
+            return
+        except OSError:  # a racing repair won; fall through
+            if os.path.isdir(root):
+                return
+    if os.path.isdir(old):
         os.rename(old, root)
+
+
+def _repair_compaction(root: str) -> None:
+    """Heal compaction's per-bucket rename gap: a crash between
+    rename(live → old) and rename(tmp → live) leaves the bucket only
+    under `.compact_old_…`. Called by every load so a search-only
+    deployment (which never compacts again) still sees the bucket."""
+    codes = os.path.join(root, "codes")
+    for d in os.listdir(root):
+        if d.startswith(".compact_old_"):
+            live = os.path.join(codes, d[len(".compact_old_"):])
+            if not os.path.isdir(live):
+                os.rename(os.path.join(root, d), live)
+            else:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        elif d.startswith(".compact_tmp_"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def save_ann_index(
@@ -82,6 +112,7 @@ def save_ann_index(
     vec_col: str,
     m: int,
     generation: int = 0,
+    extra_files: dict[str, str] | None = None,
 ) -> None:
     """Persist a trained IVFPQ index (the `ivfpq_fit` triple). Replaces
     any index already at `index_root` ATOMICALLY: the new index is fully
@@ -106,11 +137,25 @@ def save_ann_index(
      .parquet(os.path.join(tmp, "codes")))
     meta = {"id_col": id_col, "vec_col": vec_col, "m": int(m),
             "appended_shards": 0, "generation": int(generation)}
+    # Sidecar files (e.g. the streaming replay marker carried across a
+    # rebuild) land in tmp BEFORE the swap: a crash at any point then
+    # leaves either the old index with its old marker or the new index
+    # with the carried one — never a marker-less live index.
+    for fname, content in (extra_files or {}).items():
+        with open(os.path.join(tmp, fname), "w") as f:
+            f.write(content)
     with open(os.path.join(tmp, _META), "w") as f:
         json.dump(meta, f)
     if os.path.isdir(root):
         os.rename(root, old)
-    os.rename(tmp, root)
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        # A racing reader's _repair_root may have promoted tmp already
+        # (single-writer contract; readers may race the swap).
+        if not (os.path.isdir(root)
+                and os.path.isfile(os.path.join(root, _META))):
+            raise
     shutil.rmtree(old, ignore_errors=True)
 
 
@@ -179,11 +224,15 @@ def rebuild_ann_index(
         corpus, id_col, vec_col, kc=kc, coarse_iters=coarse_iters, m=m,
         k=k, iters=iters, sample_frac=sample_frac)
     gen = prev_gen + 1
+    # The replay marker rides INSIDE the swap (written into the tmp
+    # tree before any rename): a crash mid-rebuild can never leave a
+    # live index without its marker, which would reset replay
+    # protection to -1 and re-append batches the rebuilt corpus
+    # already contains.
     save_ann_index(root, coarse, book, codes, id_col, vec_col, m,
-                   generation=gen)
-    if marker is not None:
-        with open(os.path.join(root, "_last_batch"), "w") as f:
-            f.write(marker)
+                   generation=gen,
+                   extra_files=(None if marker is None
+                                else {"_last_batch": marker}))
     return gen
 
 
@@ -206,8 +255,11 @@ def load_ann_index(
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """(coarse, book, codes, meta) from a persisted index. The codes
     frame keeps its hive bucket partitioning, so `bucket` filters prune
-    at the file level."""
+    at the file level. Both crash windows heal here — the save swap's
+    rename gap and compaction's per-bucket rename gap — so a
+    search-only deployment never silently reads a partial index."""
     _repair_root(str(index_root))
+    _repair_compaction(str(index_root))
     with open(os.path.join(index_root, _META)) as f:
         meta = json.load(f)
     coarse = spark.read.parquet(os.path.join(index_root, "coarse"))
@@ -266,18 +318,7 @@ def compact_index_buckets(
     not the index. Returns the bucket ids compacted."""
     root = str(index_root)
     codes = os.path.join(root, "codes")
-    # Crash repair from a prior interrupted swap: restore any bucket
-    # whose live dir vanished between rename-aside and rename-in; drop
-    # half-written tmps.
-    for d in os.listdir(root):
-        if d.startswith(".compact_old_"):
-            live = os.path.join(codes, d[len(".compact_old_"):])
-            if not os.path.isdir(live):
-                os.rename(os.path.join(root, d), live)
-            else:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        elif d.startswith(".compact_tmp_"):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    _repair_compaction(root)  # crash debris from a prior interrupted swap
 
     compacted: list[int] = []
     for b, n_files in sorted(bucket_file_counts(root).items()):

@@ -213,6 +213,65 @@ def test_save_swap_is_crash_safe(spark, tmp_path):
     assert os.path.isdir(root) and not os.path.isdir(root + "._old")
 
 
+def test_crash_repairs_on_load(spark, tmp_path):
+    """Review findings r8: every crash window heals on LOAD, not just
+    on the next writer call — a search-only deployment must never
+    silently read a partial index. (a) compaction's rename gap: a
+    bucket stranded under .compact_old_ is restored; (b) the save
+    swap's rename gap: a complete ._tmp is PROMOTED when the live root
+    is missing; (c) a rebuild carries the streaming replay marker
+    inside the swap."""
+    import shutil as _sh
+
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        rebuild_ann_index,
+    )
+    from api_to_amt_data_lake_spark.streaming.ann import (
+        last_applied_batch,
+    )
+
+    e, base, shard = _halves(spark)
+    root = str(tmp_path / "idx")
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    q = e.filter(F.col("vec_id") < 5)
+    want = sorted(map(tuple, ann_index_search(
+        spark, root, q, k=3, nprobe=4).collect()))
+
+    # (a) Strand one bucket in the compaction crash state.
+    codes = os.path.join(root, "codes")
+    b0 = next(d for d in os.listdir(codes) if d.startswith("bucket="))
+    os.rename(os.path.join(codes, b0),
+              os.path.join(root, f".compact_old_{b0}"))
+    got = sorted(map(tuple, ann_index_search(
+        spark, root, q, k=3, nprobe=4).collect()))
+    assert got == want
+    assert os.path.isdir(os.path.join(codes, b0))
+
+    # (b) Save-swap crash state: live root renamed aside, complete tmp
+    # present — load must promote the NEW generation.
+    with open(os.path.join(root, "_last_batch"), "w") as f:
+        f.write("7")
+    rebuild_ann_index(spark, e, root, kc=4, coarse_iters=2, k=4,
+                      iters=2)
+    # (c) marker rode inside the swap
+    assert last_applied_batch(root) == 7
+    rebuilt = sorted(map(tuple, ann_index_search(
+        spark, root, q, k=3, nprobe=4).collect()))
+    _sh.copytree(root, root + "._tmp")
+    import json as _json
+    mp = os.path.join(root + "._tmp", "meta.json")
+    m2 = _json.load(open(mp))
+    m2["generation"] = 2  # the "new generation" the crashed save built
+    _json.dump(m2, open(mp, "w"))
+    os.rename(root, root + "._old")
+    got = sorted(map(tuple, ann_index_search(
+        spark, root, q, k=3, nprobe=4).collect()))
+    assert got == rebuilt
+    *_, meta = load_ann_index(spark, root)
+    assert meta["generation"] == 2  # the promoted tmp, not the old gen 1
+
+
 def test_compaction_bounds_files_and_preserves_content(spark, tmp_path):
     """VERDICT r7 item 4: sustained appends with `compact_threshold`
     keep per-bucket parquet file counts bounded while the code rows

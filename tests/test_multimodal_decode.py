@@ -211,6 +211,26 @@ def test_decode_h264_named_boundaries():
         decode_h264_iframe(sps_nal + b"\x00\x00\x00\x01" + nals[1]
                            + _nal(3, 1, sl.rbsp()))
 
+    # Multi-slice picture: a second-slice header (first_mb != 0) is a
+    # named boundary, and a slice whose data ends early likewise.
+    sl = _BitWriter()
+    sl.ue(1)  # first_mb_in_slice != 0
+    sl.ue(7)
+    sl.ue(0)
+    sl.u(0, 4)
+    sl.ue(0)
+    sl.u(1, 1)
+    sl.u(1, 1)
+    sl.se(0)
+    sl.ue(1)
+    sl.rbsp_trailing()
+    with pytest.raises(ValueError, match="multi-slice"):
+        decode_h264_iframe(sps_nal + b"\x00\x00\x00\x01" + nals[1]
+                           + _nal(3, 5, sl.rbsp()))
+    truncated = good[:len(good) - 300]  # cut into the I_PCM payload
+    with pytest.raises(ValueError, match="multi-slice|truncated"):
+        decode_h264_iframe(truncated)
+
 
 def test_decode_image_rejects_garbage_video_bitstreams(spark):
     with pytest.raises(Exception, match="H.264|Golomb|slice|NAL"):
