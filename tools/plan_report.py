@@ -84,6 +84,14 @@ SHOWCASE = [
      "MERGE-splice store: a plain partitioned-parquet scan — all fold "
      "work happened incrementally at write time, touched-buckets "
      "only"),
+    ("q95f_rebuilt_index", "search over a REBUILT (generation-swapped) "
+     "index: identical plan shape to the fresh-built search — "
+     "partition-pruned codes scan, broadcast models, no trainer or "
+     "old-generation lineage survives the swap"),
+    ("q74i_h264_pixel_decode", "H.264 intra decode: one Arrow-batched "
+     "mapInPandas projection over the documents scan — zero Exchange, "
+     "the whole NAL-parse + I_PCM decode pipelines inside a single "
+     "stage"),
 ]
 
 
