@@ -203,12 +203,13 @@ def parse_sps(rbsp: bytes) -> dict:
     level_idc = r.u(8)
     sps_id = r.ue()
     chroma_format_idc = 1  # 4:2:0 implied below high profiles
+    bit_depth_luma = bit_depth_chroma = 8
     if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
         chroma_format_idc = r.ue()
         if chroma_format_idc == 3:
             r.u(1)  # separate_colour_plane_flag
-        r.ue()  # bit_depth_luma_minus8
-        r.ue()  # bit_depth_chroma_minus8
+        bit_depth_luma = r.ue() + 8
+        bit_depth_chroma = r.ue() + 8
         r.u(1)  # qpprime_y_zero_transform_bypass_flag
         if r.u(1):  # seq_scaling_matrix_present_flag
             raise ValueError("H.264 scaling matrices not supported")
@@ -235,17 +236,32 @@ def parse_sps(rbsp: bytes) -> dict:
     crop = (0, 0, 0, 0)
     if r.u(1):  # frame_cropping_flag
         crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    if w_mbs * h_map > 1 << 22:
+        # 4M macroblocks = a gigapixel frame; beyond any H.264 level.
+        # Unvalidated, a ~20-byte hostile blob could demand a
+        # multi-terabyte numpy allocation.
+        raise ValueError(
+            f"H.264 SPS declares {w_mbs}x{h_map} macroblocks — beyond "
+            "any conformant level; refusing the allocation")
+    width = 16 * w_mbs - 2 * (crop[0] + crop[1])
+    height = 16 * h_map - 2 * (crop[2] + crop[3])
+    if width <= 0 or height <= 0:
+        raise ValueError(
+            f"H.264 SPS frame cropping {crop} exceeds the "
+            f"{16 * w_mbs}x{16 * h_map} coded frame")
     return {
         "sps_id": sps_id, "profile_idc": profile_idc,
         "level_idc": level_idc,
         "chroma_format_idc": chroma_format_idc,
+        "bit_depth_luma": bit_depth_luma,
+        "bit_depth_chroma": bit_depth_chroma,
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type, "log2_max_poc_lsb": log2_max_poc_lsb,
         "poc_always_zero": poc_always_zero,
         "width_mbs": w_mbs, "height_mbs": h_map,
         "crop": crop,
-        "width": 16 * w_mbs - 2 * (crop[0] + crop[1]),
-        "height": 16 * h_map - 2 * (crop[2] + crop[3]),
+        "width": width,
+        "height": height,
     }
 
 
@@ -282,15 +298,22 @@ def parse_pps(rbsp: bytes) -> dict:
 _I_SLICE_TYPES = (2, 7)  # I, I (all slices in picture)
 
 
-def _parse_slice_header(r: _BitReader, sps: dict, pps: dict,
-                        nal_type: int, nal_ref_idc: int) -> dict:
+def _parse_slice_header(r: _BitReader, sps_map: dict, pps_map: dict,
+                        nal_type: int, nal_ref_idc: int) -> tuple:
     first_mb = r.ue()
     slice_type = r.ue()
     if slice_type not in _I_SLICE_TYPES:
         raise ValueError(
             f"H.264 slice_type {slice_type}: only intra (I) slices are "
             "decoded; P/B prediction needs reference-frame state")
-    r.ue()  # pps_id (single-PPS streams: already have it)
+    pps_id = r.ue()
+    if pps_id not in pps_map:
+        raise ValueError(f"H.264 slice references unknown PPS {pps_id}")
+    pps = pps_map[pps_id]
+    if pps["sps_id"] not in sps_map:
+        raise ValueError(
+            f"H.264 PPS {pps_id} references unknown SPS {pps['sps_id']}")
+    sps = sps_map[pps["sps_id"]]
     r.u(sps["log2_max_frame_num"])  # frame_num
     if nal_type == 5:
         r.ue()  # idr_pic_id
@@ -318,8 +341,8 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict,
         if r.ue() != 1:  # disable_deblocking_filter_idc
             r.se()
             r.se()
-    return {"first_mb": first_mb, "slice_type": slice_type,
-            "slice_qp": slice_qp}
+    return ({"first_mb": first_mb, "slice_type": slice_type,
+             "slice_qp": slice_qp}, sps, pps)
 
 
 def decode_h264_iframe(b: bytes) -> tuple[int, int, int, bytes]:
@@ -327,22 +350,28 @@ def decode_h264_iframe(b: bytes) -> tuple[int, int, int, bytes]:
     luma pixels: (width, height, 1, y_plane) — the `_decode_pixels`
     contract. I_PCM macroblocks decode byte-exact; entropy-coded
     macroblocks are the named remaining boundary."""
-    sps: dict | None = None
-    pps: dict | None = None
+    sps_map: dict[int, dict] = {}
+    pps_map: dict[int, dict] = {}
     for ref_idc, nal_type, rbsp in annexb_nals(b):
         if nal_type == 7:
             sps = parse_sps(rbsp)
+            sps_map[sps["sps_id"]] = sps
         elif nal_type == 8:
             pps = parse_pps(rbsp)
+            pps_map[pps["pps_id"]] = pps
         elif nal_type in (1, 5):
-            if sps is None or pps is None:
+            if not sps_map or not pps_map:
                 raise ValueError("H.264 slice before SPS/PPS")
+            r = _BitReader(rbsp)
+            # The slice's pps_id selects its PPS, whose sps_id selects
+            # the SPS — multi-parameter-set streams resolve to the
+            # RIGHT geometry, never the last-seen one.
+            hdr, sps, pps = _parse_slice_header(r, sps_map, pps_map,
+                                                nal_type, ref_idc)
             if pps["cabac"]:
                 raise ValueError(
                     "H.264 CABAC entropy coding not supported; "
                     "re-encode with CAVLC (entropy_coding_mode_flag=0)")
-            r = _BitReader(rbsp)
-            hdr = _parse_slice_header(r, sps, pps, nal_type, ref_idc)
             if hdr["first_mb"] != 0:
                 raise ValueError(
                     "H.264 multi-slice pictures not supported: "
@@ -366,6 +395,12 @@ def _more_rbsp_data(r: _BitReader) -> bool:
 
 
 def _decode_i_slice(r: _BitReader, sps: dict) -> tuple[int, int, int, bytes]:
+    if sps["bit_depth_luma"] != 8 or sps["bit_depth_chroma"] != 8:
+        # I_PCM payload is BitDepth bits per sample; the reads below
+        # hardcode 8-bit strides.
+        raise ValueError(
+            f"H.264 bit depth {sps['bit_depth_luma']}/"
+            f"{sps['bit_depth_chroma']}: only 8-bit streams are decoded")
     if sps["chroma_format_idc"] != 1:
         # I_PCM payload size and crop units below assume 4:2:0; 4:4:4 /
         # 4:2:2 / monochrome would mis-stride every macroblock.

@@ -581,7 +581,10 @@ def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     raw pixel buffers: (id, width, height, channels, pixels: binary),
     Arrow-batched.
 
-    The one remaining named boundary is H.264 video bitstreams: those
+    H.264 Annex-B intra streams also decode for real (`operators/
+    h264.py`: NAL/SPS/PPS/slice parse + byte-exact I_PCM macroblocks,
+    luma plane as grayscale). The remaining named boundary sits INSIDE
+    the codec: entropy-coded residuals (CAVLC/CABAC) and P/B slices
     raise ValueError naming the contract; swap `_decode_pixels` for a
     codec call on a cluster with media libraries installed — the batch
     shape, schema, and partitioning stay identical.

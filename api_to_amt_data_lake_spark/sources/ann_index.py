@@ -86,20 +86,31 @@ def _repair_root(root: str) -> None:
         os.rename(old, root)
 
 
-def _repair_compaction(root: str) -> None:
+def _repair_compaction(root: str, destructive: bool = False) -> None:
     """Heal compaction's per-bucket rename gap: a crash between
     rename(live → old) and rename(tmp → live) leaves the bucket only
     under `.compact_old_…`. Called by every load so a search-only
-    deployment (which never compacts again) still sees the bucket."""
+    deployment (which never compacts again) still sees the bucket.
+
+    The read path is RESTORE-ONLY (`destructive=False`): it renames a
+    stranded `.compact_old_` back when the live bucket is missing but
+    never deletes anything, so a reader racing a live compactor cannot
+    destroy its half-written tmp (the compactor tolerates the
+    restore: its rename-in then finds the bucket back and skips).
+    Only the compactor itself passes `destructive=True` to clear its
+    own debris before starting."""
     codes = os.path.join(root, "codes")
     for d in os.listdir(root):
         if d.startswith(".compact_old_"):
             live = os.path.join(codes, d[len(".compact_old_"):])
             if not os.path.isdir(live):
-                os.rename(os.path.join(root, d), live)
-            else:
+                try:
+                    os.rename(os.path.join(root, d), live)
+                except OSError:  # racing repair won
+                    pass
+            elif destructive:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        elif d.startswith(".compact_tmp_"):
+        elif destructive and d.startswith(".compact_tmp_"):
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
@@ -208,6 +219,11 @@ def rebuild_ann_index(
     re-chosen at rebuild time (that is the point of a new generation).
     """
     root = str(index_root)
+    # Heal a crashed prior swap BEFORE reading meta/marker: started in
+    # the crashed-swap state (no live root, complete ._tmp), a rebuild
+    # would otherwise see no previous index at all — generation reset
+    # to 1 and, worse, the replay marker silently dropped.
+    _repair_root(root)
     prev_gen, prev_m, marker = 0, None, None
     meta_path = os.path.join(root, _META)
     if os.path.isfile(meta_path):
@@ -318,7 +334,7 @@ def compact_index_buckets(
     not the index. Returns the bucket ids compacted."""
     root = str(index_root)
     codes = os.path.join(root, "codes")
-    _repair_compaction(root)  # crash debris from a prior interrupted swap
+    _repair_compaction(root, destructive=True)  # clear own crash debris
 
     compacted: list[int] = []
     for b, n_files in sorted(bucket_file_counts(root).items()):
@@ -332,7 +348,17 @@ def compact_index_buckets(
         old = os.path.join(root, f".compact_old_bucket={b}")
         spark.read.parquet(live).coalesce(n_out).write.parquet(tmp)
         os.rename(live, old)
-        os.rename(tmp, live)
+        try:
+            os.rename(tmp, live)
+        except OSError:
+            # A racing reader's restore-only repair put the old bucket
+            # back between our two renames: the live dir exists again
+            # with the pre-compaction content. Drop our tmp and keep
+            # the (correct, merely uncompacted) live bucket.
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(live):
+                raise
+            continue
         shutil.rmtree(old, ignore_errors=True)
         compacted.append(b)
     return compacted
