@@ -5,7 +5,11 @@ multimodal) that the 100 TB use-case needs.
 
 from api_to_amt_data_lake_spark.operators.aggregates import string_agg_ordered
 from api_to_amt_data_lake_spark.operators.asof import asof_join
-from api_to_amt_data_lake_spark.operators.joins import interval_join, salted_join
+from api_to_amt_data_lake_spark.operators.joins import (
+    bloom_semi_join,
+    interval_join,
+    salted_join,
+)
 from api_to_amt_data_lake_spark.operators.pivots import crosstab_count, pivot_first
 from api_to_amt_data_lake_spark.operators.sampling import stratified_sample
 
@@ -16,5 +20,6 @@ __all__ = [
     "pivot_first",
     "interval_join",
     "salted_join",
+    "bloom_semi_join",
     "stratified_sample",
 ]

@@ -171,6 +171,17 @@ def fuzzy_join(
     def _band(c):
         return F.floor(c / width)
 
+    # Band-key salting (like knn_graph's hot-bucket path): on an
+    # all-short corpus every row lands in ~max_len/(d+1) band keys, so
+    # an unsalted equi-join concentrates Σ|band|² candidate work in a
+    # handful of tasks. Split each band into _BAND_SALTS sub-buckets:
+    # the right side gets a deterministic salt from hash(_rid) and the
+    # left side explodes over all salts, so each (band, salt) bucket
+    # pairs every left row with 1/S of the right rows — the same
+    # lossless candidate multiset, spread over S× more tasks. Left
+    # explode grows only (id, len, band) int tuples, not strings.
+    _BAND_SALTS = 8
+
     def _short_block(ls, lcol, rs, rcol):
         lb = ls.select(
             F.col("_lid"), F.length(lcol).alias("_llen")
@@ -178,10 +189,16 @@ def fuzzy_join(
             "_lid", "_llen",
             F.explode(F.array(_band(F.col("_llen")) - 1,
                               _band(F.col("_llen")),
-                              _band(F.col("_llen")) + 1)).alias("_band"))
+                              _band(F.col("_llen")) + 1)).alias("_band")
+        ).select(
+            "_lid", "_llen", "_band",
+            F.explode(F.array(*[F.lit(s) for s in range(_BAND_SALTS)])
+                      ).alias("_salt"))
         rb = rs.select(F.col("_rid"), F.length(rcol).alias("_rlen"),
-                       _band(F.length(rcol)).alias("_band"))
-        return (lb.join(rb, "_band")
+                       _band(F.length(rcol)).alias("_band"),
+                       F.pmod(F.xxhash64("_rid"), F.lit(_BAND_SALTS))
+                       .cast("int").alias("_salt"))
+        return (lb.join(rb, ["_band", "_salt"])
                 .filter(F.abs(F.col("_llen") - F.col("_rlen"))
                         <= max_dist)
                 .select("_lid", "_rid"))

@@ -193,6 +193,52 @@ def annexb_nals(b: bytes) -> list[tuple[int, int, bytes]]:
     return nals
 
 
+def sniff_annexb_codec(b: bytes) -> str:
+    """Classify an Annex-B-framed stream by its NAL/start-code header
+    bytes WITHOUT parsing payloads. The 00 00 01 / 00 00 00 01 framing
+    is shared by H.264, H.265 and MPEG-2/MPEG-PS, so magic-byte
+    dispatch alone would route foreign codecs into the H.264 parser
+    and surface confusing internal errors ('no slice NAL unit',
+    'forbidden_zero_bit') instead of the codec-boundary contract
+    message. Returns 'h264', 'h265', 'mpeg2-ps', or 'unknown'.
+
+    Heuristics over the first byte after each start code (first 8):
+    - MPEG-2/PS start codes ARE that byte (0xB3 seq, 0xBA pack,
+      0xE0-0xEF PES...) and mostly have the high bit set, which H.264's
+      forbidden_zero_bit forbids → any high bit ⇒ mpeg2-ps.
+    - H.265 NAL types live in bits 6..1 (VPS=32→0x40, SPS=33→0x42,
+      PPS=34→0x44); read as H.264 those give nal_unit_type 0 or other
+      invalid/reserved values → invalid-as-H.264 but valid-as-H.265
+      ⇒ h265.
+    - All headers valid H.264 (zero high bit, type 1..23) ⇒ h264.
+    """
+    hdrs = []
+    i, n = 0, len(b)
+    while i + 2 < n and len(hdrs) < 8:
+        if b[i] == 0 and b[i + 1] == 0:
+            if b[i + 2] == 1:
+                if i + 3 < n:
+                    hdrs.append(b[i + 3])
+                i += 3
+                continue
+            if i + 3 < n and b[i + 2] == 0 and b[i + 3] == 1:
+                if i + 4 < n:
+                    hdrs.append(b[i + 4])
+                i += 4
+                continue
+        i += 1
+    if not hdrs:
+        return "unknown"
+    if any(h & 0x80 for h in hdrs):
+        return "mpeg2-ps"
+    bad_h264 = [h for h in hdrs if not 1 <= (h & 0x1F) <= 23]
+    if not bad_h264:
+        return "h264"
+    if any((h >> 1) & 0x3F in (32, 33, 34) for h in bad_h264):
+        return "h265"
+    return "unknown"
+
+
 # ---------------------------------------------------------------------------
 # Parameter sets
 

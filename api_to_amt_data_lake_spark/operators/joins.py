@@ -86,3 +86,83 @@ def salted_join(
     )
     cond = (l2[left_key] == r2[right_key]) & (l2["_salt"] == r2["_salt"])
     return l2.join(r2, cond, how).drop("_salt")
+
+
+def bloom_semi_join(
+    large: DataFrame,
+    small: DataFrame,
+    large_key: str,
+    small_key: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Semi join with a Bloom-filter pre-pass: build a bitmap over the
+    small side's keys, prune the large side against it with broadcast
+    joins, then (by default) run the exact semi join on the survivors.
+    Output rows are exactly `large LEFT SEMI JOIN small` — the Bloom
+    pass changes WHERE the work happens, never the result.
+
+    Why this matters at 100 TB: a plain shuffle semi join exchanges the
+    ENTIRE large side on the key. The Bloom bitmap is `n_bits/8` bytes
+    (128 KiB at the default 2^20 bits) regardless of how many keys the
+    small side holds — broadcastable even when the small side's key SET
+    is too big to broadcast as a hash relation — and each probe pass is
+    a broadcast hash join, so the large side is pruned to ~the matching
+    rows (plus the false-positive rate, (1-e^{-kn/m})^k) BEFORE the one
+    remaining shuffle. This is the same runtime row-level filtering
+    Spark's own InjectRuntimeFilter applies to selective joins,
+    expressed as an explicit operator so it composes (e.g. ahead of an
+    aggregation or a non-equi refinement).
+
+    Mechanics: hash i of a key is `xxhash64(key, lit(i)) mod n_bits`;
+    the bitmap is (word = bit div 64, mask = BIT_OR of 1<<(bit mod 64))
+    rows — at most n_bits/64 rows, built with one map-side-combined
+    aggregation over the small side. Probing chains `n_hashes`
+    broadcast joins, each keeping rows whose hash-i bit is set; a key
+    survives only if ALL bits are set. `exact=False` returns the
+    pruned-but-unverified frame (useful when a downstream exact join
+    re-checks the key anyway).
+    """
+    def _word(pos: Column) -> Column:
+        return (pos / 64).cast("long")
+
+    def _bit(pos: Column) -> Column:
+        # shiftleft with a COLUMN shift amount needs the SQL form —
+        # pyspark's F.shiftleft only accepts a Python-int numBits.
+        return F.expr("shiftleft(CAST(1 AS BIGINT), "
+                      "CAST(pmod(_pos, 64) AS INT))")
+
+    sk = F.col(small_key)
+    words = None
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(sk, F.lit(i)), F.lit(n_bits))
+        w = small.select(pos.alias("_pos")).select(
+            _word(F.col("_pos")).alias("_word"),
+            _bit(F.col("_pos")).alias("_bit"),
+        )
+        words = w if words is None else words.unionAll(w)
+    bitmap = words.groupBy("_word").agg(F.bit_or("_bit").alias("_mask"))
+
+    pruned = large
+    lk = F.col(large_key)
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(lk, F.lit(i)), F.lit(n_bits))
+        probe = pruned.withColumn("_pos", pos).withColumn(
+            "_pw", _word(F.col("_pos"))
+        ).withColumn("_pb", _bit(F.col("_pos"))).drop("_pos")
+        # All n_hashes passes broadcast the IDENTICAL bitmap subplan —
+        # no per-pass renames — so Spark's ReuseExchange rule builds
+        # the bitmap aggregation once and the remaining passes hit
+        # ReusedExchange instead of recomputing it.
+        bm = F.broadcast(bitmap)
+        pruned = (
+            probe.join(bm, probe["_pw"] == bm["_word"], "left")
+            .filter(F.col("_mask").isNotNull()
+                    & (F.col("_mask").bitwiseAND(F.col("_pb")) != 0))
+            .drop("_pw", "_pb", "_word", "_mask")
+        )
+    if not exact:
+        return pruned
+    return pruned.join(small.select(sk.alias(small_key)).distinct(),
+                       lk == F.col(small_key), "left_semi")

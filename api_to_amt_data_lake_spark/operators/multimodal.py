@@ -560,9 +560,24 @@ def _decode_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         )
         return decode_jpeg_baseline(b)
     if b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
+        # Annex-B framing is shared by H.264, H.265 and MPEG-2/PS —
+        # sniff NAL header bytes before committing to the H.264 parser
+        # so foreign codecs get the codec-boundary contract message,
+        # not an H.264-internal parse error.
         from api_to_amt_data_lake_spark.operators.h264 import (
             decode_h264_iframe,
+            sniff_annexb_codec,
         )
+        codec = sniff_annexb_codec(b)
+        if codec != "h264":
+            name = {"h265": "H.265/HEVC",
+                    "mpeg2-ps": "MPEG-2 / MPEG-PS"}.get(
+                        codec, "an unrecognized Annex-B codec")
+            raise ValueError(
+                f"Annex-B stream looks like {name}, not H.264: "
+                "decoding it needs a codec library — contract: "
+                "(id, content) -> (id, width, height, channels, "
+                "pixels)")
         return decode_h264_iframe(b)
     raise ValueError(
         "pixel decode is real for BMP, PNG, GIF, baseline + "

@@ -6697,6 +6697,229 @@ def q98e_log_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 9 — bloom-prefiltered semi join, decayed popularity, label-vote
+# aggregation, winsorized robust stats, TPC-H Q7-style volume shipping
+# ---------------------------------------------------------------------------
+
+@register("q86g_sql_nation_volume", oracle="""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    year(l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q86g_sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral volume shipping: revenue between a
+    nation PAIR (both directions) by ship year — a 6-table join tree
+    whose small dims (nation twice, supplier, customer) broadcast and
+    whose one big-big join (lineitem ⋈ orders) carries only the
+    filtered fact rows. Catalyst pushes the nation-name disjunction
+    through both broadcast joins, so at 100 TB the exchange holds just
+    the pair's traffic, not the fact table."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("_sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(pair)
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+            .alias("_rev"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("_rev").cast("double").alias("revenue"))
+    )
+
+
+@register("q99zd_bloom_semi_join", oracle="""
+SELECT l_returnflag, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY l_returnflag
+""")
+def q99zd_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (`operators/joins.py::
+    bloom_semi_join`) — the explicit form of Spark's runtime row-level
+    filtering: a 128 KiB bitmap over the selective side's keys prunes
+    the fact table with broadcast joins BEFORE the one exact semi-join
+    shuffle, so at 100 TB the exchange carries ~the matching rows
+    instead of the whole fact table. Result is exactly the plain semi
+    join (the oracle), by construction."""
+    from api_to_amt_data_lake_spark.operators.joins import bloom_semi_join
+
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_totalprice") > 400000)
+    hits = bloom_semi_join(l, o, "l_orderkey", "o_orderkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+
+
+@register("q99ze_decayed_topk", oracle="""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+w AS (
+  SELECT event_type, user_id,
+    round(1.0 / sqrt(1.0 + ((m.ref_us - epoch_us(ts)) / 86400000000.0)),
+          9) AS wt
+  FROM events, mx m
+),
+agg AS (
+  SELECT event_type, user_id,
+    round(CAST(SUM(CAST(wt AS DECIMAL(38,12))) AS DOUBLE), 6)
+      AS decayed_weight
+  FROM w GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, decayed_weight, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY decayed_weight DESC, user_id ASC) AS rnk
+  FROM agg)
+WHERE rnk <= 3
+""")
+def q99ze_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity (trending-content ranking): each event
+    contributes 1/sqrt(1 + age_days) — recency-weighted, and unlike
+    exp()-decay every step (subtract, divide, add, sqrt, reciprocal) is
+    IEEE-correctly-rounded, so the weights are bit-identical across
+    engines before the 9dp round. Top-3 users per event type by decayed
+    weight. Scale shape: one map-side-combined groupBy over the event
+    log (the scalar reference timestamp broadcasts), then a window over
+    the small per-(type,user) aggregate — the log itself is shuffled
+    once, on the aggregation key."""
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    ref = F.broadcast(e.agg(F.max(us).alias("_ref_us")))
+    wt = F.round(
+        F.lit(1.0) / F.sqrt(
+            F.lit(1.0) + (F.col("_ref_us") - us) / F.lit(86400000000.0)),
+        9)
+    agg = (
+        e.crossJoin(ref)
+        .select("event_type", "user_id", wt.alias("_wt"))
+        .groupBy("event_type", "user_id")
+        .agg(F.round(F.sum(F.col("_wt").cast("decimal(38,12)"))
+                     .cast("double"), 6).alias("decayed_weight"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("decayed_weight").desc(), F.col("user_id").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "decayed_weight", "rnk")
+    )
+
+
+@register("q99zf_label_vote", oracle="""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS votes
+  FROM documents GROUP BY source, lang
+),
+t AS (SELECT source, CAST(SUM(votes) AS BIGINT) AS total
+      FROM c GROUP BY source)
+SELECT r.source, r.lang AS majority_lang, r.votes, t.total,
+  round(CAST(r.votes AS DOUBLE) / t.total, 6) AS agreement
+FROM (
+  SELECT c.*, row_number() OVER (
+    PARTITION BY source ORDER BY votes DESC, lang ASC) AS rn
+  FROM c) r
+JOIN t USING (source)
+WHERE r.rn = 1
+""")
+def q99zf_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label aggregation (multi-judge annotation fold):
+    per source, the modal language (deterministic lexicographic
+    tie-break), its vote count, and the agreement rate — the standard
+    reduction when several noisy labelers (or model judges) each stamp
+    a document and the pipeline needs one consensus label plus a
+    confidence. One partial-aggregated groupBy over the corpus; the
+    window and the total-join run on the tiny (source, lang) table."""
+    d = read_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("votes"))
+    t = c.groupBy("source").agg(F.sum("votes").alias("total"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("votes").desc(), F.col("lang").asc())
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.join(t, "source")
+        .select("source", F.col("lang").alias("majority_lang"), "votes",
+                "total",
+                F.round(F.col("votes").cast("double") / F.col("total"), 6)
+                .alias("agreement"))
+    )
+
+
+@register("q99zg_winsorized_mean", oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+    round(quantile_cont(l_extendedprice, 0.05), 4) AS p05,
+    round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, b.p05, b.p95,
+  CAST(CAST(SUM(CAST(round(
+      LEAST(GREATEST(l.l_extendedprice, b.p05), b.p95), 4)
+    AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+    AS winsorized_mean
+FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag, b.p05, b.p95
+""")
+def q99zg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) mean per group — the robust
+    statistic data-curation filters use so one absurd value cannot move
+    a quality threshold. Clip bounds are the group's 4dp-rounded
+    p05/p95 (interpolated percentiles match DuckDB's quantile_cont at
+    that precision, q47's contract), so both engines clip against
+    IDENTICAL constants; the clipped values fold through DECIMAL with
+    one final double division. The bounds table is group-cardinality
+    rows — broadcast back onto the fact scan, no second shuffle of the
+    data."""
+    l = read_table(spark, sf_dir, "lineitem")
+    b = l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("p05"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"))
+    clipped = F.round(
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")),
+                F.col("p95")), 4)
+    return (
+        l.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg((F.sum(clipped.cast("decimal(38,10)")).cast("double")
+              / F.count(F.lit(1))).cast("double").alias("winsorized_mean"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the
 # numeric prefixes are an explicit priority order: q01-q50 are the queries

@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +62,32 @@ from api_to_amt_data_lake_spark.operators.similarity import (
 )
 
 _META = "meta.json"
+
+
+def _atomic_exchange(a: str, b: str) -> bool:
+    """Atomically swap two directories via Linux
+    `renameat2(RENAME_EXCHANGE)`. Returns False when the swap is
+    unavailable (non-Linux, pre-3.15 kernel, no glibc wrapper, or
+    cross-filesystem paths) so callers can fall back to a two-rename
+    sequence. On True, `a` and `b` have exchanged contents with no
+    instant at which either path is missing — a concurrent reader's
+    file listing resolves entirely against the old or entirely against
+    the new directory."""
+    if not sys.platform.startswith("linux"):
+        return False
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    _AT_FDCWD = -100
+    _RENAME_EXCHANGE = 2
+    fn.restype = ctypes.c_int
+    rc = fn(_AT_FDCWD, os.fsencode(a), _AT_FDCWD, os.fsencode(b),
+            _RENAME_EXCHANGE)
+    return rc == 0
 
 
 def _repair_root(root: str) -> None:
@@ -327,11 +354,17 @@ def compact_index_buckets(
     Content-preserving and PER-BUCKET crash-safe: each oversized bucket
     is rewritten under a hidden tmp sibling of the index root (hidden
     names are invisible to partition discovery, so a concurrent reader
-    never sees a half-written bucket), the live dir renamed aside, the
-    tmp renamed in, the old removed. A crash between the two renames is
-    repaired on the next call (the aside copy is restored). Only the
-    oversized buckets are read or written — cost tracks the backlog,
-    not the index. Returns the bucket ids compacted."""
+    never sees a half-written bucket), then swapped in ATOMICALLY via
+    `renameat2(RENAME_EXCHANGE)` on Linux — no instant at which the
+    bucket dir is missing, so concurrent searches are unaffected. Where
+    the atomic exchange is unavailable (non-Linux, cross-filesystem)
+    the swap falls back to rename-aside + rename-in, which has a brief
+    reader-visible gap: a concurrent search can fail transiently with
+    FileNotFound and should simply be retried (never corruption — the
+    load-time restore-only repair and the ENOTEMPTY fallback preserve
+    the bucket's content across any crash or race). Only the oversized
+    buckets are read or written — cost tracks the backlog, not the
+    index. Returns the bucket ids compacted."""
     root = str(index_root)
     codes = os.path.join(root, "codes")
     _repair_compaction(root, destructive=True)  # clear own crash debris
@@ -347,6 +380,22 @@ def compact_index_buckets(
         tmp = os.path.join(root, f".compact_tmp_bucket={b}")
         old = os.path.join(root, f".compact_old_bucket={b}")
         spark.read.parquet(live).coalesce(n_out).write.parquet(tmp)
+        if _atomic_exchange(tmp, live):
+            # Linux renameat2(RENAME_EXCHANGE): live now holds the
+            # compacted files and tmp the old ones in one atomic step —
+            # a concurrent search never observes a missing bucket dir.
+            # Crash before this rmtree leaves only `.compact_tmp_`
+            # debris (stale pre-compaction content) that the next
+            # compactor's destructive repair clears.
+            shutil.rmtree(tmp, ignore_errors=True)
+            compacted.append(b)
+            continue
+        # Fallback (non-Linux / cross-device): two-rename swap. There
+        # is a reader-visible gap between rename(live → old) and
+        # rename(tmp → live) — a search whose file listing was captured
+        # before the gap can fail transiently with FileNotFound and
+        # should be retried; the restore-only repair on load plus the
+        # ENOTEMPTY fallback below prevent any corruption or data loss.
         os.rename(live, old)
         try:
             os.rename(tmp, live)

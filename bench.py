@@ -189,12 +189,22 @@ def main() -> None:
     total = sum(times.values())
 
     # Durable full per-query artifact (the judge diffs this across
-    # rounds the way CORRECTNESS_local is diffed). NN = the round the
-    # driver will stamp next = max recorded BENCH round + 1.
+    # rounds the way CORRECTNESS_local is diffed). Round number: an
+    # explicit override wins (SPARK_GRAFT_ROUND env var or
+    # `--round N` argv), so a re-run after the driver has already
+    # stamped BENCH_r{N} can still label the artifact with the round
+    # it measured. Fallback: NN = max recorded BENCH round + 1 (the
+    # round the driver will stamp next).
     import re
-    rounds = [int(m.group(1)) for f in REPO.glob("BENCH_r*.json")
-              if (m := re.match(r"BENCH_r(\d+)\.json$", f.name))]
-    nn = (max(rounds) + 1) if rounds else 0
+    nn = None
+    if (env_round := os.environ.get("SPARK_GRAFT_ROUND")) is not None:
+        nn = int(env_round)
+    elif "--round" in sys.argv:
+        nn = int(sys.argv[sys.argv.index("--round") + 1])
+    if nn is None:
+        rounds = [int(m.group(1)) for f in REPO.glob("BENCH_r*.json")
+                  if (m := re.match(r"BENCH_r(\d+)\.json$", f.name))]
+        nn = (max(rounds) + 1) if rounds else 0
     full = {
         "metric": "headline_suite_total",
         "value": round(total, 3),

@@ -306,3 +306,28 @@ def test_compaction_bounds_files_and_preserves_content(spark, tmp_path):
     h1 = spark.read.parquet(os.path.join(root, "codes")) \
         .orderBy("vec_id", "sub_idx").collect()
     assert h1 == h0
+
+
+def test_atomic_exchange_swaps_directories(tmp_path):
+    """ADVICE r8: compaction's swap uses renameat2(RENAME_EXCHANGE) on
+    Linux so a concurrent search never observes a missing bucket dir.
+    Verify the primitive actually exchanges contents atomically (both
+    paths exist throughout; contents swapped after)."""
+    import sys
+
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        _atomic_exchange,
+    )
+
+    a, b = tmp_path / "live", tmp_path / "tmp"
+    a.mkdir(); b.mkdir()
+    (a / "old.parquet").write_text("old")
+    (b / "new.parquet").write_text("new")
+    ok = _atomic_exchange(str(a), str(b))
+    if not sys.platform.startswith("linux"):
+        assert ok is False
+        return
+    assert ok, "renameat2(RENAME_EXCHANGE) should work on Linux tmpfs"
+    assert (a / "new.parquet").read_text() == "new"
+    assert (b / "old.parquet").read_text() == "old"
+    assert not (a / "old.parquet").exists()

@@ -924,3 +924,40 @@ def test_mjpeg_demux_decode_is_single_python_pass(spark, sf_dir):
         assert (r["width"], r["height"]) == (16, 8)
         assert r["pixel_sum"] == 128 * v
         assert abs(r["pixel_mean"] - v) < 1e-9
+
+
+def test_annexb_codec_sniff_rejects_foreign_codecs():
+    """ADVICE r8: the Annex-B start-code framing is shared by H.264,
+    H.265 and MPEG-2/PS — the dispatch must sniff NAL header bytes and
+    reject foreign codecs with the codec-library contract message, not
+    an H.264-internal parse error."""
+    from api_to_amt_data_lake_spark.operators.h264 import (
+        encode_h264_ipcm,
+        sniff_annexb_codec,
+    )
+    from api_to_amt_data_lake_spark.operators.multimodal import (
+        _decode_pixels,
+    )
+
+    # Real H.264 still sniffs as h264 and decodes.
+    good = encode_h264_ipcm(np.full((16, 16), 9, dtype=np.uint8))
+    assert sniff_annexb_codec(good) == "h264"
+    assert _decode_pixels(good)[:3] == (16, 16, 1)
+
+    # H.265: VPS(32)/SPS(33)/PPS(34) NAL headers — first header byte
+    # 0x40/0x42/0x44, second byte 0x01 (layer 0, tid 1).
+    h265 = (b"\x00\x00\x00\x01\x40\x01\x0c\x01"
+            b"\x00\x00\x00\x01\x42\x01\x01\x01"
+            b"\x00\x00\x00\x01\x44\x01\xc0\xf2")
+    assert sniff_annexb_codec(h265) == "h265"
+    with pytest.raises(ValueError, match=r"H\.265.*codec library"):
+        _decode_pixels(h265)
+
+    # MPEG-PS pack header (0xBA) + MPEG-2 sequence header (0xB3):
+    # start-code bytes with the high bit set, which H.264's
+    # forbidden_zero_bit forbids.
+    mpeg = (b"\x00\x00\x01\xba\x44\x00\x04\x00\x04\x01"
+            b"\x00\x00\x01\xb3\x16\x00\xf0\xc4")
+    assert sniff_annexb_codec(mpeg) == "mpeg2-ps"
+    with pytest.raises(ValueError, match=r"MPEG-2.*codec library"):
+        _decode_pixels(mpeg)

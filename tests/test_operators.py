@@ -971,3 +971,47 @@ def test_cascade_time_rollups_wide_values(spark):
                                            "value")
     r = hour.collect()[0]
     assert float(r["value_sum"]) == 75_000_000.5 and r["n_events"] == 2
+
+
+def test_bloom_semi_join_matches_plain_semi(spark):
+    """Round 9: the Bloom pre-pass must never change the result — output
+    is exactly LEFT SEMI JOIN, with any bitmap false positives removed
+    by the exact verify. Includes keys that collide only in the bitmap
+    (tiny n_bits forces false positives through the Bloom stage)."""
+    from api_to_amt_data_lake_spark.operators import bloom_semi_join
+
+    large = spark.createDataFrame(
+        [(k, f"row{k}-{i}") for k in range(200) for i in range(3)],
+        ["k", "payload"])
+    small = spark.createDataFrame(
+        [(k,) for k in range(0, 200, 7)], ["sk"])
+    # n_bits=64 guarantees heavy false-positive pressure on the bitmap.
+    got = bloom_semi_join(large, small, "k", "sk", n_bits=64, n_hashes=2)
+    want = large.join(small, large.k == small.sk, "left_semi")
+    assert ({(r["k"], r["payload"]) for r in got.collect()}
+            == {(r["k"], r["payload"]) for r in want.collect()})
+    assert got.columns == large.columns
+
+
+def test_bloom_semi_join_inexact_is_superset_and_broadcast(spark):
+    """exact=False returns the pruned-but-unverified frame: a SUPERSET
+    of the true matches (bitmap false positives may survive) that still
+    excludes most non-matching keys, built from broadcast joins only —
+    the physical plan must show BroadcastHashJoin for every probe pass
+    and no shuffle of the large side before the prune."""
+    from api_to_amt_data_lake_spark.operators import bloom_semi_join
+
+    large = spark.createDataFrame(
+        [(k,) for k in range(5000)], ["k"])
+    small = spark.createDataFrame([(k,) for k in range(10)], ["sk"])
+    pruned = bloom_semi_join(large, small, "k", "sk",
+                             n_bits=1 << 16, n_hashes=3, exact=False)
+    keys = {r["k"] for r in pruned.collect()}
+    assert set(range(10)) <= keys          # no false negatives, ever
+    assert len(keys) < 500                 # heavy pruning at 2^16 bits
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # The large side itself is never exchanged pre-verify: the only
+    # exchanges build the (tiny) bitmap aggregation.
+    import re
+    assert plan.count("BroadcastExchange") >= 3
