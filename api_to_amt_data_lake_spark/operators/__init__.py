@@ -8,6 +8,7 @@ from api_to_amt_data_lake_spark.operators.asof import asof_join
 from api_to_amt_data_lake_spark.operators.joins import (
     bloom_semi_join,
     interval_join,
+    range_bin_join,
     salted_join,
 )
 from api_to_amt_data_lake_spark.operators.pivots import crosstab_count, pivot_first
@@ -21,5 +22,6 @@ __all__ = [
     "interval_join",
     "salted_join",
     "bloom_semi_join",
+    "range_bin_join",
     "stratified_sample",
 ]

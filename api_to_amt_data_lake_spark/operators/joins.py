@@ -166,3 +166,50 @@ def bloom_semi_join(
         return pruned
     return pruned.join(small.select(sk.alias(small_key)).distinct(),
                        lk == F.col(small_key), "left_semi")
+
+
+def range_bin_join(
+    points: DataFrame,
+    spans: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: float,
+    how: str = "inner",
+    end_inclusive: bool = False,
+) -> DataFrame:
+    """Point-in-range join WITHOUT an equi key, made shuffle-joinable by
+    bin blocking: every span explodes to the fixed-width bins it covers,
+    every point keys to its one bin, and the join runs as a plain
+    equi-join on the bin id with the range predicate as a refinement.
+    Lossless by construction — a point inside a span shares at least
+    one bin with it.
+
+    Why this exists: Spark has no native range-join optimization — a
+    bare `points JOIN spans ON p BETWEEN lo AND hi` falls back to
+    BroadcastNestedLoopJoin (O(|points|·|spans|) compares, and a crash
+    when neither side broadcasts). Binning turns it into one shuffle on
+    a high-cardinality integer key, the same trick Databricks' range
+    join hint applies internally. Work per span is
+    O(span_width/bin_width) candidate bins; pick `bin_width` near the
+    TYPICAL span width so each span explodes to ~2 bins and each bin
+    holds few spans. Skewed bins (one bin covering many spans) behave
+    like any hot equi key — AQE skew split or `salted_join` apply.
+
+    `end_inclusive` chooses [start, end] vs [start, end). Columns must
+    be numeric (cast timestamps to epoch seconds/micros first).
+    """
+    w = float(bin_width)
+    span_bins = spans.withColumn(
+        "_bin",
+        F.explode(F.sequence(
+            F.floor(F.col(start_col) / w).cast("long"),
+            F.floor(F.col(end_col) / w).cast("long"))))
+    point_bins = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / w).cast("long"))
+    refine = F.col(point_col) >= F.col(start_col)
+    refine = refine & (
+        (F.col(point_col) <= F.col(end_col)) if end_inclusive
+        else (F.col(point_col) < F.col(end_col)))
+    return point_bins.join(span_bins, ["_bin"], how) \
+        .filter(refine).drop("_bin")

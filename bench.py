@@ -107,6 +107,13 @@ HEADLINE = [
     # round 8
     "q95f_rebuilt_index",
     "q74i_h264_pixel_decode",
+    # round 9
+    "q86g_sql_nation_volume",
+    "q99zd_bloom_semi_join",
+    "q99ze_decayed_topk",
+    "q99zf_label_vote",
+    "q99zg_winsorized_mean",
+    "q99zh_range_bin_join",
 ]
 
 

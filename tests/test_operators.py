@@ -1015,3 +1015,30 @@ def test_bloom_semi_join_inexact_is_superset_and_broadcast(spark):
     # exchanges build the (tiny) bitmap aggregation.
     import re
     assert plan.count("BroadcastExchange") >= 3
+
+
+def test_range_bin_join_matches_nested_loop(spark):
+    """Round 9: bin blocking must be lossless — identical rows to the
+    bare BETWEEN join for every relation of span width to bin width
+    (spans narrower than, equal to, and many times the bin width),
+    including boundary semantics at both ends."""
+    from api_to_amt_data_lake_spark.operators import range_bin_join
+
+    points = spark.createDataFrame(
+        [(float(p),) for p in range(0, 100)], ["p"])
+    spans = spark.createDataFrame(
+        [(1, 5.0, 7.0), (2, 10.0, 10.0), (3, 15.0, 80.0),
+         (4, 79.5, 120.0), (5, -20.0, 0.5)],
+        ["span_id", "lo", "hi"])
+    for incl in (True, False):
+        got = range_bin_join(points, spans, "p", "lo", "hi",
+                             bin_width=8, end_inclusive=incl)
+        op = "<=" if incl else "<"
+        want = points.crossJoin(spans).filter(
+            F.expr(f"p >= lo AND p {op} hi"))
+        assert ({(r["p"], r["span_id"]) for r in got.collect()}
+                == {(r["p"], r["span_id"]) for r in want.collect()}), incl
+    # The physical join is an equi join on the bin, never a nested loop.
+    plan = range_bin_join(points, spans, "p", "lo", "hi", bin_width=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
