@@ -114,6 +114,7 @@ HEADLINE = [
     "q99zf_label_vote",
     "q99zg_winsorized_mean",
     "q99zh_range_bin_join",
+    "q99zi_opq_parity",
 ]
 
 

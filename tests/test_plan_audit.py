@@ -25,7 +25,9 @@ PYTHON_OK = {"q36_binary_metadata", "q18_multimodal_decode",
              "q74d_jpeg_pixel_decode", "q74e_progressive_jpeg_decode",
              "q74f_wav_audio_features", "q74g_audio_goertzel",
              "q74h_mjpeg_pixel_decode", "q74i_h264_pixel_decode",
-             "q75_feature_ann"}
+             "q75_feature_ann",
+             # OPQ rotation is an Arrow-batched GEMM (operators/opq.py)
+             "q99zi_opq_parity", "q99zj_opq_recall"}
 
 SF_DIR = "/root/testdata/sf0.001"
 
