@@ -115,6 +115,8 @@ HEADLINE = [
     "q99zg_winsorized_mean",
     "q99zh_range_bin_join",
     "q99zi_opq_parity",
+    "q99zk_znorm_embeddings",
+    "q99zl_top_p_nucleus",
 ]
 
 
