@@ -173,6 +173,26 @@ def _procrustes_rotation(
     return np.ascontiguousarray(u @ vt)
 
 
+def opq_train_rotation(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int = 4,
+    k: int = 8, iters: int = 3, opq_iters: int = 2,
+    sample_frac: float | None = None,
+) -> np.ndarray:
+    """Just the rotation: `opq_iters` alternating (PQ fit, Procrustes)
+    rounds over the training sample. `opq_iters=0` returns the
+    identity. Used directly by the persisted-index build, which trains
+    its own (residual) codebook downstream."""
+    train = _training_sample(corpus, id_col, sample_frac)
+    dim = len(train.select(vec_col).first()[0])
+    rotation = np.eye(dim)
+    for _ in range(opq_iters):
+        rot_train = rotate_vectors(train, id_col, vec_col, rotation)
+        book = pq_fit(rot_train, id_col, vec_col, m=m, k=k, iters=iters)
+        rotation = _procrustes_rotation(
+            train, id_col, vec_col, rotation, book, dim)
+    return rotation
+
+
 def opq_fit(
     corpus: DataFrame, id_col: str, vec_col: str, m: int = 4,
     k: int = 8, iters: int = 3, opq_iters: int = 2,
@@ -184,14 +204,10 @@ def opq_fit(
     the q99zi parity contract. Trainers iterate over the deterministic
     id-hash sample when `sample_frac` is set; the full corpus is
     touched once, by the final folded encode."""
+    rotation = opq_train_rotation(
+        corpus, id_col, vec_col, m=m, k=k, iters=iters,
+        opq_iters=opq_iters, sample_frac=sample_frac)
     train = _training_sample(corpus, id_col, sample_frac)
-    dim = len(train.select(vec_col).first()[0])
-    rotation = np.eye(dim)
-    for _ in range(opq_iters):
-        rot_train = rotate_vectors(train, id_col, vec_col, rotation)
-        book = pq_fit(rot_train, id_col, vec_col, m=m, k=k, iters=iters)
-        rotation = _procrustes_rotation(
-            train, id_col, vec_col, rotation, book, dim)
     rot_train = rotate_vectors(train, id_col, vec_col, rotation)
     book = pq_fit(rot_train, id_col, vec_col, m=m, k=k, iters=iters)
     rot_corpus = rotate_vectors(corpus, id_col, vec_col, rotation)

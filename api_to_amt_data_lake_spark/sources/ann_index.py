@@ -151,6 +151,8 @@ def save_ann_index(
     m: int,
     generation: int = 0,
     extra_files: dict[str, str] | None = None,
+    rotation: list | None = None,
+    opq_iters: int = 0,
 ) -> None:
     """Persist a trained IVFPQ index (the `ivfpq_fit` triple). Replaces
     any index already at `index_root` ATOMICALLY: the new index is fully
@@ -175,6 +177,13 @@ def save_ann_index(
      .parquet(os.path.join(tmp, "codes")))
     meta = {"id_col": id_col, "vec_col": vec_col, "m": int(m),
             "appended_shards": 0, "generation": int(generation)}
+    if rotation is not None:
+        # OPQ pre-transform: every shard (and every query) is rotated
+        # by this matrix before touching the frozen models. dim x dim
+        # doubles — model-sized, rides inside the atomic swap like any
+        # other model file.
+        meta["rotation"] = [[float(x) for x in row] for row in rotation]
+        meta["opq_iters"] = int(opq_iters)
     # Sidecar files (e.g. the streaming replay marker carried across a
     # rebuild) land in tmp BEFORE the swap: a crash at any point then
     # leaves either the old index with its old marker or the new index
@@ -201,15 +210,39 @@ def build_ann_index(
     corpus: DataFrame, index_root: str, id_col: str, vec_col: str,
     kc: int = 4, coarse_iters: int = 2, m: int = 2, k: int = 4,
     iters: int = 2, sample_frac: float | None = None,
+    opq_iters: int = 0,
 ) -> None:
     """Train (`ivfpq_fit`) and persist in one call. `sample_frac` is the
     production fit shape: trainers iterate over the deterministic
     id-hash sample; the corpus is scanned only by the residual and
-    encode passes."""
+    encode passes.
+
+    `opq_iters > 0` trains an OPQ rotation first (`operators/opq.py::
+    opq_train_rotation`, alternating PQ-fit/Procrustes rounds over the
+    sample) and builds the whole IVFPQ index in the ROTATED space —
+    the FAISS `OPQ pre-transform + IVFPQ` composition. The rotation is
+    stored in meta and applied transparently by append (shards) and
+    search (queries); orthonormality preserves euclidean distances, so
+    the ADC/recall contracts are unchanged. `opq_iters=0` (default)
+    persists no rotation and is byte-identical to the plain build."""
+    rotation = None
+    if opq_iters > 0:
+        from api_to_amt_data_lake_spark.operators.opq import (
+            opq_train_rotation,
+            rotate_vectors,
+        )
+
+        rotation = opq_train_rotation(
+            corpus, id_col, vec_col, m=m, k=k, iters=iters,
+            opq_iters=opq_iters, sample_frac=sample_frac)
+        corpus = rotate_vectors(corpus, id_col, vec_col, rotation)
     coarse, book, codes = ivfpq_fit(
         corpus, id_col, vec_col, kc=kc, coarse_iters=coarse_iters, m=m,
         k=k, iters=iters, sample_frac=sample_frac)
-    save_ann_index(index_root, coarse, book, codes, id_col, vec_col, m)
+    save_ann_index(index_root, coarse, book, codes, id_col, vec_col, m,
+                   rotation=(None if rotation is None
+                             else rotation.tolist()),
+                   opq_iters=opq_iters)
 
 
 def rebuild_ann_index(
@@ -252,17 +285,33 @@ def rebuild_ann_index(
     # to 1 and, worse, the replay marker silently dropped.
     _repair_root(root)
     prev_gen, prev_m, marker = 0, None, None
+    prev_opq_iters = 0
     meta_path = os.path.join(root, _META)
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             prev = json.load(f)
         prev_gen, prev_m = int(prev.get("generation", 0)), prev["m"]
+        prev_opq_iters = int(prev.get("opq_iters", 0))
         mk = os.path.join(root, "_last_batch")
         if os.path.isfile(mk):
             with open(mk) as f:
                 marker = f.read()
     id_col, vec_col = _corpus_cols(corpus, root)
     m = m if m is not None else (prev_m if prev_m is not None else 2)
+    # An OPQ index stays an OPQ index across generations: retrain the
+    # rotation on today's corpus with the inherited round count (the
+    # stale generation's R is a stale model like any other).
+    rotation = None
+    if prev_opq_iters > 0:
+        from api_to_amt_data_lake_spark.operators.opq import (
+            opq_train_rotation,
+            rotate_vectors,
+        )
+
+        rotation = opq_train_rotation(
+            corpus, id_col, vec_col, m=m, k=k, iters=iters,
+            opq_iters=prev_opq_iters, sample_frac=sample_frac)
+        corpus = rotate_vectors(corpus, id_col, vec_col, rotation)
     coarse, book, codes = ivfpq_fit(
         corpus, id_col, vec_col, kc=kc, coarse_iters=coarse_iters, m=m,
         k=k, iters=iters, sample_frac=sample_frac)
@@ -275,7 +324,10 @@ def rebuild_ann_index(
     save_ann_index(root, coarse, book, codes, id_col, vec_col, m,
                    generation=gen,
                    extra_files=(None if marker is None
-                                else {"_last_batch": marker}))
+                                else {"_last_batch": marker}),
+                   rotation=(None if rotation is None
+                             else rotation.tolist()),
+                   opq_iters=prev_opq_iters)
     return gen
 
 
@@ -309,6 +361,21 @@ def load_ann_index(
     book = spark.read.parquet(os.path.join(index_root, "book"))
     codes = spark.read.parquet(os.path.join(index_root, "codes"))
     return coarse, book, codes, meta
+
+
+def _apply_rotation(df: DataFrame, meta: dict) -> DataFrame:
+    """Rotate (id, vec) rows by the index's stored OPQ rotation, if any
+    — shards on append, queries on search. No-op for plain indexes."""
+    rot = meta.get("rotation")
+    if rot is None:
+        return df
+    import numpy as np
+
+    from api_to_amt_data_lake_spark.operators.opq import rotate_vectors
+
+    return rotate_vectors(df.select(meta["id_col"], meta["vec_col"]),
+                          meta["id_col"], meta["vec_col"],
+                          np.asarray(rot, dtype=np.float64))
 
 
 def encode_shard(
@@ -432,6 +499,7 @@ def ann_index_append(
     sustained-append cadence that keeps per-bucket file counts bounded
     instead of growing one file per micro-batch forever."""
     coarse, book, codes, meta = load_ann_index(spark, index_root)
+    shard = _apply_rotation(shard, meta)  # OPQ indexes store rotated codes
     new_codes = encode_shard(shard, coarse, book,
                              meta["id_col"], meta["vec_col"])
     # Cluster the increment by bucket before the partitioned append —
@@ -464,6 +532,10 @@ def ann_index_search(
     search touches nprobe/kc of the index bytes, not all of them."""
     coarse, book, codes, meta = load_ann_index(spark, index_root)
     id_col, vec_col, m = meta["id_col"], meta["vec_col"], meta["m"]
+    # OPQ indexes live in the rotated space; orthonormal R preserves
+    # euclidean distances, so rotating the (few) queries is the entire
+    # search-side cost of OPQ.
+    queries = _apply_rotation(queries, meta)
     if prune:
         probed = [
             r["bucket"]

@@ -331,3 +331,99 @@ def test_atomic_exchange_swaps_directories(tmp_path):
     assert (a / "new.parquet").read_text() == "new"
     assert (b / "old.parquet").read_text() == "old"
     assert not (a / "old.parquet").exists()
+
+
+def test_opq_index_lifecycle(spark, tmp_path):
+    """Round 9: OPQ-rotated persisted index. (a) build with opq_iters>0
+    stores an orthonormal rotation in meta; (b) search equals the
+    manual composition (rotate corpus with the STORED R -> same ivfpq
+    fit -> ivfpq_topk on rotated queries); (c) append encodes the shard
+    in the rotated space, so loaded+appended search equals one-lineage
+    encode of the rotated union against the frozen models; (d)
+    opq_iters=0 stores no rotation at all."""
+    import json as _json
+
+    import numpy as np
+    from api_to_amt_data_lake_spark.operators.opq import rotate_vectors
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        _META,
+        ann_index_search,
+    )
+
+    e, base, shard = _halves(spark)
+    root = str(tmp_path / "opq_idx")
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2, opq_iters=1)
+    with open(os.path.join(root, _META)) as f:
+        meta = _json.load(f)
+    rot = np.asarray(meta["rotation"])
+    assert rot.shape == (64, 64) and meta["opq_iters"] == 1
+    np.testing.assert_allclose(rot @ rot.T, np.eye(64), atol=1e-9)
+
+    # (b) search == manual rotated-space composition on the base half.
+    q = e.filter(F.col("vec_id") < 5)
+    got = sorted(
+        (r["query_id"], r["match_id"], r["adc_dist"], r["rank"])
+        for r in ann_index_search(spark, root, q, k=3, nprobe=1)
+        .collect())
+    rot_base = rotate_vectors(base, "vec_id", "embedding", rot)
+    coarse, book, codes = ivfpq_fit(rot_base, "vec_id", "embedding",
+                                    kc=4, coarse_iters=2, m=2, k=4,
+                                    iters=2)
+    rot_q = rotate_vectors(q, "vec_id", "embedding", rot)
+    want = sorted(
+        (r["query_id"], r["match_id"], r["adc_dist"], r["rank"])
+        for r in ivfpq_topk(rot_q, coarse, book, codes, "vec_id",
+                            "embedding", m=2, k=3, nprobe=1).collect())
+    assert got == want
+
+    # (c) appended search == one-lineage rotated-union encode against
+    # the same frozen models.
+    ann_index_append(spark, root, shard)
+    got_u = sorted(
+        (r["query_id"], r["match_id"], r["adc_dist"], r["rank"])
+        for r in ann_index_search(spark, root, q, k=3, nprobe=1)
+        .collect())
+    rot_union = rotate_vectors(e, "vec_id", "embedding", rot)
+    codes_u = encode_shard(rot_union, coarse, book, "vec_id", "embedding")
+    want_u = sorted(
+        (r["query_id"], r["match_id"], r["adc_dist"], r["rank"])
+        for r in ivfpq_topk(rot_q, coarse, book, codes_u, "vec_id",
+                            "embedding", m=2, k=3, nprobe=1).collect())
+    assert got_u == want_u
+
+    # (d) plain build stores no rotation key.
+    root2 = str(tmp_path / "plain_idx")
+    build_ann_index(base, root2, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    with open(os.path.join(root2, _META)) as f:
+        assert "rotation" not in _json.load(f)
+
+
+def test_opq_index_rebuild_retrains_rotation(spark, tmp_path):
+    """A rebuild of an OPQ index stays OPQ: the new generation carries
+    a fresh orthonormal rotation (trained on today's corpus with the
+    inherited round count) and searches still work."""
+    import json as _json
+
+    import numpy as np
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        _META,
+        ann_index_search,
+        rebuild_ann_index,
+    )
+
+    e, base, _ = _halves(spark)
+    root = str(tmp_path / "opq_idx")
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2, opq_iters=1)
+    gen = rebuild_ann_index(spark, e, root, kc=4, coarse_iters=2,
+                            k=4, iters=2)
+    assert gen == 1
+    with open(os.path.join(root, _META)) as f:
+        meta = _json.load(f)
+    assert meta["opq_iters"] == 1
+    rot = np.asarray(meta["rotation"])
+    np.testing.assert_allclose(rot @ rot.T, np.eye(64), atol=1e-9)
+    q = e.filter(F.col("vec_id") < 3)
+    assert ann_index_search(spark, root, q, k=3, nprobe=1).count() == 9
