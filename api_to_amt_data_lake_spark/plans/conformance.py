@@ -7151,6 +7151,68 @@ def q99zl_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q86h_sql_market_share", oracle="""
+SELECT o_year,
+  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_4'
+                      THEN volume ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+    n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+GROUP BY o_year
+""")
+def q86h_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: within one region's PROMO
+    market, the share of revenue supplied by one nation, per order
+    year — an 8-table join tree where every dimension (part, customer,
+    supplier, nation x2, region) broadcasts and only lineitem ⋈ orders
+    exchanges. The share is a conditional DECIMAL sum over the same
+    rows as the total (one pass, no self-join) and one double
+    division."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = n.select(F.col("n_nationkey").alias("_cn_key"),
+                  F.col("n_regionkey").alias("_cn_region"))
+    n2 = n.select(F.col("n_nationkey").alias("_sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (_dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount")))
+    joined = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(r), F.col("_cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sn_key"))
+    )
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"),
+                      vol.alias("volume"), "supp_nation")
+        .groupBy("o_year")
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_4",
+                         F.col("volume")).otherwise(F.lit(0))
+                  ).cast("double")
+            / F.sum("volume").cast("double"), 6).alias("mkt_share"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

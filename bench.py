@@ -117,6 +117,7 @@ HEADLINE = [
     "q99zi_opq_parity",
     "q99zk_znorm_embeddings",
     "q99zl_top_p_nucleus",
+    "q86h_sql_market_share",
 ]
 
 
