@@ -289,3 +289,152 @@ def grid_quantiles(
         for p in pcts
     ]
     return cum.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+
+def _kmv_uniform(value: Column, seed: int) -> Column:
+    """Engine-portable uniform in (0,1): the first 12 hex digits of
+    md5(value || ':' || seed) as a 48-bit integer, shifted off zero by
+    +0.5 and scaled by 16^-12. 48 bits fit a double exactly and the
+    division is a power-of-two scale, so the uniform is bit-identical
+    in any engine with md5 (DuckDB oracle: ('0x' || substr(md5(...),
+    1, 12))::BIGINT)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", value.cast("string"),
+                              F.lit(str(seed)))), 1, 12),
+        16, 10,
+    ).cast("long")
+    return (h.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 12))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    distinct_col: str,
+    k: int = 128,
+    seed: int = 5,
+    n_merge_salts: int = 32,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group: the k smallest
+    engine-portable uniform hashes of `distinct_col` (Bar-Yossef et
+    al. 2002) as `(keys…, kmv: array<double>)` — the transparent-math
+    counterpart of `hll_hourly_sketches` (HLL's register encoding is
+    engine-private; a KMV array is plain doubles any engine can
+    recompute, so it conformance-tests against a DuckDB oracle).
+
+    Built as the classic two-level mergeable aggregation: level 1
+    groups by (keys, salt = hash(value) mod n_merge_salts) and keeps
+    each partial's k smallest uniforms (collect_set bounds memory at
+    distinct/salts per task, and the partial-agg combine runs
+    map-side); level 2 merges the ≤ n_merge_salts arrays by flatten +
+    distinct + sort + slice — which is exactly the KMV MERGE operation
+    (distinct matters: two shards that saw the same value carry the
+    same uniform, and double-counting it would bias u_(k) low), so two
+    sketches built on different corpus shards union the same way
+    (unionAll + re-run level 2). Shuffled state is ≤ salts × k doubles
+    per group regardless of corpus size."""
+    u = _kmv_uniform(F.col(distinct_col), seed)
+    lvl1 = (
+        df.select(*key_cols, u.alias("_u"))
+        .groupBy(*key_cols,
+                 F.pmod(F.hash("_u"), F.lit(n_merge_salts)).alias("_s"))
+        .agg(F.slice(F.array_sort(F.collect_set("_u")), 1, k)
+             .alias("_part"))
+    )
+    return (
+        lvl1.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.slice(
+            F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("_part")))),
+            1, k).alias("kmv"))
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 128) -> DataFrame:
+    """Distinct-count estimates from KMV sketches: a full sketch (k
+    values collected) estimates n̂ = (k-1)/u_(k) — the k-th smallest of
+    n uniforms sits at ≈ k/(n+1), unbiased per Beyer et al. 2007 — and
+    a short sketch saw every distinct value, so its size IS the exact
+    count. Integer-rounded: the estimate is a count."""
+    kth = F.element_at(F.col("kmv"), F.size("kmv"))
+    est = F.when(
+        F.size("kmv") < k, F.size("kmv").cast("double")
+    ).otherwise((F.lit(float(k - 1))) / kth)
+    return sketch.withColumn(
+        "n_distinct_est", F.round(est).cast("long")).drop("kmv")
+
+
+def minu_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    distinct_col: str,
+    k_cells: int = 256,
+    seed: int = 9,
+) -> DataFrame:
+    """Min-uniform distinct sketch: route each value to one of
+    `k_cells` cells by an md5-derived hash and keep the MINIMUM
+    md5-derived uniform per (group, cell) — Flajolet-Martin-style
+    stochastic averaging with transparent math instead of HLL's
+    engine-private registers. Output (keys…, cell, umin), ≤ k_cells
+    rows per group.
+
+    This is the STREAMING-SAFE counterpart of `kmv_sketch`: KMV's
+    k-smallest set needs collect_set state (unbounded within a task);
+    a per-cell MIN is O(1) state per cell, a plain streaming-supported
+    aggregate, and the merge is cell-wise min (exactly like HLL's
+    register max — merged-shard == whole-corpus, bit-for-bit). Cell id
+    and uniform come from DISJOINT hex ranges of one md5, so both
+    reproduce in any engine: u = chars 1-12, cell = chars 13-14."""
+    digest = F.md5(F.concat_ws(
+        ":", F.col(distinct_col).cast("string"), F.lit(str(seed))))
+    h = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 12))
+    cell = F.pmod(F.conv(F.substring(digest, 13, 2), 16, 10).cast("long"),
+                  F.lit(k_cells))
+    return (
+        df.select(*key_cols, cell.alias("cell"), u.alias("_u"))
+        .groupBy(*key_cols, "cell")
+        .agg(F.min("_u").alias("umin"))
+    )
+
+
+def minu_merge(sketches: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Merge min-uniform sketch partials (from shards, hours, or a
+    stream's emitted windows): cell-wise MIN over the union — the
+    min of mins over disjoint inputs IS the min over their union, so
+    merged partials equal the sketch of the whole corpus exactly."""
+    return (
+        sketches.groupBy(*[F.col(c) for c in key_cols], "cell")
+        .agg(F.min("umin").alias("umin"))
+    )
+
+
+def minu_estimate(
+    sketch: DataFrame, key_cols: list[str], k_cells: int = 256,
+) -> DataFrame:
+    """Distinct-count estimates from min-uniform sketches, regime-
+    switched the way HLL is:
+
+    - DENSE (≥ half the cells occupied): a cell that saw n_i values
+      has E[min] = 1/(n_i + 1), and with n_i ≈ n/k the sum over k
+      cells is E[S] ≈ k²/(n + k); inverting, n̂ = k²/S − k with
+      S = Σ umin + (k − occupied)·1.0 (an empty cell's "min of zero
+      uniforms" contributes E = 1 = 1/(0+1)). Relative error ~1/√k.
+    - SPARSE (< half occupied): the dense inversion is biased low
+      (1/(n_i+1) is convex and the n_i ≈ n/k assumption fails for
+      n ≪ k — at n = 10, k = 256 it answers ~4), so use linear
+      counting on the occupancy instead: n̂ = −k·ln(empty/k)
+      (Whang et al. 1990 — HLL's own small-range correction).
+
+    Both branches are transparent arithmetic an oracle reproduces;
+    `empty > 0` is guaranteed on the sparse branch."""
+    kk = float(k_cells)
+    occupied = F.count(F.lit(1)).cast("double")
+    agg = sketch.groupBy(*[F.col(c) for c in key_cols]).agg(
+        (F.sum("umin") + (F.lit(kk) - occupied)).alias("_s"),
+        occupied.alias("_occ"))
+    dense = F.lit(kk * kk) / F.col("_s") - F.lit(kk)
+    sparse = -F.lit(kk) * F.log((F.lit(kk) - F.col("_occ")) / F.lit(kk))
+    est = F.when(F.col("_occ") * 2 < kk, sparse).otherwise(dense)
+    return agg.select(
+        *key_cols, F.round(est).cast("long").alias("n_distinct_est"))

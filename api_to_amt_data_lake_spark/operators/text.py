@@ -280,3 +280,31 @@ def gopher_flags(
         ok_all = f if ok_all is None else (ok_all & f)
     flags["ok_all"] = ok_all
     return flags
+
+
+def char_entropy(c: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution —
+    the standard gibberish / binary-paste / keyboard-mash filter
+    signal (low entropy = repeated chars, high ≈ log2(alphabet) =
+    random bytes; natural language sits ~3.5-4.5).
+
+    Computed entirely WITHIN the row — split to a char array, then
+    p·log2(p) over the distinct chars via higher-order array
+    functions — so it is a pure projection: no explode, no shuffle,
+    no per-char rows on the wire. Cost is O(|alphabet|·len) per doc,
+    and |alphabet| is small by definition of the signal. Stays in
+    whole-stage codegen; deterministic arithmetic (counts, one
+    division, log2) reproduces bit-identically in the DuckDB oracle.
+    """
+    chars = F.filter(F.split(_col(c), ""), lambda x: x != F.lit(""))
+    n = F.size(chars).cast("double")
+    # For each distinct char d: p = count(d)/n, accumulate -p*log2(p).
+    ent = -F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0.0),
+        lambda acc, d: acc
+        + (F.size(F.filter(chars, lambda x: x == d)).cast("double") / n)
+        * F.log2(F.size(F.filter(chars, lambda x: x == d)).cast("double")
+                 / n),
+    )
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))

@@ -67,7 +67,13 @@ from api_to_amt_data_lake_spark.operators.multimodal import (
 )
 from api_to_amt_data_lake_spark.operators.pivots import crosstab_count, pivot_first
 from api_to_amt_data_lake_spark.operators.search import bm25_scores
-from api_to_amt_data_lake_spark.operators.sketches import cms_build, cms_estimate
+from api_to_amt_data_lake_spark.operators.frontier import pareto_frontier_2d
+from api_to_amt_data_lake_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    kmv_estimate,
+    kmv_sketch,
+)
 from api_to_amt_data_lake_spark.operators.similarity import (
     cosine,
     cosine_topk,
@@ -79,6 +85,7 @@ from api_to_amt_data_lake_spark.operators.similarity import (
     sq8_minmax,
 )
 from api_to_amt_data_lake_spark.operators.text import (
+    char_entropy,
     content_fingerprint,
     gopher_flags,
     logistic_quality,
@@ -7211,6 +7218,357 @@ def q86h_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ).cast("double")
             / F.sum("volume").cast("double"), 6).alias("mkt_share"))
     )
+
+
+@register("q86i_sql_customer_order_counts", oracle="""
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+""")
+def q86i_sql_customer_order_counts(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT join
+    with the filter in the ON clause (an outer join must keep
+    order-less customers, so `o_orderpriority <> '1-URGENT'` cannot
+    move to WHERE — the classic outer-join-predicate-placement
+    semantics), COUNT of the nullable join key per customer (counts 0
+    for unmatched), then a second aggregation over the counts. Both
+    aggregations partial-aggregate map-side; the join shuffles on
+    custkey once and the second groupBy's key space is tiny."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(o, (F.col("c_custkey") == F.col("o_custkey"))
+               & (F.col("o_orderpriority") != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register("q86j_sql_disjunctive_revenue", oracle="""
+SELECT p_brand AS brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+""")
+def q86j_sql_disjunctive_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive join predicate: three (brand, size,
+    quantity) conjunct groups OR-ed together, mixing columns from both
+    join sides. The disjunction itself cannot push below the join, so
+    the Spark plan hoists the table-local IMPLIED conjuncts — part
+    rows must satisfy `brand IN (…) AND size <= 35`, lineitem rows
+    `quantity BETWEEN 1 AND 30` — as pre-join scan filters (the
+    factored-out part of each OR branch), which is what makes Q19
+    viable at 100 TB: the scans prune before the join instead of the
+    join evaluating the OR over the full cross-match."""
+    brands = ("Brand#12", "Brand#23", "Brand#34")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*brands) & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 35))
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+    disj = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15)
+         & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 25)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & (F.col("l_quantity") >= 20))
+    )
+    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(disj)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+@register("q86k_sql_margin_profit", oracle="""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * CAST(1 - l_discount AS DECIMAL(18,2))
+    - CAST(round(0.1 * p_retailprice, 2) AS DECIMAL(18,2))
+      * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%') t
+GROUP BY nation, o_year
+""")
+def q86k_sql_margin_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit: per supplier nation and
+    order year, revenue minus a unit cost (the testdata has no
+    partsupp table, so unit cost is a fixed 10% retail-price margin —
+    same join tree and decimal arithmetic, different cost source).
+    The `p_name LIKE '%red%'` substring filter prunes part FIRST
+    (~13% selectivity) and semi-prunes lineitem through the broadcast
+    join; only lineitem ⋈ orders exchanges."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    amount = (
+        _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+        - _dec(F.round(F.lit(0.1) * F.col("p_retailprice"), 2))
+        * _dec("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+                amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register("q99zm_kmv_distinct", oracle="""
+WITH u AS (
+  SELECT DISTINCT l_returnflag,
+    (('0x' || substr(md5(l_partkey || ':5'), 1, 12))::BIGINT + 0.5)
+      / 281474976710656.0 AS u
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, u,
+    row_number() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn
+  FROM u
+), agg AS (
+  SELECT l_returnflag, COUNT(*) AS sz, MAX(u) AS kth
+  FROM ranked WHERE rn <= 128 GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  CAST(round(CASE WHEN sz < 128 THEN CAST(sz AS DOUBLE)
+             ELSE 127.0 / kth END) AS BIGINT) AS n_distinct_est
+FROM agg
+""")
+def q99zm_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketches.py::kmv_sketch): per
+    return flag, estimate |distinct l_partkey| from the 128 smallest
+    engine-portable md5 uniforms — the transparent-math mergeable
+    distinct counter (HLL's register encoding is engine-private; KMV
+    arrays re-merge by flatten+sort+slice and every value reproduces
+    in the DuckDB oracle bit-for-bit). Shuffled state ≤ salts × k
+    doubles per group regardless of input size."""
+    l = read_table(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(l, ["l_returnflag"], "l_partkey", k=128, seed=5)
+    return kmv_estimate(sk, k=128).select("l_returnflag",
+                                          "n_distinct_est")
+
+
+@register("q99zn_char_entropy", oracle="""
+WITH c AS (
+  SELECT doc_id,
+    list_transform(range(1, len(text) + 1), i -> text[i:i]) AS chars
+  FROM documents
+)
+SELECT doc_id,
+  round(-list_sum(list_transform(list_distinct(chars),
+    d -> (CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE)
+          / len(chars))
+         * log2(CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE)
+                / len(chars)))), 6) + 0.0 AS entropy_bits
+FROM c
+""")
+def q99zn_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (operators/text.py::
+    char_entropy) — the gibberish/binary-paste curation signal.
+    Computed within the row via higher-order array functions: a pure
+    projection, no explode and no shuffle, so it composes with any
+    scan at 100 TB for free. (`+ 0.0` on both sides normalizes the
+    IEEE -0.0 a single-character document would produce.)"""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.round(char_entropy("text"), 6) + F.lit(0.0))
+        .alias("entropy_bits"))
+
+
+@register("q99zo_pareto_frontier", oracle="""
+WITH best AS (
+  SELECT p_brand, p_retailprice, MAX(p_size) AS p_size
+  FROM part GROUP BY p_brand, p_retailprice
+), sweep AS (
+  SELECT p_brand, p_retailprice, p_size,
+    MAX(p_size) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM best
+)
+SELECT p_brand, p_retailprice, p_size FROM sweep
+WHERE prev IS NULL OR p_size > prev
+""")
+def q99zo_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / skyline per brand (operators/frontier.py):
+    parts where no same-brand part is both cheaper and larger. The
+    naive skyline is a quadratic NOT-EXISTS self-join; the sort-sweep
+    form (per-price max size, then one running-max window over the
+    brand) is linear with O(1) window state — the plan that survives
+    a 100× scale-up."""
+    p = read_table(spark, sf_dir, "part")
+    return pareto_frontier_2d(
+        p.select("p_brand", "p_retailprice", "p_size"),
+        "p_retailprice", "p_size", ["p_brand"])
+
+
+@register("q99zp_basket_pairs", oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       COUNT(*) AS n_orders
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20
+""")
+def q99zp_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand co-occurrence: top 20 brand pairs appearing
+    in the same order. Dedup to (order, brand) FIRST — the per-order
+    distinct-brand reduction bounds the self-join fan-out at
+    |brands-per-order|² (single digits), so the pair generation is
+    linear in orders, not lineitems; both the dedup and the self-join
+    share one shuffle key (l_orderkey), and the final top-20 is a
+    TakeOrdered, never a global sort."""
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand").distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
+               & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# Exact double literals for 0.8^k and their prefix sums, shared with the
+# oracle SQL verbatim: pow() is not correctly-rounded and the JVM and
+# DuckDB libms may differ by 1 ulp, but a decimal literal parses to the
+# SAME double in both engines (shortest-round-trip repr).
+_DECAY_W = [0.8 ** k for k in range(8)]
+_DECAY_DEN = [sum(_DECAY_W[: n + 1]) for n in range(8)]
+
+
+@register("q99zq_decayed_smoothing", oracle=f"""
+WITH w AS (
+  SELECT event_id, user_id, value,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+), lits AS (
+  SELECT [{', '.join(repr(x) for x in _DECAY_W)}] AS wt,
+         [{', '.join(repr(x) for x in _DECAY_DEN)}] AS den
+)
+SELECT event_id, user_id,
+  round(list_sum(list_transform(range(1, len(vals) + 1),
+          i -> vals[i] * wt[len(vals) - i + 1]))
+        / den[len(vals)], 6) AS smoothed
+FROM w, lits
+""")
+def q99zq_decayed_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded exponential smoothing per user: each event's value
+    blended with its 7 predecessors under 0.8^age weights — the
+    windowed form of an EWMA that stays numerically stable at any
+    history length (the recursive EWMA as a prefix product overflows
+    double range on long histories; an 8-row frame caps both state
+    and error). The weights are decimal literals shared verbatim with
+    the oracle — pow() is not correctly-rounded across libms, parsed
+    literals are. One window per user; collect_list frame order
+    follows the (ts, event_id) ordering, so ties are deterministic."""
+    e = read_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-7, 0))
+    wt = F.array(*[F.lit(x) for x in _DECAY_W])
+    den = F.array(*[F.lit(x) for x in _DECAY_DEN])
+    vals = F.collect_list("value").over(w)
+    with_vals = e.select("event_id", "user_id", vals.alias("_vals"))
+    n = F.size("_vals")
+    num = F.aggregate(
+        F.zip_with(F.col("_vals"),
+                   F.sequence(F.lit(1), n),
+                   lambda v, i: v * F.element_at(wt, n - i + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return with_vals.select(
+        "event_id", "user_id",
+        F.round(num / F.element_at(den, n), 6).alias("smoothed"))
+
+
+@register("q99zr_minu_distinct", oracle="""
+WITH h AS (
+  SELECT event_type, md5(user_id || ':9') AS d FROM events
+), cells AS (
+  SELECT event_type,
+    ('0x' || substr(d, 13, 2))::BIGINT % 256 AS cell,
+    MIN((('0x' || substr(d, 1, 12))::BIGINT + 0.5)
+        / 281474976710656.0) AS umin
+  FROM h GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, SUM(umin) + (256 - COUNT(*)) * 1.0 AS s,
+         CAST(COUNT(*) AS DOUBLE) AS occ
+  FROM cells GROUP BY 1
+)
+SELECT event_type,
+  CAST(round(CASE WHEN occ * 2 < 256
+             THEN -256.0 * ln((256.0 - occ) / 256.0)
+             ELSE 65536.0 / s - 256.0 END) AS BIGINT) AS n_distinct_est
+FROM agg
+""")
+def q99zr_minu_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-uniform distinct sketch (operators/sketches.py::minu_sketch)
+    — the STREAMING-SAFE distinct counter: per-cell state is one double
+    maintained by a plain MIN, so the same transform runs under a
+    Structured Streaming watermark (streaming/distinct.py). This query
+    exercises the full cascade: hourly partials per event type
+    (bounded at k_cells rows per hour), merged to type level by
+    cell-wise min, then estimated — and the oracle computes the
+    sketch DIRECTLY over the raw rows, so the hash match proves
+    merged-hourly == direct (min-of-min exactness), the transparent-
+    math analog of the q99y HLL rollup parity."""
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        minu_estimate,
+        minu_merge,
+    )
+    from api_to_amt_data_lake_spark.streaming.distinct import (
+        hourly_minu_sketches,
+    )
+    e = read_table(spark, sf_dir, "events")
+    hourly = hourly_minu_sketches(e, ["event_type"], "user_id",
+                                  k_cells=256)
+    merged = minu_merge(hourly, ["event_type"])
+    return minu_estimate(merged, ["event_type"], k_cells=256)
 
 
 # ---------------------------------------------------------------------------

@@ -529,7 +529,17 @@ def ann_index_search(
     |queries| x nprobe values, and queries are few by the ANN contract —
     are collected and pushed as a `bucket IN (...)` partition filter, so
     the codes scan reads only the probed buckets' files: at 100 TB the
-    search touches nprobe/kc of the index bytes, not all of them."""
+    search touches nprobe/kc of the index bytes, not all of them.
+
+    Concurrency contract: a search racing `compact_index_buckets` on a
+    filesystem WITHOUT atomic dir exchange (non-Linux / cross-device —
+    Linux uses renameat2(RENAME_EXCHANGE), which has no gap) can fail
+    TRANSIENTLY with FileNotFound if its file listing was captured
+    inside the fallback's two-rename window. This is never corruption
+    or data loss — the load-time restore-only repair preserves bucket
+    content across any crash — so callers should simply retry the
+    search once; both renames are metadata-only and the window is
+    microseconds."""
     coarse, book, codes, meta = load_ann_index(spark, index_root)
     id_col, vec_col, m = meta["id_col"], meta["vec_col"], meta["m"]
     # OPQ indexes live in the rotated space; orthonormal R preserves

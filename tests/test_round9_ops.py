@@ -1,0 +1,207 @@
+"""Round-9 operators: KMV distinct sketch, char entropy, Pareto
+frontier sweep (sketches.py / text.py / frontier.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from api_to_amt_data_lake_spark.operators.frontier import pareto_frontier_2d
+from api_to_amt_data_lake_spark.operators.sketches import (
+    kmv_estimate,
+    kmv_sketch,
+)
+from api_to_amt_data_lake_spark.operators.text import char_entropy
+
+
+# ---------------------------------------------------------------------------
+# KMV
+
+def _vals(spark, n, group="g"):
+    return spark.createDataFrame(
+        [(group, i) for i in range(n)], "grp string, v long")
+
+
+def test_kmv_short_sketch_is_exact(spark):
+    sk = kmv_sketch(_vals(spark, 40), ["grp"], "v", k=128)
+    [r] = kmv_estimate(sk, k=128).collect()
+    assert r.n_distinct_est == 40
+
+
+def test_kmv_full_sketch_estimates_within_bound(spark):
+    # k=128 → relative error ~1/sqrt(k) ≈ 9%; allow 3 sigma.
+    sk = kmv_sketch(_vals(spark, 2000), ["grp"], "v", k=128)
+    [r] = kmv_estimate(sk, k=128).collect()
+    assert abs(r.n_distinct_est - 2000) < 2000 * 0.27
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    once = _vals(spark, 300)
+    thrice = once.unionAll(once).unionAll(once)
+    [a] = kmv_estimate(kmv_sketch(once, ["grp"], "v", k=64), k=64).collect()
+    [b] = kmv_estimate(kmv_sketch(thrice, ["grp"], "v", k=64),
+                       k=64).collect()
+    assert a.n_distinct_est == b.n_distinct_est
+
+
+def test_kmv_shard_merge_equals_whole(spark):
+    a = _vals(spark, 500)
+    b = spark.createDataFrame(
+        [("g", i) for i in range(400, 900)], "grp string, v long")
+    whole = kmv_sketch(a.unionAll(b), ["grp"], "v", k=64)
+    # Merge = re-run level 2 over the union of the two sketches.
+    merged = (
+        kmv_sketch(a, ["grp"], "v", k=64)
+        .unionAll(kmv_sketch(b, ["grp"], "v", k=64))
+        .groupBy("grp")
+        .agg(F.slice(
+            F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("kmv")))),
+            1, 64).alias("kmv"))
+    )
+    [w] = whole.collect()
+    [m] = merged.collect()
+    assert w.kmv == m.kmv
+
+
+# ---------------------------------------------------------------------------
+# Char entropy
+
+def _ent(spark, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(char_entropy("t").alias("e")).collect()[0].e
+
+
+def test_entropy_single_symbol_is_zero(spark):
+    assert _ent(spark, "aaaaaa") == 0.0
+
+
+def test_entropy_uniform_alphabet_is_log2(spark):
+    assert math.isclose(_ent(spark, "abcd"), 2.0)
+
+
+def test_entropy_empty_is_zero(spark):
+    assert _ent(spark, "") == 0.0
+
+
+def test_entropy_orders_signals(spark):
+    # mash < english-ish < uniform-random-ish alphabet spread
+    mash = _ent(spark, "aaaaabaaaaabaaaab")
+    english = _ent(spark, "the quick brown fox jumps over the lazy dog")
+    assert mash < english
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier
+
+def test_frontier_drops_dominated(spark):
+    df = spark.createDataFrame(
+        [("b", 1.0, 10), ("b", 2.0, 5), ("b", 3.0, 20), ("b", 4.0, 20)],
+        "g string, x double, y int")
+    rows = sorted(
+        pareto_frontier_2d(df, "x", "y", ["g"]).collect(),
+        key=lambda r: r.x)
+    # (2.0, 5) dominated by (1.0, 10); (4.0, 20) dominated by (3.0, 20)
+    assert [(r.x, r.y) for r in rows] == [(1.0, 10), (3.0, 20)]
+
+
+def test_frontier_x_ties_reduce_to_best_y(spark):
+    df = spark.createDataFrame(
+        [("b", 1.0, 3), ("b", 1.0, 9)], "g string, x double, y int")
+    rows = pareto_frontier_2d(df, "x", "y", ["g"]).collect()
+    assert [(r.x, r.y) for r in rows] == [(1.0, 9)]
+
+
+def test_frontier_per_group_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 9.0, 1)], "g string, x double, y int")
+    assert pareto_frontier_2d(df, "x", "y", ["g"]).count() == 2
+
+
+def test_frontier_other_quadrant(spark):
+    # maximize x, minimize y: dominated = smaller x AND larger y
+    df = spark.createDataFrame(
+        [("b", 5.0, 2), ("b", 4.0, 1), ("b", 3.0, 3)],
+        "g string, x double, y int")
+    rows = sorted(
+        pareto_frontier_2d(df, "x", "y", ["g"], minimize_x=False,
+                           maximize_y=False).collect(),
+        key=lambda r: r.x)
+    assert [(r.x, r.y) for r in rows] == [(4.0, 1.0), (5.0, 2.0)]
+
+
+def test_frontier_matches_naive_quadratic(spark):
+    import random
+
+    rng = random.Random(7)
+    data = [("g", float(rng.randint(0, 20)), rng.randint(0, 20))
+            for _ in range(120)]
+    df = spark.createDataFrame(data, "g string, x double, y int")
+    fast = {(r.x, r.y) for r in
+            pareto_frontier_2d(df, "x", "y", ["g"]).collect()}
+    pts = {(x, y) for _, x, y in data}
+    naive = {
+        (x, y) for x, y in pts
+        if not any((x2 <= x and y2 >= y and (x2, y2) != (x, y)
+                    and (x2 < x or y2 > y)) for x2, y2 in pts)
+    }
+    assert fast == naive
+
+
+# ---------------------------------------------------------------------------
+# Min-uniform distinct sketch (streaming-safe counterpart of KMV)
+
+def test_minu_estimate_within_bound(spark):
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        minu_estimate,
+        minu_sketch,
+    )
+
+    df = _vals(spark, 2000)
+    sk = minu_sketch(df, ["grp"], "v", k_cells=256)
+    [r] = minu_estimate(sk, ["grp"], k_cells=256).collect()
+    # relative error ~1/sqrt(k) ≈ 6%; allow 4 sigma
+    assert abs(r.n_distinct_est - 2000) < 2000 * 0.25
+
+
+def test_minu_duplicates_do_not_move_estimate(spark):
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        minu_estimate,
+        minu_sketch,
+    )
+
+    once = _vals(spark, 500)
+    est = lambda d: minu_estimate(  # noqa: E731
+        minu_sketch(d, ["grp"], "v", k_cells=128), ["grp"],
+        k_cells=128).collect()[0].n_distinct_est
+    assert est(once) == est(once.unionAll(once).unionAll(once))
+
+
+def test_minu_merge_equals_whole(spark):
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        minu_merge,
+        minu_sketch,
+    )
+
+    a = _vals(spark, 600)
+    b = spark.createDataFrame(
+        [("g", i) for i in range(300, 1100)], "grp string, v long")
+    whole = minu_sketch(a.unionAll(b), ["grp"], "v", k_cells=64)
+    merged = minu_merge(
+        minu_sketch(a, ["grp"], "v", k_cells=64)
+        .unionAll(minu_sketch(b, ["grp"], "v", k_cells=64)), ["grp"])
+    assert ({tuple(r) for r in whole.collect()}
+            == {tuple(r) for r in merged.collect()})
+
+
+def test_minu_small_group_near_exact(spark):
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        minu_estimate,
+        minu_sketch,
+    )
+
+    df = _vals(spark, 10)
+    sk = minu_sketch(df, ["grp"], "v", k_cells=256)
+    [r] = minu_estimate(sk, ["grp"], k_cells=256).collect()
+    assert abs(r.n_distinct_est - 10) <= 2

@@ -587,3 +587,58 @@ def test_stream_value_grids_match_batch_and_merge_up(spark, tmp_path, sf_dir):
              grid_quantiles(merged, ["event_type"], 10).collect()}
             == {tuple(r) for r in
                 grid_quantiles(direct, ["event_type"], 10).collect()})
+
+
+def test_stream_minu_sketches_match_batch_and_estimate(spark, tmp_path,
+                                                       sf_dir):
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        minu_estimate,
+        minu_merge,
+        minu_sketch,
+    )
+    from api_to_amt_data_lake_spark.streaming.distinct import (
+        hourly_minu_sketches,
+        stream_hourly_minu_sketches,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "dsrc")
+    events.write.parquet(src)
+
+    q = stream_hourly_minu_sketches(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "dckpt"),
+        output_dir=str(tmp_path / "dout"),
+        key_cols=["event_type"],
+        distinct_col="user_id",
+        k_cells=64,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "dout"))
+    raw = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    want = hourly_minu_sketches(raw, ["event_type"], "user_id",
+                                k_cells=64)
+    key = ["bucket_start", "event_type", "cell"]
+    n_got, n_want = got.count(), want.count()
+    # Append mode withholds only windows still inside the watermark.
+    assert 0 < n_got <= n_want
+    assert got.join(want, key + ["umin"]).count() == n_got
+
+    # Merge-exactness end-to-end: estimates from the STREAMED hourly
+    # partials (cell-wise min over fully-emitted hours) == estimates
+    # from a direct sketch over the same hours' raw events.
+    import pyspark.sql.functions as F
+    emitted_hours = got.select("bucket_start").distinct()
+    same_hours = raw.join(
+        emitted_hours.withColumnRenamed("bucket_start", "_h"),
+        F.date_trunc("hour", F.col("ts")) == F.col("_h"), "left_semi")
+    merged = minu_merge(got, ["event_type"])
+    direct = minu_sketch(same_hours, ["event_type"], "user_id",
+                         k_cells=64)
+    assert ({tuple(r) for r in
+             minu_estimate(merged, ["event_type"], 64).collect()}
+            == {tuple(r) for r in
+                minu_estimate(direct, ["event_type"], 64).collect()})

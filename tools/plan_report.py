@@ -92,6 +92,16 @@ SHOWCASE = [
      "mapInPandas projection over the documents scan — zero Exchange, "
      "the whole NAL-parse + I_PCM decode pipelines inside a single "
      "stage"),
+    ("q99zm_kmv_distinct", "KMV distinct sketch: two partial->final "
+     "HashAggregates — (group, salt) level bounds per-task state, "
+     "group level merges <= salts*k doubles; no raw-value shuffle"),
+    ("q99zo_pareto_frontier", "2-D skyline as a sort-sweep: per-x "
+     "max-y partial agg, then one running-max window per group — no "
+     "quadratic self-join anywhere in the plan"),
+    ("q86j_sql_disjunctive_revenue", "TPC-H Q19 shape: the implied "
+     "table-local conjuncts of the OR land in PushedFilters on both "
+     "scans; part broadcasts; the disjunction evaluates post-join on "
+     "pre-pruned rows"),
 ]
 
 
