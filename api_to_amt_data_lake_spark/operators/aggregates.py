@@ -146,3 +146,38 @@ def cascade_time_rollups(
     day = up(hour, "day")
     week = up(day, "week")
     return hour, day, week
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_mads: float = 5.0,
+) -> DataFrame:
+    """Median/MAD outlier census per group: (group, median, mad,
+    n_outliers) where an outlier is |x − median| > n_mads·MAD — the
+    robust alternative to mean/stddev z-scores (one giant value drags
+    a mean arbitrarily; the median and the median absolute deviation
+    each have a 50% breakdown point, so the fences hold on dirty
+    data — the curation use case).
+
+    Both medians come from `grouped_percentiles_disc` (value-frequency
+    cumulative windows — no per-row buffering, state bounded by value
+    cardinality), and the per-group scalars ride back onto the rows as
+    broadcast joins, so the whole census is two bounded window passes
+    + one partial-aggregated count over the scan."""
+    base = df.select(F.col(group_col), F.col(value_col).alias("_x")) \
+        .where(F.col("_x").isNotNull())
+    med = grouped_percentiles_disc(base, group_col, "_x", [0.5],
+                                   ["median"])
+    dev = base.join(F.broadcast(med), group_col).withColumn(
+        "_d", F.abs(F.col("_x") - F.col("median")))
+    mad = grouped_percentiles_disc(dev, group_col, "_d", [0.5], ["mad"])
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(F.max("median").alias("median"),
+             F.max("mad").alias("mad"),
+             F.sum(F.when(F.col("_d") > F.lit(n_mads) * F.col("mad"),
+                          1).otherwise(0)).alias("n_outliers"))
+    )

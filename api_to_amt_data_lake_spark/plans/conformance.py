@@ -7571,6 +7571,104 @@ def q99zr_minu_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minu_estimate(merged, ["event_type"], k_cells=256)
 
 
+@register("q99zs_mad_outliers", oracle="""
+WITH base AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem
+), mc AS (
+  SELECT flag, x AS v, COUNT(*) AS n FROM base GROUP BY 1, 2
+), mcum AS (
+  SELECT flag, v,
+    SUM(n) OVER (PARTITION BY flag ORDER BY v) AS cum,
+    SUM(n) OVER (PARTITION BY flag) AS tot
+  FROM mc
+), med AS (
+  SELECT flag, MIN(CASE WHEN cum >= ceil(0.5 * tot) THEN v END)
+    AS median FROM mcum GROUP BY flag
+), dev AS (
+  SELECT b.flag, abs(b.x - m.median) AS d, m.median
+  FROM base b JOIN med m USING (flag)
+), dc AS (
+  SELECT flag, d AS v, COUNT(*) AS n FROM dev GROUP BY 1, 2
+), dcum AS (
+  SELECT flag, v,
+    SUM(n) OVER (PARTITION BY flag ORDER BY v) AS cum,
+    SUM(n) OVER (PARTITION BY flag) AS tot
+  FROM dc
+), mad AS (
+  SELECT flag, MIN(CASE WHEN cum >= ceil(0.5 * tot) THEN v END)
+    AS mad FROM dcum GROUP BY flag
+)
+SELECT dev.flag AS l_returnflag, MAX(dev.median) AS median,
+  MAX(mad.mad) AS mad,
+  SUM(CASE WHEN dev.d > 5 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+FROM dev JOIN mad USING (flag)
+GROUP BY dev.flag
+""")
+def q99zs_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier census (operators/aggregates.py::
+    robust_outlier_stats): per return flag, the exact discrete median
+    of extended price, the median absolute deviation around it, and
+    the count of rows beyond 5 MADs. Robust fences (50% breakdown
+    point) where mean/stddev would be dragged by the very outliers
+    being hunted. Both medians use the value-frequency cumulative-
+    window percentile (no per-row buffering); the group scalars
+    broadcast back onto the scan."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        robust_outlier_stats,
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    return robust_outlier_stats(
+        l, "l_returnflag", "l_extendedprice", n_mads=5.0)
+
+
+@register("q99zt_interval_coverage", oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS e
+  FROM events
+), marked AS (
+  SELECT user_id, s, e,
+    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS pme
+  FROM iv
+), seg AS (
+  SELECT user_id, s, e,
+    SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM marked
+), spans AS (
+  SELECT user_id, seg_id, MIN(s) AS ss, MAX(e) AS ee
+  FROM seg GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(ee - ss) AS BIGINT) AS covered_us,
+  COUNT(*) AS n_segments
+FROM spans GROUP BY user_id
+""")
+def q99zt_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union coverage (operators/intervals.py): each event
+    opens a [ts, ts + floor(value) seconds) activity span; per user,
+    total distinct covered microseconds and merged-segment count.
+    Overlaps count once — the classic sort-sweep (running-max-end →
+    segment-id prefix sum → per-segment reduce) instead of the
+    quadratic overlap self-join; both windows share one shuffle."""
+    from api_to_amt_data_lake_spark.operators.asof import _ts_to_num
+    from api_to_amt_data_lake_spark.operators.intervals import (
+        interval_coverage,
+    )
+    e = read_table(spark, sf_dir, "events")
+    micros = _ts_to_num(F.col("ts"), dict(e.dtypes)["ts"])
+    iv = e.select(
+        "user_id",
+        micros.alias("s"),
+        (micros
+         + F.floor("value").cast("long") * F.lit(1000000)).alias("e"))
+    cov = interval_coverage(iv, ["user_id"], "s", "e")
+    return cov.select("user_id", F.col("covered").alias("covered_us"),
+                      "n_segments")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -205,3 +205,108 @@ def test_minu_small_group_near_exact(spark):
     sk = minu_sketch(df, ["grp"], "v", k_cells=256)
     [r] = minu_estimate(sk, ["grp"], k_cells=256).collect()
     assert abs(r.n_distinct_est - 10) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Interval union merge / coverage
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "k string, s long, e long")
+
+
+def test_intervals_overlaps_count_once(spark):
+    from api_to_amt_data_lake_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    df = _iv(spark, [("a", 0, 10), ("a", 5, 15), ("a", 30, 40)])
+    [r] = interval_coverage(df, ["k"], "s", "e").collect()
+    assert (r.covered, r.n_segments) == (25, 2)
+
+
+def test_intervals_contained_span_absorbed(spark):
+    from api_to_amt_data_lake_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    df = _iv(spark, [("a", 0, 100), ("a", 10, 20), ("a", 30, 40)])
+    rows = merge_intervals(df, ["k"], "s", "e").collect()
+    assert [(r.seg_start, r.seg_end) for r in rows] == [(0, 100)]
+
+
+def test_intervals_touching_spans_merge(spark):
+    from api_to_amt_data_lake_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    df = _iv(spark, [("a", 0, 10), ("a", 10, 20)])
+    [r] = interval_coverage(df, ["k"], "s", "e").collect()
+    assert (r.covered, r.n_segments) == (20, 1)
+
+
+def test_intervals_duplicate_rows_stable(spark):
+    from api_to_amt_data_lake_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    df = _iv(spark, [("a", 0, 10), ("a", 0, 10), ("a", 0, 10)])
+    [r] = interval_coverage(df, ["k"], "s", "e").collect()
+    assert (r.covered, r.n_segments) == (10, 1)
+
+
+def test_intervals_bridge_span_joins_islands(spark):
+    from api_to_amt_data_lake_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    # third span arrives sorted between the two it bridges
+    df = _iv(spark, [("a", 0, 10), ("a", 20, 30), ("a", 5, 25)])
+    [r] = interval_coverage(df, ["k"], "s", "e").collect()
+    assert (r.covered, r.n_segments) == (30, 1)
+
+
+def test_intervals_matches_naive_sweep(spark):
+    import random
+
+    from api_to_amt_data_lake_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    rng = random.Random(11)
+    rows = [("k", s, s + rng.randint(1, 30))
+            for s in (rng.randint(0, 200) for _ in range(150))]
+    [r] = interval_coverage(_iv(spark, rows), ["k"], "s", "e").collect()
+    covered_points = set()
+    for _, s, e in rows:
+        covered_points.update(range(s, e))
+    assert r.covered == len(covered_points)
+
+
+# ---------------------------------------------------------------------------
+# Robust MAD outliers
+
+def test_mad_census_flags_only_planted_outlier(spark):
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        robust_outlier_stats,
+    )
+
+    vals = [("g", float(v)) for v in [10, 11, 12, 13, 14, 9, 10, 12]]
+    vals.append(("g", 10_000.0))
+    df = spark.createDataFrame(vals, "grp string, x double")
+    [r] = robust_outlier_stats(df, "grp", "x", n_mads=5.0).collect()
+    assert r.n_outliers == 1
+    # sorted: [9,10,10,11,12,12,13,14,10000] → disc p50 is the 5th (12);
+    # the planted outlier shifts it one rank, never to itself
+    assert r.median == 12.0
+    assert r.mad == 2.0
+
+
+def test_mad_census_clean_group_has_none(spark):
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        robust_outlier_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(100, 120)], "grp string, x double")
+    [r] = robust_outlier_stats(df, "grp", "x").collect()
+    assert r.n_outliers == 0
