@@ -384,12 +384,17 @@ def minu_sketch(
     aggregate, and the merge is cell-wise min (exactly like HLL's
     register max — merged-shard == whole-corpus, bit-for-bit). Cell id
     and uniform come from DISJOINT hex ranges of one md5, so both
-    reproduce in any engine: u = chars 1-12, cell = chars 13-14."""
+    reproduce in any engine: u = chars 1-12, cell = chars 13-16 (16
+    bits — k_cells must be ≤ 65536; a 2-char cell range silently left
+    cells beyond 256 empty forever and the estimator read the missing
+    cells as sparsity, caught by the 10M-row sweep smoke)."""
+    if k_cells > 16 ** 4:
+        raise ValueError(f"k_cells must be <= {16 ** 4}, got {k_cells}")
     digest = F.md5(F.concat_ws(
         ":", F.col(distinct_col).cast("string"), F.lit(str(seed))))
     h = F.conv(F.substring(digest, 1, 12), 16, 10).cast("long")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 12))
-    cell = F.pmod(F.conv(F.substring(digest, 13, 2), 16, 10).cast("long"),
+    cell = F.pmod(F.conv(F.substring(digest, 13, 4), 16, 10).cast("long"),
                   F.lit(k_cells))
     return (
         df.select(*key_cols, cell.alias("cell"), u.alias("_u"))

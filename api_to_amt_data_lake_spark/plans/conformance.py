@@ -7220,133 +7220,6 @@ def q86h_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q86i_sql_customer_order_counts", oracle="""
-SELECT c_count, COUNT(*) AS custdist FROM (
-  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-  FROM customer c LEFT JOIN orders o
-    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
-  GROUP BY c.c_custkey) t
-GROUP BY c_count
-""")
-def q86i_sql_customer_order_counts(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
-    """TPC-H Q13-style customer order-count distribution: LEFT join
-    with the filter in the ON clause (an outer join must keep
-    order-less customers, so `o_orderpriority <> '1-URGENT'` cannot
-    move to WHERE — the classic outer-join-predicate-placement
-    semantics), COUNT of the nullable join key per customer (counts 0
-    for unmatched), then a second aggregation over the counts. Both
-    aggregations partial-aggregate map-side; the join shuffles on
-    custkey once and the second groupBy's key space is tiny."""
-    c = read_table(spark, sf_dir, "customer").select("c_custkey")
-    o = read_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderpriority")
-    per_cust = (
-        c.join(o, (F.col("c_custkey") == F.col("o_custkey"))
-               & (F.col("o_orderpriority") != "1-URGENT"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
-
-
-@register("q86j_sql_disjunctive_revenue", oracle="""
-SELECT p_brand AS brand,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_lines
-FROM lineitem JOIN part ON p_partkey = l_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-       AND l_quantity BETWEEN 1 AND 11)
-   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-       AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-       AND l_quantity BETWEEN 20 AND 30)
-GROUP BY p_brand
-""")
-def q86j_sql_disjunctive_revenue(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
-    """TPC-H Q19-style disjunctive join predicate: three (brand, size,
-    quantity) conjunct groups OR-ed together, mixing columns from both
-    join sides. The disjunction itself cannot push below the join, so
-    the Spark plan hoists the table-local IMPLIED conjuncts — part
-    rows must satisfy `brand IN (…) AND size <= 35`, lineitem rows
-    `quantity BETWEEN 1 AND 30` — as pre-join scan filters (the
-    factored-out part of each OR branch), which is what makes Q19
-    viable at 100 TB: the scans prune before the join instead of the
-    join evaluating the OR over the full cross-match."""
-    brands = ("Brand#12", "Brand#23", "Brand#34")
-    p = read_table(spark, sf_dir, "part").filter(
-        F.col("p_brand").isin(*brands) & (F.col("p_size") >= 1)
-        & (F.col("p_size") <= 35))
-    l = read_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
-    disj = (
-        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15)
-         & (F.col("l_quantity") <= 11))
-        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 25)
-           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
-        | ((F.col("p_brand") == "Brand#34")
-           & (F.col("l_quantity") >= 20))
-    )
-    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
-    return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .filter(disj)
-        .groupBy(F.col("p_brand").alias("brand"))
-        .agg(F.sum(rev).cast("double").alias("revenue"),
-             F.count("*").alias("n_lines"))
-    )
-
-
-@register("q86k_sql_margin_profit", oracle="""
-SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
-FROM (
-  SELECT n_name AS nation, year(o_orderdate) AS o_year,
-    CAST(l_extendedprice AS DECIMAL(18,2))
-      * CAST(1 - l_discount AS DECIMAL(18,2))
-    - CAST(round(0.1 * p_retailprice, 2) AS DECIMAL(18,2))
-      * CAST(l_quantity AS DECIMAL(18,2)) AS amount
-  FROM lineitem
-  JOIN part     ON p_partkey = l_partkey
-  JOIN supplier ON s_suppkey = l_suppkey
-  JOIN orders   ON o_orderkey = l_orderkey
-  JOIN nation   ON s_nationkey = n_nationkey
-  WHERE p_name LIKE '%red%') t
-GROUP BY nation, o_year
-""")
-def q86k_sql_margin_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9-style product-type profit: per supplier nation and
-    order year, revenue minus a unit cost (the testdata has no
-    partsupp table, so unit cost is a fixed 10% retail-price margin —
-    same join tree and decimal arithmetic, different cost source).
-    The `p_name LIKE '%red%'` substring filter prunes part FIRST
-    (~13% selectivity) and semi-prunes lineitem through the broadcast
-    join; only lineitem ⋈ orders exchanges."""
-    l = read_table(spark, sf_dir, "lineitem")
-    p = read_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like("%red%"))
-    s = read_table(spark, sf_dir, "supplier")
-    o = read_table(spark, sf_dir, "orders")
-    n = read_table(spark, sf_dir, "nation")
-    amount = (
-        _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
-        - _dec(F.round(F.lit(0.1) * F.col("p_retailprice"), 2))
-        * _dec("l_quantity")
-    )
-    return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(F.col("n_name").alias("nation"),
-                F.year("o_orderdate").alias("o_year"),
-                amount.alias("amount"))
-        .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
-    )
-
-
 @register("q99zm_kmv_distinct", oracle="""
 WITH u AS (
   SELECT DISTINCT l_returnflag,
@@ -7531,7 +7404,7 @@ WITH h AS (
   SELECT event_type, md5(user_id || ':9') AS d FROM events
 ), cells AS (
   SELECT event_type,
-    ('0x' || substr(d, 13, 2))::BIGINT % 256 AS cell,
+    ('0x' || substr(d, 13, 4))::BIGINT % 256 AS cell,
     MIN((('0x' || substr(d, 1, 12))::BIGINT + 0.5)
         / 281474976710656.0) AS umin
   FROM h GROUP BY 1, 2
@@ -7667,6 +7540,66 @@ def q99zt_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = interval_coverage(iv, ["user_id"], "s", "e")
     return cov.select("user_id", F.col("covered").alias("covered_us"),
                       "n_segments")
+
+
+@register("q99zu_attribution", oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS s FROM events
+), gaps AS (
+  SELECT user_id, event_id, event_type, s,
+    CASE WHEN LAG(s) OVER w IS NULL
+           OR s - LAG(s) OVER w > 1800000000 THEN 1 ELSE 0 END AS opens
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+), sess AS (
+  SELECT user_id, event_id, event_type, s,
+    SUM(opens) OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sess_id
+  FROM gaps
+), firsts AS (
+  SELECT user_id, event_type, s,
+    MIN(CASE WHEN event_type = 'click' THEN s END)
+      OVER (PARTITION BY user_id, sess_id) AS first_click
+  FROM sess
+)
+SELECT user_id, COUNT(*) AS n_purchases,
+  SUM(CASE WHEN first_click IS NOT NULL AND first_click <= s
+      THEN 1 ELSE 0 END) AS n_attributed
+FROM firsts WHERE event_type = 'purchase'
+GROUP BY user_id
+""")
+def q99zu_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch session attribution: sessionize per user (30-min
+    inactivity gap), credit each purchase to the session's earliest
+    preceding click. Three windows — lag-gap, running session-id sum,
+    conditional per-session min — all partitioned by user (two share
+    one sort), then one partial-aggregated count: the attribution
+    join-back that marketing pipelines usually write as an expensive
+    event-to-event self-join collapses into window passes with O(1)
+    state. Tie-safe: equal timestamps gap to 0 (same session) under
+    any order, and the per-session min is order-free."""
+    from api_to_amt_data_lake_spark.operators.asof import _ts_to_num
+    e = read_table(spark, sf_dir, "events")
+    s = _ts_to_num(F.col("ts"), dict(e.dtypes)["ts"])
+    ev = e.select("user_id", "event_id", "event_type", s.alias("s"))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    gap = F.col("s") - F.lag("s").over(w)
+    opens = F.when(gap.isNull() | (gap > 1800 * 1_000_000),
+                   F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn("_sess", F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    w_sess = Window.partitionBy("user_id", "_sess")
+    first_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("s"))).over(w_sess)
+    flagged = sess.withColumn("_fc", first_click)
+    return (
+        flagged.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"),
+             F.sum(F.when(F.col("_fc").isNotNull()
+                          & (F.col("_fc") <= F.col("s")),
+                          1).otherwise(0)).alias("n_attributed"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -118,6 +118,18 @@ HEADLINE = [
     "q99zk_znorm_embeddings",
     "q99zl_top_p_nucleus",
     "q86h_sql_market_share",
+    # round 9 additions (first recorded in BENCH_r09)
+    "q86k_sql_customer_distribution",
+    "q86n_sql_disjunctive_predicates",
+    "q86j_sql_product_profit",
+    "q99zm_kmv_distinct",
+    "q99zn_char_entropy",
+    "q99zo_pareto_frontier",
+    "q99zp_basket_pairs",
+    "q99zq_decayed_smoothing",
+    "q99zr_minu_distinct",
+    "q99zs_mad_outliers",
+    "q99zt_interval_coverage",
 ]
 
 

@@ -642,3 +642,67 @@ def test_stream_minu_sketches_match_batch_and_estimate(spark, tmp_path,
              minu_estimate(merged, ["event_type"], 64).collect()}
             == {tuple(r) for r in
                 minu_estimate(direct, ["event_type"], 64).collect()})
+
+
+def test_stream_trending_fold_matches_batch_recompute(spark, tmp_path,
+                                                      sf_dir):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from api_to_amt_data_lake_spark.operators.asof import _ts_to_num
+    from api_to_amt_data_lake_spark.streaming.trending import (
+        decayed_scores_batch,
+        read_trending,
+        stream_trending,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    micros = _ts_to_num(F.col("ts"), dict(events.dtypes)["ts"])
+    ev = events.select("event_type", micros.alias("ts_us"))
+    src = str(tmp_path / "tsrc")
+    # three files -> maxFilesPerTrigger=1 makes three micro-batches
+    ev.repartition(3).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("event_type string, ts_us long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_trending(
+        stream, state_root=str(tmp_path / "tstate"),
+        checkpoint_dir=str(tmp_path / "tckpt"),
+        key_cols=["event_type"], ts_us_col="ts_us",
+        half_life_s=86_400.0)
+    q.awaitTermination(120)
+
+    got = {r.event_type: (r.score, r.as_of_us)
+           for r in read_trending(spark, str(tmp_path / "tstate")).collect()}
+    ref = ev.agg(F.max("ts_us")).first()[0]
+    want = {r.event_type: r.score
+            for r in decayed_scores_batch(
+                ev, ["event_type"], "ts_us", ref, 86_400.0).collect()}
+    assert set(got) == set(want)
+    for k, (score, as_of) in got.items():
+        assert as_of == ref
+        assert math.isclose(score, want[k], rel_tol=1e-9), k
+
+
+def test_trending_fold_replay_skipped_and_decay_only(spark, tmp_path):
+    import math
+
+    from api_to_amt_data_lake_spark.streaming.trending import (
+        fold_trending_batch,
+        read_trending,
+    )
+
+    root = str(tmp_path / "state")
+    hl = 100.0
+    b0 = spark.createDataFrame([("a", 0), ("b", 0)], "k string, ts long")
+    assert fold_trending_batch(spark, b0, 0, root, ["k"], "ts", hl)
+    # replayed batch id -> skipped
+    assert not fold_trending_batch(spark, b0, 0, root, ["k"], "ts", hl)
+    # one half-life later, only key a recurs: b purely decays
+    b1 = spark.createDataFrame([("a", 100_000_000)], "k string, ts long")
+    assert fold_trending_batch(spark, b1, 1, root, ["k"], "ts", hl)
+    got = {r.k: r.score for r in read_trending(spark, root).collect()}
+    assert math.isclose(got["b"], 0.5, rel_tol=1e-12)
+    assert math.isclose(got["a"], 1.5, rel_tol=1e-12)

@@ -98,10 +98,9 @@ SHOWCASE = [
     ("q99zo_pareto_frontier", "2-D skyline as a sort-sweep: per-x "
      "max-y partial agg, then one running-max window per group — no "
      "quadratic self-join anywhere in the plan"),
-    ("q86j_sql_disjunctive_revenue", "TPC-H Q19 shape: the implied "
-     "table-local conjuncts of the OR land in PushedFilters on both "
-     "scans; part broadcasts; the disjunction evaluates post-join on "
-     "pre-pruned rows"),
+    ("q86n_sql_disjunctive_predicates", "TPC-H Q19 shape: the "
+     "disjunction spans both join sides so it evaluates post-join "
+     "while the join key still pushes; part broadcasts"),
 ]
 
 
