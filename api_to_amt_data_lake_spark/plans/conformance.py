@@ -7602,6 +7602,121 @@ def q99zu_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q99zv_association_rules", oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM ob
+), supp AS (
+  SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY 1
+), pairs AS (
+  SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+         COUNT(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY 1, 2
+)
+SELECT antecedent, consequent,
+  round(n_ab / n.n_orders, 6) AS support,
+  round(CAST(n_ab AS DOUBLE) / sa.n_b, 6) AS confidence,
+  round((n_ab / n.n_orders) / ((sa.n_b / n.n_orders)
+                               * (sc.n_b / n.n_orders)), 6) AS lift
+FROM pairs
+JOIN supp sa ON sa.p_brand = antecedent
+JOIN supp sc ON sc.p_brand = consequent
+CROSS JOIN n
+ORDER BY lift DESC, antecedent, consequent LIMIT 25
+""")
+def q99zv_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: support, confidence and
+    lift for DIRECTED brand pairs (antecedent → consequent), top 25 by
+    lift. Same bounded pair generation as q99zp (dedup to (order,
+    brand) first, shared orderkey shuffle); the per-brand support
+    table and the scalar basket count are broadcast-sized, so the rule
+    metrics are three cheap joins over the pair counts — the Apriori
+    k=2 pass expressed relationally."""
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand").distinct()
+    )
+    n_orders = ob.select(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    supp = ob.groupBy("p_brand").agg(F.count("*").alias("n_b"))
+    a = ob.select("l_orderkey", F.col("p_brand").alias("antecedent"))
+    b = ob.select(F.col("l_orderkey").alias("_ok"),
+                  F.col("p_brand").alias("consequent"))
+    pairs = (
+        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
+               & (F.col("antecedent") != F.col("consequent")))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = supp.select(F.col("p_brand").alias("antecedent"),
+                     F.col("n_b").alias("_na"))
+    sc = supp.select(F.col("p_brand").alias("consequent"),
+                     F.col("n_b").alias("_nc"))
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent", "consequent",
+            F.round(F.col("n_ab") / F.col("n_orders"), 6)
+            .alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("_na"), 6)
+            .alias("confidence"),
+            F.round((F.col("n_ab") / F.col("n_orders"))
+                    / ((F.col("_na") / F.col("n_orders"))
+                       * (F.col("_nc") / F.col("n_orders"))), 6)
+            .alias("lift"))
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(25)
+    )
+
+
+@register("q99zw_transition_matrix", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+    LEAD(event_type) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+), trans AS (
+  SELECT cur, nxt, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+  round(CAST(n AS DOUBLE)
+        / SUM(n) OVER (PARTITION BY cur), 6) AS p_next
+FROM trans
+""")
+def q99zw_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered (current, next) event-type pair, the transition count and
+    conditional probability P(next | current). One LEAD window per
+    user (deterministic (ts, event_id) order), a partial-aggregated
+    pair count, and a row-normalizing window over the 25-cell matrix —
+    event volume passes through exactly one keyed window + one
+    groupBy; the normalization runs on the tiny aggregate."""
+    from api_to_amt_data_lake_spark.operators.asof import _ts_to_num
+    e = read_table(spark, sf_dir, "events")
+    s = _ts_to_num(F.col("ts"), dict(e.dtypes)["ts"])
+    w = Window.partitionBy("user_id").orderBy(s.asc(), F.col("event_id"))
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"))
+    trans = (seq.filter(F.col("nxt").isNotNull())
+             .groupBy("cur", "nxt").agg(F.count("*").alias("n")))
+    w_row = Window.partitionBy("cur")
+    return trans.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 6)
+        .alias("p_next"))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -130,6 +130,9 @@ HEADLINE = [
     "q99zr_minu_distinct",
     "q99zs_mad_outliers",
     "q99zt_interval_coverage",
+    "q99zu_attribution",
+    "q99zv_association_rules",
+    "q99zw_transition_matrix",
 ]
 
 
