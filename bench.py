@@ -133,6 +133,7 @@ HEADLINE = [
     "q99zu_attribution",
     "q99zv_association_rules",
     "q99zw_transition_matrix",
+    "q99zx_cusum_drift",
 ]
 
 

@@ -310,3 +310,45 @@ def test_mad_census_clean_group_has_none(spark):
         [("g", float(v)) for v in range(100, 120)], "grp string, x double")
     [r] = robust_outlier_stats(df, "grp", "x").collect()
     assert r.n_outliers == 0
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift (window algebra == per-row recursion)
+
+def _cusum_rows(spark, vals, k, h):
+    from api_to_amt_data_lake_spark.operators.timeseries import cusum_drift
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(vals)],
+        "grp string, i long, x double")
+    rows = cusum_drift(df, ["grp"], [F.col("i")], "x",
+                       drift_k=k, threshold_h=h).collect()
+    return [ (r.cusum, r.breach) for r in sorted(rows, key=lambda r: r.i)]
+
+
+def test_cusum_matches_recursive_fold(spark):
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.uniform(-2, 3) for _ in range(400)]
+    k, h = 0.5, 10.0
+    got = _cusum_rows(spark, vals, k, h)
+    s = 0.0
+    for v, (cusum, breach) in zip(vals, got):
+        s = max(0.0, s + v - k)
+        assert abs(cusum - s) < 1e-9
+        assert breach == (cusum > h)
+
+
+def test_cusum_resets_after_low_run(spark):
+    # spike, long quiet stretch, spike: the second spike starts from 0
+    vals = [10.0] + [0.0] * 20 + [10.0]
+    got = _cusum_rows(spark, vals, 1.0, 5.0)
+    assert got[0][0] == 9.0 and got[0][1]
+    assert got[-1][0] == 9.0 and got[-1][1]
+    assert got[10][0] == 0.0 and not got[10][1]
+
+
+def test_cusum_in_control_stays_zero(spark):
+    got = _cusum_rows(spark, [1.0] * 50, 1.0, 5.0)
+    assert all(c == 0.0 and not b for c, b in got)
