@@ -3795,6 +3795,53 @@ can only be evaluated post-join, plus the dual conditional counts from
 one pass.""")
 
 
+_sql_surface("q86p_sql_null_aware_not_in", ("customer", "orders"), """
+SELECT
+  (SELECT COUNT(*) FROM {customer}
+   WHERE c_custkey NOT IN
+     (SELECT o_custkey FROM {orders} WHERE o_orderpriority = '1-URGENT')
+  ) AS not_in_clean,
+  (SELECT COUNT(*) FROM {customer}
+   WHERE c_custkey NOT IN
+     (SELECT nullif(o_custkey, o_custkey) FROM {orders}
+      WHERE o_orderpriority = '1-URGENT')
+  ) AS not_in_all_null,
+  (SELECT COUNT(*) FROM {customer}
+   WHERE c_custkey IN
+     (SELECT nullif(o_custkey, 3) FROM {orders})
+  ) AS in_with_nulls
+""", """NULL-aware NOT IN semantics pin (the tri-valued-logic trap a
+naive anti join gets wrong): a clean subquery behaves like an anti
+join; a subquery containing ANY null makes `x NOT IN (…)` UNKNOWN for
+every x, so the count is 0 (Spark plans a NullAwareAntiJoin here, not
+a plain LeftAnti); `IN` with nulls still matches on the non-null
+values. One row, three scalar counts — any engine disagreement on
+three-valued logic flips a number.""")
+
+
+_sql_surface("q86q_sql_bag_set_ops", ("lineitem",), """
+WITH a AS (SELECT l_returnflag, l_linestatus FROM {lineitem}
+           WHERE l_quantity <= 25),
+     b AS (SELECT l_returnflag, l_linestatus FROM {lineitem}
+           WHERE l_quantity >= 20)
+SELECT 'intersect_all' AS op, COUNT(*) AS n FROM
+  (SELECT * FROM a INTERSECT ALL SELECT * FROM b) t1
+UNION ALL
+SELECT 'except_all' AS op, COUNT(*) AS n FROM
+  (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t2
+UNION ALL
+SELECT 'intersect_distinct' AS op, COUNT(*) AS n FROM
+  (SELECT * FROM a INTERSECT SELECT * FROM b) t3
+UNION ALL
+SELECT 'except_distinct' AS op, COUNT(*) AS n FROM
+  (SELECT * FROM a EXCEPT SELECT * FROM b) t4
+""", """Bag vs set semantics for INTERSECT/EXCEPT (q48 pins only the
+DISTINCT forms): ALL keeps min(multiplicity) / subtracts
+multiplicities per duplicate group — over the 6-value
+(returnflag, linestatus) domain the four counts differ by orders of
+magnitude, so a bag-semantics bug in either engine cannot hash-match.""")
+
+
 @register("q86d_sql_dormant_rich_customers", oracle="""
 SELECT c.c_nationkey AS nationkey, COUNT(*) AS numcust,
   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal

@@ -1,0 +1,79 @@
+"""Streaming CUSUM drift alarms: the per-key recursion on a live stream.
+
+Batch CUSUM de-recursifies into window algebra
+(`operators/timeseries.py::cusum_drift` — cumsum + running min), but a
+LIVE detector must carry S_n across micro-batch boundaries, which is
+exactly the one-cell-per-key cross-batch state arbitrary-state APIs
+exist for. Implemented on `applyInPandasWithState` (GroupState, the
+same API as `budget.py`): state = the running statistic, each batch
+folds its rows in (order_col…) order and emits every row's statistic +
+breach flag.
+
+Ordering contract: the fold applies rows in order WITHIN a batch and
+batches in arrival order — the statistic is exact when micro-batches
+respect per-key event-time order (a log tail); rows arriving after a
+later batch fold at their arrival position, the standard live-detector
+semantics (the batch binding is the replayable ground truth).
+
+Scale shape: state is ONE double per key; Arrow batches stream through
+the Python worker; the groupBy partitions by key — no skew beyond the
+key distribution itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+CUSUM_OUTPUT_SCHEMA = ("key string, event_id long, cusum double, "
+                       "breach boolean")
+_STATE_SCHEMA = "s double"
+
+
+def _cusum_fn(drift_k: float, threshold_h: float, order_cols: list[str]):
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+           ) -> Iterator[pd.DataFrame]:
+        s = state.get[0] if state.exists else 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_cols)
+            out_c, out_b = [], []
+            for v in pdf["value"]:
+                s = max(0.0, s + float(v) - drift_k)
+                out_c.append(s)
+                out_b.append(s > threshold_h)
+            yield pd.DataFrame({
+                "key": key[0],
+                "event_id": pdf["event_id"].values,
+                "cusum": out_c,
+                "breach": out_b,
+            })
+        state.update((s,))
+
+    return fn
+
+
+def stream_cusum(
+    stream_df: DataFrame,
+    drift_k: float,
+    threshold_h: float,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming per-key CUSUM. Input stream columns:
+    (key string, event_id long, ts_us long, value double); output one
+    row per input row with the running statistic and breach flag."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream_df.groupBy("key")
+        .applyInPandasWithState(
+            _cusum_fn(float(drift_k), float(threshold_h),
+                      order_cols or ["ts_us", "event_id"]),
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -706,3 +706,56 @@ def test_trending_fold_replay_skipped_and_decay_only(spark, tmp_path):
     got = {r.k: r.score for r in read_trending(spark, root).collect()}
     assert math.isclose(got["b"], 0.5, rel_tol=1e-12)
     assert math.isclose(got["a"], 1.5, rel_tol=1e-12)
+
+
+def test_stream_cusum_matches_batch_window_algebra(spark, tmp_path,
+                                                   sf_dir):
+    """The live per-key CUSUM fold must equal the batch window-algebra
+    form when micro-batches respect event-time order — split the event
+    log into three consecutive time chunks, stream them as three
+    batches, compare every row's statistic."""
+    import pyspark.sql.functions as F
+
+    from api_to_amt_data_lake_spark.operators.asof import _ts_to_num
+    from api_to_amt_data_lake_spark.operators.timeseries import (
+        cusum_drift,
+    )
+    from api_to_amt_data_lake_spark.streaming.drift import stream_cusum
+
+    events = read_table(spark, sf_dir, "events")
+    micros = _ts_to_num(F.col("ts"), dict(events.dtypes)["ts"])
+    ev = events.select(
+        F.col("event_type").alias("key"), "event_id",
+        micros.alias("ts_us"), "value")
+
+    src = tmp_path / "csrc"
+    src.mkdir()
+    qs = ev.approxQuantile("ts_us", [0.33, 0.66], 0.0)
+    chunks = [ev.filter(F.col("ts_us") <= qs[0]),
+              ev.filter((F.col("ts_us") > qs[0])
+                        & (F.col("ts_us") <= qs[1])),
+              ev.filter(F.col("ts_us") > qs[1])]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (spark.readStream
+              .schema("key string, event_id long, ts_us long, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "b*")))
+    out = stream_cusum(stream, drift_k=2.0, threshold_h=500.0)
+    q = (out.writeStream.format("memory").queryName("cusum_out")
+         .option("checkpointLocation", str(tmp_path / "cckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {r.event_id: (r.cusum, r.breach) for r in
+           spark.sql("SELECT * FROM cusum_out").collect()}
+    want = {r.event_id: (r.cusum, r.breach) for r in cusum_drift(
+        ev, ["key"], [F.col("ts_us"), F.col("event_id")], "value",
+        drift_k=2.0, threshold_h=500.0).collect()}
+    assert set(got) == set(want)
+    mism = [e for e in got
+            if abs(got[e][0] - want[e][0]) > 1e-9
+            or got[e][1] != want[e][1]]
+    assert not mism, mism[:5]
+    spark.catalog.dropTempView("cusum_out")
