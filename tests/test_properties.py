@@ -454,3 +454,67 @@ class TestDomainCap:
                     hashlib.md5(f"{i}:11".encode()).hexdigest(), i))
             want |= {(i, rk + 1) for rk, i in enumerate(members[:cap])}
         assert got == want
+
+
+class TestRound9Sweeps:
+    """Sort-sweep operators vs brute-force Python models, randomized."""
+
+    @SETTINGS
+    @given(st.lists(
+        st.tuples(st.integers(0, 60), st.integers(1, 25)),
+        min_size=1, max_size=60))
+    def test_interval_coverage_equals_point_set(self, spark, spans):
+        from api_to_amt_data_lake_spark.operators.intervals import (
+            interval_coverage,
+        )
+
+        df = spark.createDataFrame(
+            [("k", s, s + w) for s, w in spans], "k string, s long, e long")
+        [r] = interval_coverage(df, ["k"], "s", "e").collect()
+        pts = set()
+        for s, w in spans:
+            pts.update(range(s, s + w))
+        assert r.covered == len(pts)
+        # segment count == number of maximal runs in the point set
+        runs = sum(1 for p in pts if p - 1 not in pts)
+        assert r.n_segments == runs
+
+    @SETTINGS
+    @given(st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1, max_size=50))
+    def test_frontier_equals_quadratic_model(self, spark, pts):
+        from api_to_amt_data_lake_spark.operators.frontier import (
+            pareto_frontier_2d,
+        )
+
+        df = spark.createDataFrame(
+            [("g", float(x), y) for x, y in pts],
+            "g string, x double, y int")
+        fast = {(r.x, r.y) for r in
+                pareto_frontier_2d(df, "x", "y", ["g"]).collect()}
+        uniq = {(float(x), y) for x, y in pts}
+        naive = {(x, y) for x, y in uniq
+                 if not any(x2 <= x and y2 >= y and (x2 < x or y2 > y)
+                            for x2, y2 in uniq)}
+        assert fast == naive
+
+    @SETTINGS
+    @given(st.lists(st.floats(-5, 5, allow_nan=False), min_size=1,
+                    max_size=80),
+           st.floats(0, 2, allow_nan=False))
+    def test_cusum_equals_recursion(self, spark, vals, k):
+        from api_to_amt_data_lake_spark.operators.timeseries import (
+            cusum_drift,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i, float(v)) for i, v in enumerate(vals)],
+            "g string, i long, x double")
+        rows = sorted(
+            cusum_drift(df, ["g"], [F.col("i")], "x", k, 1e9).collect(),
+            key=lambda r: r.i)
+        s = 0.0
+        for v, r in zip(vals, rows):
+            s = max(0.0, s + v - k)
+            assert abs(r.cusum - s) < 1e-6
