@@ -1,0 +1,74 @@
+"""Incremental aggregate maintenance from a change data feed.
+
+`amt/incremental_gold.py` refreshes a view by RECOMPUTING the changed
+keys; for a pure grouped SUM/COUNT that is still O(touched groups'
+rows). This operator goes one step further — the Delta/Materialize
+"maintain, don't recompute" shape: each CDF row decomposes into ±
+contributions (insert → +x at its group; delete → −x at its OLD group;
+update → −x_old at the old group and +x_new at the new group, which
+also handles rows MOVING between groups), the contributions aggregate
+to one delta row per touched group, and one outer join folds the
+deltas into the state. Cost is O(|changes| + |touched groups|) —
+unchanged groups are never read, the property that makes an hourly
+refresh of a 10^12-row aggregate affordable.
+
+Only mergeable aggregates fold this way (sum/count here; min/max need
+the per-group recompute path on deletes). Groups whose row count
+reaches zero are dropped, so fold(state, changes) is EXACTLY the
+from-scratch aggregate of the new version (parity-tested under
+insert+update+delete+group-move in tests/test_round9_ops.py, and
+oracle-pinned by conformance q99zy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_sums(df: DataFrame, group_cols: list[str],
+                 sum_cols: list[str]) -> DataFrame:
+    """The from-scratch aggregate this fold maintains:
+    (groups…, n_rows, sum_{c}…)."""
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols])
+
+
+def fold_grouped_sums(
+    state: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Fold CDF rows (from `sources.incremental.frame_changes(...,
+    include_old=True)`: _change_type + new columns + _old_{c}) into a
+    `grouped_sums` state. `state=None` starts from empty (a full CDF
+    of inserts rebuilds the aggregate)."""
+    new_side = changes.filter(F.col("_change_type") != "delete").select(
+        *[F.col(c).alias(c) for c in group_cols],
+        F.lit(1).alias("_dn"),
+        *[F.col(c).alias(f"_dx_{c}") for c in sum_cols])
+    old_side = changes.filter(F.col("_change_type") != "insert").select(
+        *[F.col(f"_old_{c}").alias(c) for c in group_cols],
+        F.lit(-1).alias("_dn"),
+        *[(-F.col(f"_old_{c}")).alias(f"_dx_{c}") for c in sum_cols])
+    deltas = (
+        new_side.unionAll(old_side)
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(F.sum("_dn").alias("_dn"),
+             *[F.sum(f"_dx_{c}").alias(f"_dx_{c}") for c in sum_cols])
+    )
+    if state is None:
+        folded = deltas.select(
+            *group_cols, F.col("_dn").alias("n_rows"),
+            *[F.col(f"_dx_{c}").alias(f"sum_{c}") for c in sum_cols])
+    else:
+        folded = state.join(deltas, group_cols, "full_outer").select(
+            *group_cols,
+            (F.coalesce(F.col("n_rows"), F.lit(0))
+             + F.coalesce(F.col("_dn"), F.lit(0))).alias("n_rows"),
+            *[(F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+               + F.coalesce(F.col(f"_dx_{c}"), F.lit(0)))
+              .alias(f"sum_{c}") for c in sum_cols])
+    return folded.filter(F.col("n_rows") > 0)

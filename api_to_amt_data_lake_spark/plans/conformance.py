@@ -7803,6 +7803,58 @@ def q99zx_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cusum", 6).alias("cusum"), "breach")
 
 
+@register("q99zy_delta_agg_refresh", oracle="""
+WITH new_v AS (
+  SELECT CASE WHEN o_orderkey % 19 = 0 THEN '2-HIGH'
+         ELSE o_orderpriority END AS o_orderpriority,
+    CAST(o_totalprice AS DECIMAL(18,2))
+      + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS price
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+  CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM new_v GROUP BY o_orderpriority
+""")
+def q99zy_delta_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/delta_agg.py): an
+    OLD version's grouped sums folded with the old→new change feed
+    must equal the from-scratch aggregate of NEW — which is exactly
+    what the oracle computes, so the hash match proves the IVM
+    identity fold(agg(old), cdf(old, new)) == agg(new) under inserts
+    (keys absent from old), deletes (keys dropped by new), value
+    updates (+100 on every 7th key) and GROUP MOVES (every 19th key
+    reassigned to another priority — the case that requires retracting
+    from the old group). Sums are exact DECIMAL so the fold's
+    different addition order cannot drift. Cost shape: O(changes +
+    touched groups), unchanged groups never read."""
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        fold_grouped_sums,
+        grouped_sums,
+    )
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        frame_changes,
+    )
+    o = read_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    old = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", "o_orderpriority", price.alias("price"))
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit("2-HIGH"))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        (price + F.when(F.col("o_orderkey") % 7 == 0, F.lit(100))
+         .otherwise(F.lit(0))).alias("price"))
+    state = grouped_sums(old, ["o_orderpriority"], ["price"])
+    changes = frame_changes(old, new, "o_orderkey",
+                            ["o_orderpriority", "price"],
+                            include_old=True)
+    out = fold_grouped_sums(state, changes, ["o_orderpriority"],
+                            ["price"])
+    return out.select("o_orderpriority", "n_rows",
+                      F.col("sum_price").cast("double")
+                      .alias("sum_price"))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

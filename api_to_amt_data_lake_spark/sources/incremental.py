@@ -236,6 +236,23 @@ def snapshot_changes(
                         version=to_version)
     if old is None or new is None:
         raise ValueError("both versions must exist to diff")
+    return frame_changes(old, new, key_col, compare_cols)
+
+
+def frame_changes(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str] | None = None,
+    include_old: bool = False,
+) -> DataFrame:
+    """The CDF diff itself, over any two key-consistent frames (the
+    snapshot read above is one producer; tests and the delta-agg fold
+    build versions from arbitrary sources). With `include_old`, update
+    and delete rows also carry `_old_{c}` for every compared column —
+    what a DELTA consumer needs (an update's aggregate contribution is
+    new − old, and a group-key change must retract from the OLD group),
+    and what the plain row-level consumers don't."""
     cols = compare_cols if compare_cols is not None else [
         c for c in new.columns if c != key_col and c in old.columns]
     o = old.select(
@@ -255,6 +272,10 @@ def snapshot_changes(
         .when(~in_new, F.lit("delete"))
         .when(~same, F.lit("update"))
     )
+    extra = (
+        [F.when(F.col("_change_type") != "insert",
+                F.col(f"_old_{c}")).alias(f"_old_{c}") for c in cols]
+        if include_old else [])
     return (
         j.withColumn("_change_type", change)
         .filter(F.col("_change_type").isNotNull())
@@ -262,5 +283,6 @@ def snapshot_changes(
             F.col(key_col), F.col("_change_type"),
             *[F.when(F.col("_change_type") == "delete",
                      F.col(f"_old_{c}")).otherwise(F.col(c)).alias(c)
-              for c in cols])
+              for c in cols],
+            *extra)
     )

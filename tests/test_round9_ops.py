@@ -352,3 +352,87 @@ def test_cusum_resets_after_low_run(spark):
 def test_cusum_in_control_stays_zero(spark):
     got = _cusum_rows(spark, [1.0] * 50, 1.0, 5.0)
     assert all(c == 0.0 and not b for c, b in got)
+
+
+# ---------------------------------------------------------------------------
+# Delta aggregate maintenance (fold(agg(old), cdf) == agg(new))
+
+def _dagg(spark, rows):
+    return spark.createDataFrame(rows, "id long, g string, x long")
+
+
+def _fold_vs_direct(spark, old_rows, new_rows):
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        fold_grouped_sums,
+        grouped_sums,
+    )
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        frame_changes,
+    )
+
+    old, new = _dagg(spark, old_rows), _dagg(spark, new_rows)
+    state = grouped_sums(old, ["g"], ["x"])
+    ch = frame_changes(old, new, "id", ["g", "x"], include_old=True)
+    folded = {tuple(r) for r in
+              fold_grouped_sums(state, ch, ["g"], ["x"]).collect()}
+    direct = {tuple(r) for r in
+              grouped_sums(new, ["g"], ["x"]).collect()}
+    return folded, direct
+
+
+def test_delta_agg_insert_update_delete_move(spark):
+    old = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)]
+    new = [(2, "a", 25),          # value update
+           (3, "c", 30),          # group move b -> c
+           (4, "b", 40),          # unchanged
+           (5, "a", 50)]          # insert; id 1 deleted
+    folded, direct = _fold_vs_direct(spark, old, new)
+    assert folded == direct
+
+
+def test_delta_agg_group_vanishes(spark):
+    old = [(1, "a", 1), (2, "b", 2)]
+    new = [(1, "a", 1)]  # group b must disappear, not linger at 0
+    folded, direct = _fold_vs_direct(spark, old, new)
+    assert folded == direct
+    assert all(g != "b" for g, *_ in folded)
+
+
+def test_delta_agg_from_empty_state(spark):
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        fold_grouped_sums,
+        grouped_sums,
+    )
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        frame_changes,
+    )
+
+    new = _dagg(spark, [(1, "a", 5), (2, "b", 7)])
+    empty = new.filter(F.lit(False))
+    ch = frame_changes(empty, new, "id", ["g", "x"], include_old=True)
+    folded = {tuple(r) for r in
+              fold_grouped_sums(None, ch, ["g"], ["x"]).collect()}
+    assert folded == {tuple(r) for r in
+                      grouped_sums(new, ["g"], ["x"]).collect()}
+
+
+def test_delta_agg_randomized(spark):
+    import random
+
+    rng = random.Random(13)
+    old = [(i, rng.choice("abcd"), rng.randint(0, 99))
+           for i in range(300)]
+    # new: drop 20%, mutate 30% (value and sometimes group), add 50 new
+    new = []
+    for i, g, x in old:
+        r = rng.random()
+        if r < 0.2:
+            continue
+        if r < 0.5:
+            new.append((i, rng.choice("abcd"), x + rng.randint(1, 9)))
+        else:
+            new.append((i, g, x))
+    new += [(1000 + j, rng.choice("abcd"), rng.randint(0, 99))
+            for j in range(50)]
+    folded, direct = _fold_vs_direct(spark, old, new)
+    assert folded == direct
