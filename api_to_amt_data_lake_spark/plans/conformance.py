@@ -4636,7 +4636,8 @@ SELECT query_id, match_id, adc_dist, CAST(rank AS INT) AS rank FROM (
 
 def _ivfpq_oracle(kc: int = 4, coarse_iters: int = 2, m: int = 2,
                   k: int = 4, iters: int = 2, dim: int = 64,
-                  topk: int = 3, sample_cond: str | None = None) -> str:
+                  topk: int = 3, sample_cond: str | None = None,
+                  search_cond: str | None = None) -> str:
     """Unrolled IVFPQ in SQL: coarse Lloyd's k-means on full vectors,
     round-6 assignment, residual subtraction, per-subspace Lloyd's on
     the residuals, raw-distance code assignment, per-bucket ADC with
@@ -4721,6 +4722,8 @@ adc AS (
       AS adc_dist
   FROM codeswb c JOIN dists d
     ON d.bucket = c.bucket AND d.sub_idx = c.sub_idx AND d.code = c.code
+  {"JOIN (SELECT vec_id FROM embeddings WHERE " + search_cond
+   + ") flt ON flt.vec_id = c.vec_id" if search_cond else ""}
   WHERE d.query_id != c.vec_id
   GROUP BY d.query_id, c.vec_id
 )
@@ -4750,6 +4753,36 @@ def q95b_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     coarse, book, codes = ivfpq_fit(e, "vec_id", "embedding", kc=4,
                                     coarse_iters=2, m=2, k=4, iters=2)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(q, coarse, book, codes, "vec_id", "embedding",
+                      m=2, k=3, nprobe=1) \
+        .select("query_id", "match_id", "adc_dist",
+                F.col("rank").cast("int").alias("rank"))
+
+
+@register("q95g_filtered_ann", oracle=_ivfpq_oracle(search_cond="label = 1"))
+def q95g_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — ANN under a metadata predicate (the
+    rag-retrieval staple: "nearest neighbors WHERE label = 1"). The
+    filter lands on the CODES side as a semi join BEFORE ranking, so
+    disallowed vectors never enter the ADC aggregation or the top-k —
+    pre-filtering, which keeps k results whenever k matches exist
+    (post-filtering the top-k can return fewer), and at 100 TB the
+    allowed-id set prunes the per-bucket candidate rows instead of
+    discarding ranked output. Same trained index as q95b; the oracle
+    is the full unrolled IVFPQ SQL with the same predicate applied to
+    its candidate set."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivfpq_fit,
+        ivfpq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding")
+    coarse, book, codes = ivfpq_fit(e, "vec_id", "embedding", kc=4,
+                                    coarse_iters=2, m=2, k=4, iters=2)
+    allowed = emb.filter(F.col("label") == 1).select("vec_id")
+    codes = codes.join(allowed, "vec_id", "left_semi")
     q = e.filter(F.col("vec_id") < 5)
     return ivfpq_topk(q, coarse, book, codes, "vec_id", "embedding",
                       m=2, k=3, nprobe=1) \

@@ -1,0 +1,105 @@
+"""File-level min/max statistics manifest: listing-time data skipping.
+
+Parquet already prunes at the ROW-GROUP level — but only after the
+reader has listed the dataset and opened every file's footer. At
+100 TB / millions of files, the listing + footer round-trips ARE the
+cost for a selective query. Delta and Iceberg fix this by keeping
+per-file column stats in the table metadata and pruning the file LIST
+before any file is opened; this module is that mechanism over plain
+parquet directories: one manifest JSON of per-file [min, max] per
+tracked column, written with a single Spark aggregation, consulted at
+read time to hand Spark only the files whose range intersects the
+predicate.
+
+The pruned read is CONSERVATIVE (a kept file may still contain no
+matching rows — the caller's filter still applies; a dropped file
+provably contains none), so `read_pruned(...).filter(pred)` ≡
+`read(...).filter(pred)` row-for-row, just over fewer opened files.
+Files with NULL stats (all-null column) are always kept. The manifest
+is advisory metadata: writers that bypass `write_manifest` leave files
+unlisted, and `read_pruned` REFUSES a manifest that does not cover the
+directory listing rather than silently missing data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_stats_manifest.json"
+
+
+def write_manifest(spark: SparkSession, dataset_path: str,
+                   stat_cols: list[str]) -> dict:
+    """Compute and persist per-file min/max for `stat_cols` over every
+    parquet file under `dataset_path`. One scan, one file-keyed
+    aggregation (partial-aggregated map-side; the shuffled state is
+    2 × |files| × |cols| scalars). Returns the manifest dict."""
+    df = spark.read.parquet(str(dataset_path))
+    per_file = (
+        df.groupBy(F.input_file_name().alias("_file"))
+        .agg(*[f for c in stat_cols
+               for f in (F.min(c).alias(f"min_{c}"),
+                         F.max(c).alias(f"max_{c}"))])
+    ).collect()
+    files = {}
+    for r in per_file:
+        name = os.path.basename(r["_file"])
+        files[name] = {
+            c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stat_cols
+        }
+    manifest = {"columns": stat_cols, "files": files}
+    tmp = os.path.join(str(dataset_path), _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(str(dataset_path), _MANIFEST))
+    return manifest
+
+
+def _data_files(dataset_path: str) -> list[str]:
+    return sorted(
+        e.name for e in os.scandir(str(dataset_path))
+        if e.is_file() and e.name.endswith(".parquet"))
+
+
+def read_pruned(
+    spark: SparkSession, dataset_path: str,
+    ranges: dict[str, tuple],
+) -> tuple[DataFrame, list[str]]:
+    """Read only the files whose manifest stats intersect every
+    `{col: (lo, hi)}` range (either bound may be None for open-ended).
+    Returns (df, kept_files) — the file list is surfaced so callers
+    and tests can assert how much was skipped. The returned frame is
+    the UNFILTERED content of the kept files: apply the row-level
+    predicate on top (pruning is conservative, not exact)."""
+    root = str(dataset_path)
+    with open(os.path.join(root, _MANIFEST)) as f:
+        manifest = json.load(f)
+    listing = _data_files(root)
+    missing = [n for n in listing if n not in manifest["files"]]
+    if missing:
+        raise ValueError(
+            f"manifest does not cover {len(missing)} data files "
+            f"(e.g. {missing[0]}); rewrite it with write_manifest")
+    kept = []
+    for name in listing:
+        stats = manifest["files"][name]
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            mn, mx = stats[col]
+            if mn is None or mx is None:
+                continue  # all-null or untracked: always keep
+            if (hi is not None and mn > hi) or \
+                    (lo is not None and mx < lo):
+                keep = False
+                break
+        if keep:
+            kept.append(name)
+    if not kept:
+        # preserve schema: read everything, keep no rows
+        return (spark.read.parquet(root).filter(F.lit(False)), [])
+    paths = [os.path.join(root, n) for n in kept]
+    return spark.read.parquet(*paths), kept

@@ -436,3 +436,66 @@ def test_delta_agg_randomized(spark):
             for j in range(50)]
     folded, direct = _fold_vs_direct(spark, old, new)
     assert folded == direct
+
+
+# ---------------------------------------------------------------------------
+# Min/max manifest: listing-time file pruning
+
+def _range_dataset(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    df = spark.range(10_000).select(
+        F2.col("id").alias("k"), (F2.col("id") % 97).alias("payload"))
+    path = str(tmp_path / "ds")
+    # range-partitioned write -> disjoint per-file k ranges
+    df.repartitionByRange(8, "k").write.parquet(path)
+    return path
+
+
+def test_manifest_pruned_read_equals_full_filter(spark, tmp_path):
+    from api_to_amt_data_lake_spark.sources.manifest import (
+        read_pruned,
+        write_manifest,
+    )
+
+    path = _range_dataset(spark, tmp_path)
+    write_manifest(spark, path, ["k"])
+    df, kept = read_pruned(spark, path, {"k": (2000, 2999)})
+    got = {r.k for r in df.filter((F.col("k") >= 2000)
+                                  & (F.col("k") <= 2999)).collect()}
+    assert got == set(range(2000, 3000))
+    # range-partitioned into 8 files: the 1000-wide band touches few
+    assert 0 < len(kept) <= 3
+
+
+def test_manifest_open_bounds_and_empty_band(spark, tmp_path):
+    from api_to_amt_data_lake_spark.sources.manifest import (
+        read_pruned,
+        write_manifest,
+    )
+
+    path = _range_dataset(spark, tmp_path)
+    write_manifest(spark, path, ["k"])
+    df, kept = read_pruned(spark, path, {"k": (9000, None)})
+    assert df.filter(F.col("k") >= 9000).count() == 1000
+    empty, kept0 = read_pruned(spark, path, {"k": (50_000, 60_000)})
+    assert kept0 == [] and empty.count() == 0
+    assert empty.columns == ["k", "payload"]
+
+
+def test_manifest_refuses_uncovered_files(spark, tmp_path):
+    import pytest as _pytest
+
+    from api_to_amt_data_lake_spark.sources.manifest import (
+        read_pruned,
+        write_manifest,
+    )
+
+    path = _range_dataset(spark, tmp_path)
+    write_manifest(spark, path, ["k"])
+    # a writer that bypassed the manifest
+    spark.range(5).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("payload")
+    ).coalesce(1).write.mode("append").parquet(path)
+    with _pytest.raises(ValueError, match="does not cover"):
+        read_pruned(spark, path, {"k": (0, 10)})
