@@ -134,6 +134,10 @@ HEADLINE = [
     "q99zv_association_rules",
     "q99zw_transition_matrix",
     "q99zx_cusum_drift",
+    "q99zy_delta_agg_refresh",
+    "q95g_filtered_ann",
+    "q86p_sql_null_aware_not_in",
+    "q86q_sql_bag_set_ops",
 ]
 
 

@@ -759,3 +759,83 @@ def test_stream_cusum_matches_batch_window_algebra(spark, tmp_path,
             or got[e][1] != want[e][1]]
     assert not mism, mism[:5]
     spark.catalog.dropTempView("cusum_out")
+
+
+def test_stream_ivm_agg_matches_from_scratch(spark, tmp_path):
+    """Three CDC micro-batches (inserts, then updates incl. a group
+    move, then deletes) folded through the streaming IVM must leave
+    state EXACTLY equal to a from-scratch grouped aggregate of the
+    final table — DECIMAL sums, so equality is exact, not tolerant."""
+    import pyspark.sql.functions as F
+
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        grouped_sums,
+    )
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        frame_changes,
+    )
+    from api_to_amt_data_lake_spark.streaming.ivm import (
+        read_agg_state,
+        stream_maintain_agg,
+    )
+
+    from decimal import Decimal
+
+    def tbl(rows):
+        return spark.createDataFrame(
+            [(i, g, Decimal(str(x))) for i, g, x in rows],
+            "id long, g string, x decimal(18,2)")
+
+    v0 = tbl([])
+    v1 = tbl([(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)])
+    v2 = tbl([(1, "a", 15.0), (2, "c", 20.0), (3, "b", 30.0),
+              (4, "b", 5.0)])
+    v3 = tbl([(1, "a", 15.0), (4, "b", 5.0)])
+
+    src = tmp_path / "isrc"
+    src.mkdir()
+    versions = [v0, v1, v2, v3]
+    for i in range(3):
+        ch = frame_changes(versions[i], versions[i + 1], "id",
+                           ["g", "x"], include_old=True)
+        ch.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    schema = ("id long, _change_type string, g string, "
+              "x decimal(18,2), _old_g string, _old_x decimal(18,2)")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "b*")))
+    q = stream_maintain_agg(
+        stream, state_root=str(tmp_path / "istate"),
+        checkpoint_dir=str(tmp_path / "ickpt"),
+        group_cols=["g"], sum_cols=["x"])
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in
+           read_agg_state(spark, str(tmp_path / "istate"))
+           .select("g", "n_rows", F.col("sum_x").cast("double"))
+           .collect()}
+    want = {tuple(r) for r in
+            grouped_sums(v3, ["g"], ["x"])
+            .select("g", "n_rows", F.col("sum_x").cast("double"))
+            .collect()}
+    assert got == want
+
+
+def test_stream_ivm_replay_skipped(spark, tmp_path):
+    from api_to_amt_data_lake_spark.streaming.ivm import (
+        fold_agg_batch,
+        read_agg_state,
+    )
+
+    from decimal import Decimal
+
+    ch = spark.createDataFrame(
+        [(1, "insert", "a", Decimal("5.00"), None, None)],
+        "id long, _change_type string, g string, x decimal(18,2), "
+        "_old_g string, _old_x decimal(18,2)")
+    root = str(tmp_path / "state")
+    assert fold_agg_batch(spark, ch, 0, root, ["g"], ["x"])
+    assert not fold_agg_batch(spark, ch, 0, root, ["g"], ["x"])
+    [r] = read_agg_state(spark, root).collect()
+    assert (r.g, r.n_rows, float(r.sum_x)) == ("a", 1, 5.0)
