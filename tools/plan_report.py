@@ -101,6 +101,13 @@ SHOWCASE = [
     ("q86n_sql_disjunctive_predicates", "TPC-H Q19 shape: the "
      "disjunction spans both join sides so it evaluates post-join "
      "while the join key still pushes; part broadcasts"),
+    ("q99zy_delta_agg_refresh", "delta aggregate maintenance: the CDF "
+     "diff is one full-outer join, the +/- contributions partial-"
+     "aggregate to one row per touched group, and one outer join "
+     "folds them into state — no rescan of unchanged groups"),
+    ("q99zx_cusum_drift", "CUSUM de-recursified: cumsum and running-"
+     "min windows share a single (key, order) sort — one Exchange, "
+     "no Python state machine"),
 ]
 
 
