@@ -148,3 +148,46 @@ def triangle_counts(edges: DataFrame, src: str = "id_a",
         tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "s",
+    dst: str = "t",
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Level-synchronous BFS: minimum hop distance (≤ max_hops) from
+    any seed, over a directed edge list — (node, dist) for every node
+    reached. The multi-source shortest-hop primitive behind "within k
+    links of a flagged document" blast-radius queries on the near-dup
+    graph (symmetrize() first for undirected semantics).
+
+    Each round expands only the FRONTIER (nodes first reached last
+    round): one equi join frontier ⋈ edges plus one anti join against
+    the settled set — work per round tracks the frontier, not the
+    graph, and a round's result is pinned (localCheckpoint) so later
+    joins do not re-execute the whole expansion lineage (the
+    `pagerank`/`connected_components` discipline). Early-exits when a
+    frontier comes back empty. Level-synchronous BFS discovers every
+    node first at its true minimum distance, so no relaxation or
+    re-visit pass is needed — the relational equivalent of the
+    recursive-CTE walk the conformance oracle (q99zz) runs."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    dist = seeds.select(F.col(node_col).alias("node")).distinct() \
+        .withColumn("dist", F.lit(0)).localCheckpoint()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_t").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(dist, "node", "left_anti") \
+            .withColumn("dist", F.lit(hop)).localCheckpoint()
+        if new.isEmpty():
+            break
+        dist = dist.unionAll(new).localCheckpoint()
+        frontier = new
+    return dist

@@ -7888,6 +7888,46 @@ def q99zy_delta_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("sum_price"))
 
 
+@register("q99zz_bfs_khop", oracle="""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % 211 AS s, 211 + (l_partkey % 211) AS t
+  FROM lineitem
+), sym AS (
+  SELECT s, t FROM e UNION SELECT t AS s, s AS t FROM e
+), walk(node, dist) AS (
+  SELECT s AS node, 0 AS dist FROM (VALUES (0), (1), (2)) v(s)
+  UNION
+  SELECT sym.t, walk.dist + 1
+  FROM walk JOIN sym ON sym.s = walk.node
+  WHERE walk.dist < 3
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+""")
+def q99zz_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop BFS (operators/graph.py::khop_distances):
+    minimum hop distance ≤ 3 from seed nodes {0,1,2} over the
+    symmetrized order↔part co-occurrence graph (orders and parts
+    folded to 211 buckets each — a deterministic bipartite graph with
+    real fan-out). The Spark side is level-synchronous frontier
+    expansion (work per round = frontier size); the oracle is the same
+    reachability as a recursive CTE with MIN(dist) — level-synchronous
+    discovery IS the minimum, so the two formulations must agree
+    exactly."""
+    from api_to_amt_data_lake_spark.operators.graph import (
+        khop_distances,
+        symmetrize,
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    e = l.select(
+        (F.col("l_orderkey") % 211).alias("s"),
+        (F.lit(211) + F.col("l_partkey") % 211).alias("t")).distinct()
+    sym = symmetrize(e, "s", "t")
+    seeds = spark.range(3).select(F.col("id").alias("node"))
+    out = khop_distances(sym, seeds, src="s", dst="t", max_hops=3)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("dist").cast("int").alias("dist"))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -138,6 +138,7 @@ HEADLINE = [
     "q95g_filtered_ann",
     "q86p_sql_null_aware_not_in",
     "q86q_sql_bag_set_ops",
+    "q99zz_bfs_khop",
 ]
 
 

@@ -499,3 +499,36 @@ def test_manifest_refuses_uncovered_files(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(path)
     with _pytest.raises(ValueError, match="does not cover"):
         read_pruned(spark, path, {"k": (0, 10)})
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS
+
+def _bfs(spark, edges, seeds, k):
+    from api_to_amt_data_lake_spark.operators.graph import khop_distances
+
+    e = spark.createDataFrame(edges, "s long, t long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return {r.node: r.dist
+            for r in khop_distances(e, s, max_hops=k).collect()}
+
+
+def test_bfs_chain_distances(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    assert _bfs(spark, edges, [0], 3) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (5, 3)]
+    got = _bfs(spark, edges, [0, 5], 3)
+    assert got[3] == 1  # via seed 5, not the 3-hop path from 0
+
+
+def test_bfs_early_exit_on_exhausted_graph(spark):
+    edges = [(0, 1)]
+    assert _bfs(spark, edges, [0], 10) == {0: 0, 1: 1}
+
+
+def test_bfs_cycle_terminates_with_min_dist(spark):
+    edges = [(0, 1), (1, 2), (2, 0)]
+    assert _bfs(spark, edges, [0], 5) == {0: 0, 1: 1, 2: 2}
