@@ -7928,6 +7928,42 @@ def q99zz_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("dist").cast("int").alias("dist"))
 
 
+@register("q99zza_pmi_lang_source", oracle="""
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+joint AS (
+  SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT lang, COUNT(*) AS n_x FROM documents GROUP BY 1),
+my AS (SELECT source, COUNT(*) AS n_y FROM documents GROUP BY 1)
+SELECT j.lang, j.source, j.n_xy,
+  round(log2((j.n_xy * n.n) / (CAST(mx.n_x AS DOUBLE) * my.n_y)), 6)
+    AS pmi
+FROM joint j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN n
+""")
+def q99zza_pmi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between two categorical columns
+    (lang × source) — the feature-association / co-occurrence-strength
+    signal (positive PMI = the pair co-occurs more than independence
+    predicts). One partial-aggregated joint count; the marginals and
+    the scalar total are broadcast-sized however large the corpus, so
+    the whole statistic is one shuffle + three broadcast joins."""
+    d = read_table(spark, sf_dir, "documents")
+    n = d.select(F.count(F.lit(1)).cast("double").alias("n"))
+    joint = d.groupBy("lang", "source").agg(F.count("*").alias("n_xy"))
+    mx = d.groupBy("lang").agg(F.count("*").alias("n_x"))
+    my = d.groupBy("source").agg(F.count("*").alias("n_y"))
+    return (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang", "source", "n_xy",
+            F.round(F.log2((F.col("n_xy") * F.col("n"))
+                           / (F.col("n_x").cast("double")
+                              * F.col("n_y"))), 6).alias("pmi"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

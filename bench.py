@@ -139,6 +139,7 @@ HEADLINE = [
     "q86p_sql_null_aware_not_in",
     "q86q_sql_bag_set_ops",
     "q99zz_bfs_khop",
+    "q99zza_pmi_lang_source",
 ]
 
 
