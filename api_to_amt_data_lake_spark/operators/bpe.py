@@ -103,16 +103,32 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
 
 
 def bpe_train(corpus: DataFrame, text_col: str,
-              n_merges: int = 8) -> DataFrame:
+              n_merges: int = 8,
+              checkpoint_dir: str | None = None) -> DataFrame:
     """Learn `n_merges` BPE merge rules from the corpus. Returns one row
     per learned rule: (round, left, right, pair_count), round 1-based in
     learning order — the merge table a tokenizer ships. Stops early if
-    no pair remains (all words fully merged)."""
+    no pair remains (all words fully merged).
+
+    Lineage (VERDICT r8 item 5): the collapsed word table is
+    re-materialized every merge round — `checkpoint_dir` selects
+    reliable `checkpoint()` files (use on a real cluster: survives
+    executor loss, an unconditional localCheckpoint would fail the
+    query there); the default `localCheckpoint()` pins blocks to
+    executors and is only safe single-node — the same option surface as
+    `connected_components` / `pagerank`."""
     spark = corpus.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return (df.checkpoint() if checkpoint_dir is not None
+                else df.localCheckpoint())
+
     seqs = _initial_sequences(word_counts(corpus, text_col))
     # The word table is re-read every round; pin it once (it is the
     # collapsed corpus — small next to its source).
-    seqs = seqs.localCheckpoint()
+    seqs = _pin(seqs)
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
         best = (
@@ -126,8 +142,8 @@ def bpe_train(corpus: DataFrame, text_col: str,
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
         merges.append((rnd, a, b, cnt))
-        seqs = seqs.withColumn(
-            "seq", _merge_pair(F.col("seq"), a, b)).localCheckpoint()
+        seqs = _pin(seqs.withColumn(
+            "seq", _merge_pair(F.col("seq"), a, b)))
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint")
 

@@ -72,6 +72,7 @@ def fuzzy_join(
     right_str: str,
     max_dist: int,
     q: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """All (left, right) pairs with levenshtein(left_str, right_str)
     <= max_dist. Output: (left_id, right_id, dist) — exactly the naive
@@ -79,6 +80,14 @@ def fuzzy_join(
 
     Self-join use: pass the same frame twice and filter
     `left_id < right_id` afterwards (like `lsh_candidate_pairs`).
+
+    Lineage (VERDICT r8 item 5): the gram-frequency table and the
+    self-join prefix frame are materialized once and reused —
+    `checkpoint_dir` selects reliable `checkpoint()` files (use on a
+    real cluster: survives executor loss); the default
+    `localCheckpoint()` pins blocks to executors and is only safe
+    single-node — the same option surface as `connected_components` /
+    `pagerank`.
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
@@ -87,6 +96,13 @@ def fuzzy_join(
         # degenerates to the all-pairs cross join this operator exists
         # to avoid, silently.
         raise ValueError(f"q must be >= 1, got {q}")
+    if checkpoint_dir is not None:
+        left.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return (df.checkpoint() if checkpoint_dir is not None
+                else df.localCheckpoint())
+
     prefix_len = q * max_dist + 1
     # Strings with |G| <= q*d can beat the threshold while sharing no
     # gram — they bypass blocking entirely (broadcast pairing below).
@@ -120,7 +136,8 @@ def fuzzy_join(
     df_tab = (
         grams_all.groupBy("gram")
         .agg((F.count(F.lit(1)) * (2 if selfjoin else 1)).alias("_df"))
-    ).localCheckpoint()
+    )
+    df_tab = _pin(df_tab)
     order = (F.col("_df").asc(), F.col("gram").asc(), F.col("_pos").asc())
     w_l = Window.partitionBy("_lid").orderBy(*order)
     # Prefix frames carry (id, length, pos, gram) ONLY — candidate
@@ -133,7 +150,7 @@ def fuzzy_join(
           .select("_lid", F.length("_ls").alias("_llen"),
                   F.col("_pos").alias("_lpos"), "gram"))
     if selfjoin:
-        lp = lp.localCheckpoint()  # one prefix build feeds both sides
+        lp = _pin(lp)  # one prefix build feeds both sides
         rp = lp.select(F.col("_lid").alias("_rid"),
                        F.col("_llen").alias("_rlen"),
                        F.col("_lpos").alias("_rpos"), "gram")

@@ -113,6 +113,19 @@ def dedupe_codes(spark: SparkSession, index_root: str) -> int:
     os.rename(final, old)
     os.rename(tmp, final)
     shutil.rmtree(old, ignore_errors=True)
+    # The rewrite replaced every code file, so the committed manifest
+    # (meta["codes_files"] — what every reader resolves through) must be
+    # re-pointed at the clean copy; offline recovery is single-writer by
+    # contract, so the listing-then-commit is race-free here.
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        _list_codes_files,
+        _read_meta,
+        _write_meta_atomic,
+    )
+    meta2 = _read_meta(str(index_root))
+    if "codes_files" in meta2:
+        meta2["codes_files"] = sorted(_list_codes_files(str(index_root)))
+        _write_meta_atomic(str(index_root), meta2)
     after = spark.read.parquet(final).count()
     return before - after
 

@@ -143,7 +143,31 @@ HEADLINE = [
 ]
 
 
+# The Arrow-batched decode block (mapInPandas image/video paths). In
+# suite order it sits right AFTER the heavy iterative tail, and SCALE.md's
+# r8 adjudication hypothesized that its sub-second members (q74h
+# especially) inherit GC/host debt from that tail — an in-suite
+# structural amplifier, not query cost. SPARK_GRAFT_BENCH_ORDER=
+# arrow_first is the counter-positioned CONTROL (VERDICT r8 item 3): it
+# moves the block to the very front of both the warm-up and the timed
+# round-robin; if q74h then reads at its isolated floor, the amplifier
+# theory is proven and the in-suite number is bench-structural.
+ARROW_BLOCK = [
+    "q36_binary_metadata",
+    "q74b_png_pixel_decode",
+    "q74c_gif_pixel_decode",
+    "q74d_jpeg_pixel_decode",
+    "q74e_progressive_jpeg_decode",
+    "q74h_mjpeg_pixel_decode",
+    "q74i_h264_pixel_decode",
+]
+
+
 def main() -> None:
+    global HEADLINE
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "arrow_first":
+        HEADLINE = ARROW_BLOCK + [q for q in HEADLINE
+                                  if q not in ARROW_BLOCK]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -247,7 +271,11 @@ def main() -> None:
         "aggregation": "min",
         "sf": sf,
     }
-    local_path = REPO / f"BENCH_local_r{nn:02d}.json"
+    # A control-ordered run must not overwrite the canonical suite-order
+    # artifact the judge diffs across rounds.
+    order = os.environ.get("SPARK_GRAFT_BENCH_ORDER")
+    suffix = f"_{order}" if order else ""
+    local_path = REPO / f"BENCH_local_r{nn:02d}{suffix}.json"
     local_path.write_text(json.dumps(full, indent=1) + "\n")
 
     # Full map as an EARLIER stdout line (longer than the driver's tail

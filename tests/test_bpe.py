@@ -82,3 +82,18 @@ def test_bpe_segment_runs(spark):
            .collect()}
     assert out[1] == 2          # aa aa
     assert out[2] == 3 + 2      # aa aa a / bb b
+
+
+def test_bpe_train_checkpoint_dir(spark, tmp_path):
+    """VERDICT r8 item 5: checkpoint_dir switches the per-round lineage
+    pin to reliable checkpoint files (cluster-safe — survives executor
+    loss) and must learn identical merge rules."""
+    corpus = spark.createDataFrame([("aaaa",), ("aaaaa",)], "text string")
+    rows = bpe_train(corpus, "text", n_merges=6,
+                     checkpoint_dir=str(tmp_path / "ckpt")).collect()
+    merges = [(r["round"], r["left"], r["right"], r["pair_count"])
+              for r in rows]
+    assert merges == [(1, "a", "a", 7), (2, "aa", "aa", 2),
+                      (3, "aaaa", "a", 1)]
+    import os
+    assert os.listdir(tmp_path / "ckpt")

@@ -155,6 +155,83 @@ def test_sustained_folds_keep_file_counts_bounded(spark, tmp_path):
     # above the compacted floor, and any bucket past the threshold is
     # rewritten before the fold returns.
     assert peak <= 6, peak
-    codes = spark.read.parquet(os.path.join(root, "codes"))
+    # Content through the COMMITTED manifest (what searches read): the
+    # on-disk directory may legitimately hold superseded files awaiting
+    # the next writer op's sweep.
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        load_ann_index,
+    )
+    *_, codes, _meta = load_ann_index(spark, root)
     assert codes.count() == e.count() * 2  # m=2 rows per vector
     assert codes.select("vec_id").distinct().count() == e.count()
+
+
+def test_rebuild_between_stream_folds_preserves_exactness(
+        spark, tmp_path):
+    """VERDICT r8 item 2 — the generation swap under LIVE folds: folds
+    0..k, then `rebuild_ann_index` on the committed corpus, then folds
+    k+1..n. The final index must equal a batch-built one over all n
+    batches: the replay marker rides across the swap (replaying batches
+    0..k after the rebuild is a no-op), nothing is re-appended (exact
+    row counts — the rebuilt corpus already contains batches 0..k) and
+    nothing is dropped (every id present once)."""
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        ann_index_append,
+        load_ann_index,
+        rebuild_ann_index,
+    )
+
+    e = _emb(spark)
+    half = hash_bucket(F.col("vec_id").cast("long")) < int(0.5 * _M32)
+    base, shard = e.filter(half), e.filter(~half)
+    batches = [
+        shard.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == i)
+        for i in range(4)
+    ]
+    live = str(tmp_path / "live")
+    build_ann_index(base, live, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+
+    # Folds 0..1 — the stream is live.
+    for k, b in enumerate(batches[:2]):
+        assert fold_ann_batch(spark, b, k, live)
+    assert last_applied_batch(live) == 1
+
+    # Mid-stream rebuild on the COMMITTED corpus (read-your-own-state:
+    # everything folded so far), exactly the drift-remedy deployment.
+    committed = base.unionByName(batches[0]).unionByName(batches[1])
+    gen = rebuild_ann_index(spark, committed, live, kc=4,
+                            coarse_iters=2, k=4, iters=2)
+    assert gen == 1
+    # The marker rode the swap: the stream's position is intact…
+    assert last_applied_batch(live) == 1
+    # …so replaying the pre-rebuild batches is a no-op, not a re-append.
+    for k, b in enumerate(batches[:2]):
+        assert fold_ann_batch(spark, b, k, live) is False
+
+    # Folds 2..3 — the stream continues against the new generation.
+    for k, b in enumerate(batches[2:], start=2):
+        assert fold_ann_batch(spark, b, k, live)
+    assert last_applied_batch(live) == 3
+
+    # Batch reference: a fresh build on the same committed corpus (the
+    # rebuild parity test pins rebuild == fresh build) + one-shot
+    # appends of the post-rebuild batches.
+    ref = str(tmp_path / "ref")
+    build_ann_index(committed, ref, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    for b in batches[2:]:
+        ann_index_append(spark, ref, b)
+
+    probes = e.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, ann_index_search(
+        spark, live, probes, k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, ann_index_search(
+        spark, ref, probes, k=3, nprobe=2).collect()))
+    assert got == want and len(got) > 0
+
+    # Exact content: nothing re-appended, nothing dropped.
+    *_, codes, meta = load_ann_index(spark, live)
+    n_ids = e.count()
+    assert codes.count() == n_ids * meta["m"]
+    assert codes.select("vec_id").distinct().count() == n_ids
