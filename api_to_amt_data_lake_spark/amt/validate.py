@@ -36,12 +36,19 @@ RI_CHECKS: list[tuple[str, str, str, str]] = [
     ("ews_studentSectionGradeFact", "StudentSectionKey",
      "studentSectionDim", "StudentSectionKey"),
     ("ews_studentSectionGradeFact", "SchoolKey", "schoolDim", "SchoolKey"),
+    # The attendance facts cover each student's whole enrollment window,
+    # so their RI parent is allStudentSchoolDim (every association,
+    # including exited ones) — studentSchoolDim is the IsEnrolled == 1
+    # subset by reference design, and a student who exited mid-year
+    # legitimately keeps fact rows from before the exit. (Found by the
+    # r9 100k scale run: 10% synthetic mid-year exits orphaned 201k fact
+    # rows against the filtered dim; 0 against the full association set.)
     ("chrab_chronicAbsenteeismAttendanceFact", "StudentSchoolKey",
-     "studentSchoolDim", "StudentSchoolKey"),
+     "allStudentSchoolDim", "StudentSchoolKey"),
     ("chrab_chronicAbsenteeismAttendanceFact", "SchoolKey",
      "schoolDim", "SchoolKey"),
     ("ews_studentEarlyWarningFact", "StudentKey",
-     "studentSchoolDim", "StudentKey"),
+     "allStudentSchoolDim", "StudentKey"),
     ("studentSchoolDemographicsBridge", "StudentSchoolKey",
      "studentSchoolDim", "StudentSchoolKey"),
     ("staffSectionDim", "SchoolKey", "schoolDim", "SchoolKey"),

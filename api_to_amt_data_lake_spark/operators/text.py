@@ -308,3 +308,60 @@ def char_entropy(c: Column | str) -> Column:
                  / n),
     )
     return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
+def bigram_lm_perplexity(df, doc_id: str, text_col: str,
+                         reference: Column,
+                         k: float = 0.5):
+    """Per-document perplexity under an add-k-smoothed word-bigram
+    language model trained on the `reference` subset — the CCNet-style
+    quality signal (Wenzek et al. 2020: score every crawled document
+    with an LM trained on trusted text; low perplexity ≈ fluent,
+    in-domain). Returns (doc_id, n_bigrams, ppl) for every document
+    with at least one bigram.
+
+    Model: P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V), with c(·) the
+    reference-corpus counts and V the reference vocabulary size —
+    unseen contexts degrade smoothly to the uniform 1/V. Perplexity is
+    exp of the mean negative log-likelihood over the document's
+    bigrams.
+
+    Shape at 100 TB: one scan of the reference builds the count tables
+    (two partial-aggregated groupBys); scoring is one scan of the
+    corpus joined to them — the bigram table joins on (w1, w2) as an
+    ordinary shuffle equi-join (it is corpus-bounded, not vocab²), the
+    context table and the scalar V broadcast. No windows, no UDFs; the
+    log-prob is a codegen expression.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    ws = df.select(F.col(doc_id).alias("_did"), reference.alias("_ref"),
+                   F.split(F.trim(F.col(text_col)), " ").alias("_ws"))
+    bigram_expr = (
+        "CASE WHEN size(_ws) >= 2 THEN transform(sequence(0, size(_ws)-2),"
+        " i -> struct(_ws[i] AS w1, _ws[i + 1] AS w2)) "
+        "ELSE array() END"
+    )
+    bg = (ws.select("_did", "_ref", F.expr(bigram_expr).alias("_bgs"))
+          .select("_did", "_ref", F.explode("_bgs").alias("_bg"))
+          .select("_did", "_ref", F.col("_bg.w1").alias("w1"),
+                  F.col("_bg.w2").alias("w2")))
+    ref_bg = bg.filter(F.col("_ref"))
+    c12 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = ref_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = (ws.filter("_ref").select(F.explode("_ws").alias("_w"))
+             .agg(F.count_distinct("_w").cast("double").alias("_v")))
+    lp = F.log((F.coalesce("_c12", F.lit(0)) + F.lit(k))
+               / (F.coalesce("_c1", F.lit(0)) + F.lit(k) * F.col("_v")))
+    return (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(F.col("_did").alias(doc_id))
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             # nll (mean negative log-likelihood, nats) is the
+             # hash-stable number: ~2-9 at 6 decimals; exp() amplifies
+             # last-bit float noise, so ppl rounds coarsely.
+             F.round(-F.avg(lp), 6).alias("nll"),
+             F.round(F.exp(-F.avg(lp)), 2).alias("ppl"))
+    )

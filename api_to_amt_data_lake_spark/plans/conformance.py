@@ -7964,6 +7964,117 @@ def q99zza_pmi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q99zzb_bigram_perplexity", oracle="""
+WITH w AS (
+  SELECT doc_id, lang = 'en' AS ref, string_split(trim(text), ' ') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, ref, unnest(list_transform(range(1, len(ws)),
+    i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+  FROM w WHERE len(ws) >= 2
+), bg2 AS (
+  SELECT doc_id, ref, b.w1 AS w1, b.w2 AS w2 FROM bg
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg2 WHERE ref GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bg2 WHERE ref GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS v
+  FROM (SELECT unnest(ws) AS u FROM w WHERE ref)
+), s AS (
+  SELECT bg2.doc_id,
+    ln((coalesce(c12.c12, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.v))
+      AS lp
+  FROM bg2 LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  round(-avg(lp), 6) AS nll, round(exp(-avg(lp)), 2) AS ppl
+FROM s GROUP BY doc_id
+""")
+def q99zzb_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020): train an
+    add-k word-bigram language model on the trusted subset (lang='en'
+    here stands in for the Wikipedia reference) and score EVERY
+    document's perplexity under it — the classic keep-the-fluent-text
+    signal an LLM data pipeline runs corpus-wide. One reference scan
+    builds the count tables; one corpus scan joins them (bigram table
+    shuffle equi-join, context table + vocab scalar broadcast); the
+    log-prob is pure codegen — no UDFs, no windows."""
+    from api_to_amt_data_lake_spark.operators.text import (
+        bigram_lm_perplexity,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return bigram_lm_perplexity(d, "doc_id", "text",
+                                reference=F.col("lang") == "en", k=0.5)
+
+
+@register("q99zzc_ols_by_group", oracle="""
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+  round(regr_r2(l_extendedprice, l_quantity), 5) AS r2
+FROM lineitem GROUP BY l_returnflag
+""")
+def q99zzc_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares fit (price ~ quantity per return
+    flag) via the SQL-standard REGR_* aggregates — the closed-form
+    model-fit an analytics engine owes its users (trend slopes, quality-
+    score calibration lines) computed as ONE partial-aggregated pass:
+    the co-moments combine associatively, so the shuffle carries one
+    small state per group, never the rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.regr_slope(F.col("l_extendedprice"),
+                             F.col("l_quantity")), 4).alias("slope"),
+        F.round(F.regr_intercept(F.col("l_extendedprice"),
+                                 F.col("l_quantity")), 2)
+        .alias("intercept"),
+        F.round(F.regr_r2(F.col("l_extendedprice"),
+                          F.col("l_quantity")), 5).alias("r2"))
+
+
+@register("q99zzd_spearman_corr", oracle="""
+WITH r AS (
+  SELECT l_returnflag,
+    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+        / 2.0 AS rq,
+    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+      + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)
+        / 2.0 AS rp
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  round(corr(rq, rp), 6) AS spearman_rho
+FROM r GROUP BY l_returnflag
+""")
+def q99zzd_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group — the tie-aware monotonic-
+    association statistic (rank both columns with fractional average
+    ranks, then Pearson over the ranks). Exactly the textbook fractional
+    rank: min-rank + (ties-1)/2, expressed as rank() plus a tie-count
+    window sharing the same partition sort, so each column costs one
+    Exchange + sort and the final corr partial-aggregates."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w_q = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    w_qt = Window.partitionBy("l_returnflag", "l_quantity")
+    w_p = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    w_pt = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        (F.rank().over(w_q)
+         + (F.count(F.lit(1)).over(w_qt) - 1) / 2.0).alias("rq"),
+        (F.rank().over(w_p)
+         + (F.count(F.lit(1)).over(w_pt) - 1) / 2.0).alias("rp"))
+    return ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.corr("rq", "rp"), 6).alias("spearman_rho"))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -140,6 +140,9 @@ HEADLINE = [
     "q86q_sql_bag_set_ops",
     "q99zz_bfs_khop",
     "q99zza_pmi_lang_source",
+    "q99zzb_bigram_perplexity",
+    "q99zzc_ols_by_group",
+    "q99zzd_spearman_corr",
 ]
 
 

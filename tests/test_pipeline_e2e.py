@@ -167,13 +167,14 @@ def test_full_pipeline_e2e_zero_config(tmp_path, spark, cfg):
     assert all(r["status"] != "FAIL" for r in by_kind["completeness"])
     ri_fails = {r["check"] for r in by_kind["referential"]
                 if r["status"] == "FAIL"}
+    # r9: the attendance facts' RI parent is allStudentSchoolDim (all
+    # associations, exited included) — against it this fixture's chrab/
+    # ews rows fully resolve, so only two deliberate orphan shapes
+    # remain: grade rows for sections never synthesized and demographics
+    # for students whose enrollment fell out of the enrolled-only dim.
     known_fixture_orphans = {
         "ews_studentSectionGradeFact.StudentSectionKey -> "
         "studentSectionDim.StudentSectionKey",
-        "chrab_chronicAbsenteeismAttendanceFact.StudentSchoolKey -> "
-        "studentSchoolDim.StudentSchoolKey",
-        "ews_studentEarlyWarningFact.StudentKey -> "
-        "studentSchoolDim.StudentKey",
         "studentSchoolDemographicsBridge.StudentSchoolKey -> "
         "studentSchoolDim.StudentSchoolKey",
     }

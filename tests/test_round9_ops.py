@@ -532,3 +532,35 @@ def test_bfs_early_exit_on_exhausted_graph(spark):
 def test_bfs_cycle_terminates_with_min_dist(spark):
     edges = [(0, 1), (1, 2), (2, 0)]
     assert _bfs(spark, edges, [0], 5) == {0: 0, 1: 1, 2: 2}
+
+
+def test_bigram_lm_perplexity_analytic(spark):
+    """Hand-computed add-k bigram LM scores: reference 'a b a b' gives
+    c12={(a,b):2,(b,a):1}, c1={a:2,b:1}, V=2; score 'a b c' under k=0.5:
+    P(b|a)=(2+.5)/(2+1)=5/6, P(c|b)=(0+.5)/(1+1)=1/4."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from api_to_amt_data_lake_spark.operators.text import (
+        bigram_lm_perplexity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b", "ref"), (2, "a b c", "score"), (3, "z", "score")],
+        ["doc_id", "text", "role"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll"], r["ppl"])
+           for r in bigram_lm_perplexity(
+               df, "doc_id", "text",
+               reference=F.col("role") == "ref").collect()}
+    # doc 3 has no bigrams -> absent; docs 1 and 2 scored.
+    assert set(got) == {1, 2}
+    nll2 = -(math.log(5 / 6) + math.log(1 / 4)) / 2
+    assert got[2][0] == 2
+    assert abs(got[2][1] - round(nll2, 6)) < 1e-9
+    assert abs(got[2][2] - round(math.exp(nll2), 2)) < 1e-9
+    # The reference doc scores well under its own model: (a,b) twice,
+    # (b,a) once -> all seen bigrams, low nll.
+    nll1 = -(2 * math.log(2.5 / 3) + math.log(1.5 / 2)) / 3
+    assert got[1][0] == 3
+    assert abs(got[1][1] - round(nll1, 6)) < 1e-9

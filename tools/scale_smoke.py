@@ -138,9 +138,19 @@ def main() -> None:
     parallelism = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     silver = out / "silver"
     gold = out / "gold"
-    if not (silver / str(SY)).exists():
+    # Re-synthesize when the cached silver was built for a DIFFERENT n —
+    # silently reusing it made a "20k" run time 100k data.
+    marker = out / "_n_students"
+    stale = (not (silver / str(SY)).exists()
+             or not marker.exists() or marker.read_text() != str(n))
+    if stale:
+        import shutil
+        shutil.rmtree(silver, ignore_errors=True)
+        shutil.rmtree(gold, ignore_errors=True)
         t0 = time.time()
         synth_silver(silver, n)
+        out.mkdir(parents=True, exist_ok=True)
+        marker.write_text(str(n))
         print(f"# synthesized silver for {n} students "
               f"in {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -174,8 +184,56 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
     for df in cached:
         df.unpersist()
-    print(json.dumps({"n_students": n, "total_sec": round(total, 1),
-                      "views": times}))
+
+    # Gold-quality gate + recorded per-round regression artifact
+    # (VERDICT r8 item 7): validate referential integrity / key
+    # uniqueness / completeness over the JUST-WRITTEN gold, and commit
+    # the per-view timing table + validation outcome round-stamped, so
+    # gold-phase regressions the sf0.1 bench can't see are diffable
+    # across rounds like BENCH_local.
+    from api_to_amt_data_lake_spark.amt.validate import validate_gold
+    t0 = time.time()
+    report = validate_gold(spark, str(gold), SY).collect()
+    v_sec = round(time.time() - t0, 1)
+    fails = [r["check"] for r in report if r["status"] == "FAIL"]
+    validation = {
+        "checks": len(report),
+        "passed": sum(r["status"] == "PASS" for r in report),
+        "skipped": sum(r["status"] == "SKIPPED" for r in report),
+        "failed": fails,
+        "validate_sec": v_sec,
+    }
+    # Host fingerprint: cross-round comparisons of these numbers have
+    # repeatedly chased host variance (r9: ews 2.6x its r8 standalone
+    # floor on identical code); record enough to attribute next time.
+    cpu = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    import os as _os2
+    host = {"cpu": cpu, "nproc": _os2.cpu_count(),
+            "loadavg_1m": round(_os2.getloadavg()[0], 2)}
+    out_doc = {"n_students": n, "total_sec": round(total, 1),
+               "host": host, "validation": validation, "views": times}
+    import os as _os
+    import re as _re
+    nn = None
+    if (env_round := _os.environ.get("SPARK_GRAFT_ROUND")) is not None:
+        nn = int(env_round)
+    else:
+        rounds = [int(m.group(1)) for f in REPO.glob("BENCH_r*.json")
+                  if (m := _re.match(r"BENCH_r(\d+)\.json$", f.name))]
+        nn = (max(rounds) + 1) if rounds else 0
+    art = REPO / f"GOLD_SCALE_r{nn:02d}_n{n}.json"
+    art.write_text(json.dumps(out_doc, indent=1) + "\n")
+    print(json.dumps(out_doc))
+    if fails:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
