@@ -8075,6 +8075,171 @@ def q99zzd_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("rq", "rp"), 6).alias("spearman_rho"))
 
 
+@register("q99zze_chi2_keyness", oracle="""
+WITH w AS (
+  SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+  FROM documents
+), lw AS (
+  SELECT lang, word, COUNT(*) AS a FROM w GROUP BY 1, 2
+), wl AS (SELECT word, COUNT(*) AS cw FROM w GROUP BY 1),
+ll AS (SELECT lang, COUNT(*) AS nl FROM w GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM w),
+x AS (
+  SELECT lw.lang, lw.word,
+    CAST(lw.a AS DOUBLE) AS a,
+    CAST(wl.cw - lw.a AS DOUBLE) AS b,
+    CAST(ll.nl - lw.a AS DOUBLE) AS c,
+    CAST(tot.n - ll.nl - (wl.cw - lw.a) AS DOUBLE) AS d,
+    CAST(tot.n AS DOUBLE) AS n
+  FROM lw JOIN wl USING (word) JOIN ll USING (lang) CROSS JOIN tot
+), scored AS (
+  SELECT lang, word,
+    round(n * (a * d - b * c) * (a * d - b * c)
+          / ((a + b) * (c + d) * (a + c) * (b + d)), 4) AS chi2,
+    a > (a + b) * (a + c) / n AS enriched
+  FROM x
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+    ORDER BY chi2 DESC, word ASC) AS rk
+  FROM scored WHERE enriched
+)
+SELECT lang, word, chi2, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+""")
+def q99zze_chi2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared keyness: the top DISTINCTIVE words per class
+    (one-vs-rest 2x2 contingency per (lang, word), enriched side only) —
+    the what-characterizes-this-domain question a corpus analyst asks
+    before sampling or capping a source. All four cell counts come from
+    one explode + three partial-aggregated groupBys; the marginals are
+    broadcast-sized; chi2 is computed in DOUBLE from exact integer
+    counts identically on both engines, and only the tiny scored
+    aggregate is windowed."""
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select("lang", F.explode(F.split(F.trim("text"), " "))
+                 .alias("word"))
+    lw = w.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("a0"))
+    wl = w.groupBy("word").agg(F.count(F.lit(1)).alias("cw"))
+    ll = w.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    tot = w.agg(F.count(F.lit(1)).alias("n0"))
+    a = F.col("a0").cast("double")
+    b = (F.col("cw") - F.col("a0")).cast("double")
+    c = (F.col("nl") - F.col("a0")).cast("double")
+    dd = (F.col("n0") - F.col("nl") - (F.col("cw") - F.col("a0"))) \
+        .cast("double")
+    n = F.col("n0").cast("double")
+    scored = (
+        lw.join(wl, "word").join(F.broadcast(ll), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "word",
+            F.round(n * (a * dd - b * c) * (a * dd - b * c)
+                    / ((a + b) * (c + dd) * (a + c) * (b + dd)), 4)
+            .alias("chi2"),
+            (a > (a + b) * (a + c) / n).alias("enriched"))
+        .filter("enriched"))
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("chi2").desc(),
+                                           F.col("word").asc()))
+    return (scored.withColumn("rk", rk).filter(F.col("rk") <= 3)
+            .select("lang", "word", "chi2", "rk"))
+
+
+@register("q99zzf_vocab_kl_drift", oracle="""
+WITH w AS (
+  SELECT doc_id % 2 = 1 AS is_new,
+    unnest(string_split(trim(text), ' ')) AS word
+  FROM documents
+), c AS (
+  SELECT word,
+    SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS c_new,
+    SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS c_old
+  FROM w GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(c_new) AS DOUBLE) AS n_new,
+    CAST(SUM(c_old) AS DOUBLE) AS n_old,
+    CAST(COUNT(*) AS DOUBLE) AS v
+  FROM c
+)
+SELECT word,
+  round((c_new + 0.5) / (n_new + 0.5 * v)
+        * ln(((c_new + 0.5) / (n_new + 0.5 * v))
+             / ((c_old + 0.5) / (n_old + 0.5 * v))), 6) AS kl_term
+FROM c CROSS JOIN t
+""")
+def q99zzf_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots as per-word KL
+    contributions: KL(new || old) = sum p_new(w) * ln(p_new/p_old) with
+    add-0.5 smoothing over the joint vocabulary — the
+    which-words-shifted signal a training-data pipeline watches between
+    crawl generations (a drifted source changes what the next epoch
+    sees). One explode + one grouped count per word; the totals are a
+    broadcast scalar; every term is a codegen expression. Positive
+    terms = words over-represented in the new snapshot."""
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select((F.col("doc_id") % 2 == 1).alias("is_new"),
+                 F.explode(F.split(F.trim("text"), " ")).alias("word"))
+    c = w.groupBy("word").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("c_new"),
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).alias("c_old"))
+    t = c.agg(F.sum("c_new").cast("double").alias("n_new"),
+              F.sum("c_old").cast("double").alias("n_old"),
+              F.count(F.lit(1)).cast("double").alias("v"))
+    p_new = (F.col("c_new") + 0.5) / (F.col("n_new") + 0.5 * F.col("v"))
+    p_old = (F.col("c_old") + 0.5) / (F.col("n_old") + 0.5 * F.col("v"))
+    return (c.crossJoin(F.broadcast(t))
+            .select("word",
+                    F.round(p_new * F.log(p_new / p_old), 6)
+                    .alias("kl_term")))
+
+
+@register("q99zzg_embedding_drift", oracle="""
+WITH e AS (
+  SELECT label, vec_id % 2 = 1 AS is_new, embedding::DOUBLE[] AS v
+  FROM embeddings
+), d AS (
+  SELECT label, is_new, idx.i - 1 AS dim, v[idx.i] AS x
+  FROM e, (SELECT unnest(generate_series(1,
+            (SELECT MAX(len(v)) FROM e))) AS i) idx
+), m AS (
+  SELECT label, dim,
+    avg(CASE WHEN is_new THEN x END) AS mu_new,
+    avg(CASE WHEN NOT is_new THEN x END) AS mu_old
+  FROM d GROUP BY 1, 2
+)
+SELECT label,
+  round(SUM(mu_new * mu_old)
+        / (sqrt(SUM(mu_new * mu_new)) * sqrt(SUM(mu_old * mu_old))),
+        6) AS centroid_cosine,
+  round(sqrt(SUM((mu_new - mu_old) * (mu_new - mu_old))), 6)
+    AS centroid_l2_shift
+FROM m GROUP BY label
+""")
+def q99zzg_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift per class: cosine and L2 distance
+    between the OLD and NEW snapshot centroids (vec_id parity stands in
+    for crawl generations) — the embedding-space counterpart of the
+    vocabulary KL (q99zzf), and the cheap monitor that decides when the
+    ANN index needs a generation rebuild (`rebuild_ann_index`). One
+    posexplode + one (label, dim) aggregate — the shuffled rows are
+    |labels| x dim, never the corpus; the final fold over dims is a
+    second tiny aggregate."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d = e.select("label", (F.col("vec_id") % 2 == 1).alias("is_new"),
+                 F.posexplode("embedding").alias("dim", "x"))
+    m = d.groupBy("label", "dim").agg(
+        F.avg(F.when(F.col("is_new"), F.col("x"))).alias("mu_new"),
+        F.avg(F.when(~F.col("is_new"), F.col("x"))).alias("mu_old"))
+    return m.groupBy("label").agg(
+        F.round(F.sum(F.col("mu_new") * F.col("mu_old"))
+                / (F.sqrt(F.sum(F.col("mu_new") * F.col("mu_new")))
+                   * F.sqrt(F.sum(F.col("mu_old") * F.col("mu_old")))),
+                6).alias("centroid_cosine"),
+        F.round(F.sqrt(F.sum((F.col("mu_new") - F.col("mu_old"))
+                             * (F.col("mu_new") - F.col("mu_old")))),
+                6).alias("centroid_l2_shift"))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -80,6 +80,47 @@ from api_to_amt_data_lake_spark.operators.similarity import (
 _META = "meta.json"
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer raced an append/compaction/rebuild on the same
+    index root. The index is single-writer by contract; the advisory
+    lock turns a silent race (interleaved stage/sweep could delete a
+    concurrent writer's staged files) into a fail-fast error. Retry
+    after the other writer finishes, or serialize writers upstream."""
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _writer_lock(index_root: str):
+    """Advisory exclusive lock for writer operations, held for the
+    whole stage+commit (append), rewrite+commit (compaction) or
+    retrain+swap (rebuild). A SIBLING of the root (`<root>.writer.lock`)
+    so generation renames never move the locked inode. Non-blocking:
+    contention raises ConcurrentWriterError instead of silently
+    interleaving two writers' sweeps. flock is best-effort on network
+    filesystems — on NFS/object stores the single-writer contract still
+    needs upstream coordination (documented); locally and on most
+    clustered POSIX mounts it is enforced here."""
+    path = str(index_root).rstrip(os.sep) + ".writer.lock"
+    f = open(path, "w")
+    try:
+        import fcntl
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            f.close()
+            raise ConcurrentWriterError(
+                f"another writer holds {path}; the persisted ANN index "
+                "is single-writer — retry after it finishes") from None
+    except ImportError:  # non-POSIX: contract stays documentation-only
+        pass
+    try:
+        yield
+    finally:
+        f.close()  # closing releases the flock
+
+
 def _atomic_exchange(a: str, b: str) -> bool:
     """Atomically swap two directories via Linux
     `renameat2(RENAME_EXCHANGE)`. Returns False when the swap is
@@ -248,6 +289,14 @@ def save_ann_index(
     small parquet files. `generation` counts retrains
     (`rebuild_ann_index`) so readers can tell model versions apart."""
     root = str(index_root)
+    with _writer_lock(root):
+        return _save_locked(root, coarse, book, codes, id_col, vec_col,
+                            m, generation, extra_files, rotation,
+                            opq_iters)
+
+
+def _save_locked(root, coarse, book, codes, id_col, vec_col, m,
+                 generation, extra_files, rotation, opq_iters) -> None:
     tmp, old = root + "._tmp", root + "._old"
     _repair_root(root)  # a prior crash between the two renames
     for leftover in (tmp, old):  # crash debris from a prior swap
@@ -390,6 +439,11 @@ def rollback_ann_index(index_root: str) -> int:
     Crash-safe via the same discipline as the save swap: a crash
     between the renames leaves `._old`, which `_repair_root` restores."""
     root = str(index_root)
+    with _writer_lock(root):
+        return _rollback_locked(root)
+
+
+def _rollback_locked(root: str) -> int:
     _repair_root(root)
     kept = _kept_generations(root)
     if not kept:
@@ -455,6 +509,18 @@ def rebuild_ann_index(
     one byte-identically after a post-hoc regret.
     """
     root = str(index_root)
+    with _writer_lock(root):
+        return _rebuild_locked(
+            spark, corpus, root, kc, coarse_iters, m, k, iters,
+            sample_frac, holdout_queries, min_recall_ratio, gate_k,
+            gate_nprobe, keep_generations)
+
+
+def _rebuild_locked(
+    spark, corpus, root, kc, coarse_iters, m, k, iters, sample_frac,
+    holdout_queries, min_recall_ratio, gate_k, gate_nprobe,
+    keep_generations,
+) -> int:
     # Heal a crashed prior swap BEFORE reading meta/marker: started in
     # the crashed-swap state (no live root, complete ._tmp), a rebuild
     # would otherwise see no previous index at all — generation reset
@@ -665,6 +731,7 @@ def bucket_file_counts(index_root: str) -> dict[int, int]:
 def compact_index_buckets(
     spark: SparkSession, index_root: str, max_files: int = 16,
     target_bytes: int = 128 * 1024 * 1024,
+    _locked: bool = False,
 ) -> list[int]:
     """Rewrite code buckets whose parquet file count exceeds
     `max_files` down to ~`target_bytes` files — the lifecycle bound on
@@ -689,6 +756,10 @@ def compact_index_buckets(
     committed manifest is complete. Only the oversized buckets are read
     or written — cost tracks the backlog, not the index. Returns the
     bucket ids compacted."""
+    if not _locked:
+        with _writer_lock(index_root):
+            return compact_index_buckets(spark, index_root, max_files,
+                                         target_bytes, _locked=True)
     root = str(index_root)
     codes = os.path.join(root, "codes")
     _repair_compaction(root, destructive=True)  # legacy crash debris
@@ -762,11 +833,13 @@ def ann_index_append(
     post-append index after it — never a partially-visible shard. A
     crash between stage and commit leaves debris the next writer
     operation sweeps; nothing a reader can ever observe."""
-    meta, new_files = _append_stage(spark, index_root, shard)
-    _append_commit(index_root, meta, new_files)
-    if compact_threshold is not None:
-        compact_index_buckets(spark, index_root,
-                              max_files=compact_threshold)
+    with _writer_lock(index_root):
+        meta, new_files = _append_stage(spark, index_root, shard)
+        _append_commit(index_root, meta, new_files)
+        if compact_threshold is not None:
+            compact_index_buckets(spark, index_root,
+                                  max_files=compact_threshold,
+                                  _locked=True)
 
 
 def _append_stage(

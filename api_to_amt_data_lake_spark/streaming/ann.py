@@ -96,6 +96,14 @@ def dedupe_codes(spark: SparkSession, index_root: str) -> int:
     are cleaned on the next run."""
     import shutil
 
+    from api_to_amt_data_lake_spark.sources.ann_index import _writer_lock
+    with _writer_lock(str(index_root)):
+        return _dedupe_locked(spark, index_root)
+
+
+def _dedupe_locked(spark: SparkSession, index_root: str) -> int:
+    import shutil
+
     final = os.path.join(str(index_root), "codes")
     tmp = final + "._tmp"
     old = final + "._old"

@@ -143,6 +143,9 @@ HEADLINE = [
     "q99zzb_bigram_perplexity",
     "q99zzc_ols_by_group",
     "q99zzd_spearman_corr",
+    "q99zze_chi2_keyness",
+    "q99zzf_vocab_kl_drift",
+    "q99zzg_embedding_drift",
 ]
 
 

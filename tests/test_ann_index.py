@@ -295,16 +295,19 @@ def test_compaction_bounds_files_and_preserves_content(spark, tmp_path):
                          compact_threshold=4)
     counts = bucket_file_counts(root)
     assert counts and max(counts.values()) <= 4 + 1, counts
-    # Content: exactly base + shard code rows, no loss, no duplicates.
-    codes = spark.read.parquet(os.path.join(root, "codes"))
+    # Content THROUGH THE COMMITTED MANIFEST (what searches read): the
+    # directory may also hold superseded files a committed compaction
+    # left for the next writer op's sweep — exactly base + shard code
+    # rows, no loss, no duplicates.
+    *_, codes, _meta = load_ann_index(spark, root)
     assert codes.count() == e.count() * 2  # m=2 rows per vector
     assert codes.select("vec_id").distinct().count() == e.count()
     # Idempotent when under threshold; content stable across a forced
     # full compaction.
     h0 = codes.orderBy("vec_id", "sub_idx").collect()
     assert compact_index_buckets(spark, root, max_files=0) != []
-    h1 = spark.read.parquet(os.path.join(root, "codes")) \
-        .orderBy("vec_id", "sub_idx").collect()
+    *_, codes1, _meta = load_ann_index(spark, root)
+    h1 = codes1.orderBy("vec_id", "sub_idx").collect()
     assert h1 == h0
 
 
@@ -635,3 +638,36 @@ def test_gate_passes_healthy_rebuild(spark, tmp_path):
     assert gen == 1
     *_, meta = _load(spark, root)
     assert meta["generation"] == 1
+
+
+def test_concurrent_writer_fails_fast(spark, tmp_path):
+    """The single-writer contract is ENFORCED, not just documented: a
+    writer operation racing a held writer lock raises
+    ConcurrentWriterError instead of silently interleaving its sweep
+    with the other writer's staged files."""
+    import fcntl
+
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        ConcurrentWriterError,
+        compact_index_buckets,
+        rebuild_ann_index,
+    )
+
+    e, base, shard = _halves(spark)
+    root = str(tmp_path / "idx")
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    # Hold the lock the way another writer process would.
+    with open(root + ".writer.lock", "w") as held:
+        fcntl.flock(held, fcntl.LOCK_EX)
+        with pytest.raises(ConcurrentWriterError):
+            ann_index_append(spark, root, shard)
+        with pytest.raises(ConcurrentWriterError):
+            compact_index_buckets(spark, root, max_files=0)
+        with pytest.raises(ConcurrentWriterError):
+            rebuild_ann_index(spark, e, root, kc=4, coarse_iters=1,
+                              k=4, iters=1)
+    # Lock released -> the same append succeeds.
+    ann_index_append(spark, root, shard)
+    *_, codes, meta = load_ann_index(spark, root)
+    assert codes.count() == e.count() * meta["m"]
