@@ -337,18 +337,27 @@ def bigram_lm_perplexity(df, doc_id: str, text_col: str,
 
     ws = df.select(F.col(doc_id).alias("_did"), reference.alias("_ref"),
                    F.split(F.trim(F.col(text_col)), " ").alias("_ws"))
-    bigram_expr = (
-        "CASE WHEN size(_ws) >= 2 THEN transform(sequence(0, size(_ws)-2),"
-        " i -> struct(_ws[i] AS w1, _ws[i + 1] AS w2)) "
-        "ELSE array() END"
-    )
-    bg = (ws.select("_did", "_ref", F.expr(bigram_expr).alias("_bgs"))
-          .select("_did", "_ref", F.explode("_bgs").alias("_bg"))
+    # Bigrams via slice + zip_with (the bpe.py idiom), NOT a
+    # transform(sequence(...), i -> ws[i]) lambda: Catalyst's
+    # infer-filters-from-Generate duplicates the generator expression
+    # into a pushed filter with the projection collapsed away, and a
+    # per-INDEX lambda then re-evaluates split(text) once per element —
+    # O(len²) per row (measured 5.7 s -> 0.9 s at sf0.1 on this query).
+    # zip_with's lambda touches only its two slice elements, so every
+    # duplicated copy stays O(len).
+    n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("_ws", 1, n1), F.slice("_ws", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bg = (ws.select("_did", "_ref", F.explode(pairs).alias("_bg"))
           .select("_did", "_ref", F.col("_bg.w1").alias("w1"),
                   F.col("_bg.w2").alias("w2")))
     ref_bg = bg.filter(F.col("_ref"))
     c12 = ref_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
-    c1 = ref_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    # Context counts derive from the bigram table — c1(w) is exactly the
+    # number of bigrams whose first word is w — so the reference corpus
+    # is aggregated once, not twice.
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (ws.filter("_ref").select(F.explode("_ws").alias("_w"))
              .agg(F.count_distinct("_w").cast("double").alias("_v")))
     lp = F.log((F.coalesce("_c12", F.lit(0)) + F.lit(k))

@@ -518,3 +518,57 @@ class TestRound9Sweeps:
         for v, r in zip(vals, rows):
             s = max(0.0, s + v - k)
             assert abs(r.cusum - s) < 1e-6
+
+
+def test_bigram_lm_perplexity_matches_python_model(spark):
+    """Randomized parity: the distributed add-k bigram LM must score
+    every document exactly like a dict-based reference implementation
+    (same smoothing, same vocabulary definition)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from api_to_amt_data_lake_spark.operators.text import (
+        bigram_lm_perplexity,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 15))),
+             rng.random() < 0.5)
+            for i in range(60)]
+    k = 0.5
+    # Reference model.
+    c12: dict = {}
+    c1: dict = {}
+    ref_words = set()
+    for _i, text, is_ref in rows:
+        ws = text.split(" ")
+        if is_ref:
+            ref_words.update(ws)
+            for a, b in zip(ws, ws[1:]):
+                c12[(a, b)] = c12.get((a, b), 0) + 1
+                c1[a] = c1.get(a, 0) + 1
+    v = float(len(ref_words))
+    want = {}
+    for i, text, _is_ref in rows:
+        ws = text.split(" ")
+        if len(ws) < 2:
+            continue
+        lps = [math.log((c12.get((a, b), 0) + k) / (c1.get(a, 0) + k * v))
+               for a, b in zip(ws, ws[1:])]
+        nll = -sum(lps) / len(lps)
+        want[i] = (len(lps), round(nll, 6), round(math.exp(nll), 2))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_ref"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll"], r["ppl"])
+           for r in bigram_lm_perplexity(
+               df, "doc_id", "text", reference=F.col("is_ref"),
+               k=k).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - want[i][1]) < 2e-6, (i, got[i], want[i])
+        assert abs(got[i][2] - want[i][2]) < 2e-2, (i, got[i], want[i])

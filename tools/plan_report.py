@@ -108,6 +108,14 @@ SHOWCASE = [
     ("q99zx_cusum_drift", "CUSUM de-recursified: cumsum and running-"
      "min windows share a single (key, order) sort — one Exchange, "
      "no Python state machine"),
+    ("q99zzb_bigram_perplexity", "CCNet-style LM scoring: reference "
+     "count tables from one scan; the scoring pass shuffle-joins only "
+     "on the bigram key while the context table and vocab scalar "
+     "broadcast — the log-prob is pure codegen, no UDFs"),
+    ("q99zzg_embedding_drift", "centroid drift: posexplode partial-"
+     "aggregates to (label, dim) means, so the shuffled volume is "
+     "labels x dims, never the corpus; the class-level fold is a "
+     "second tiny aggregate"),
 ]
 
 
