@@ -8240,6 +8240,58 @@ def q99zzg_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6).alias("centroid_l2_shift"))
 
 
+@register("q99zzh_split_leakage", oracle="""
+WITH keyed AS (
+  SELECT lang, md5(text) AS k,
+    CASE WHEN (doc_id * 2654435761) % 4294967296
+              < CAST(0.8 * 4294967296 AS BIGINT)
+         THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), train_keys AS (
+  SELECT DISTINCT k FROM keyed WHERE split = 'train'
+), ev AS (SELECT lang, k FROM keyed WHERE split = 'eval')
+SELECT ev.lang, CAST(COUNT(*) AS BIGINT) AS n_eval,
+  CAST(SUM(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_leaked,
+  round(SUM(CASE WHEN t.k IS NOT NULL THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS leak_rate
+FROM ev LEFT JOIN train_keys t USING (k)
+GROUP BY ev.lang
+""")
+def q99zzh_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: after a deterministic 80/20
+    hash split, how many EVAL documents share exact content (md5) with
+    some TRAIN document — the leakage check every benchmark-safe data
+    pipeline runs before shipping an eval set. The train key set is
+    dedup'd then semi-joined (here a left join + null test so the rate
+    denominator stays visible) on uniform md5 keys — one shuffle that
+    AQE can convert to broadcast when the train-key set is small after
+    distinct; the split itself is the same Knuth multiplicative hash
+    as stratified sampling (q44), so splits are reproducible across
+    engines and runs."""
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        _M32,
+        hash_bucket,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "lang", F.md5("text").alias("k"),
+        F.when(hash_bucket(F.col("doc_id")) < int(0.8 * _M32),
+               F.lit("train")).otherwise(F.lit("eval")).alias("split"))
+    train_keys = (keyed.filter(F.col("split") == "train")
+                  .select("k").distinct()
+                  .withColumn("_hit", F.lit(1)))
+    ev = keyed.filter(F.col("split") == "eval").select("lang", "k")
+    return (ev.join(train_keys, "k", "left")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_eval"),
+                 F.sum(F.coalesce("_hit", F.lit(0))).alias("n_leaked"),
+                 F.round(F.sum(F.coalesce("_hit", F.lit(0)))
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("leak_rate")))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -146,6 +146,7 @@ HEADLINE = [
     "q99zze_chi2_keyness",
     "q99zzf_vocab_kl_drift",
     "q99zzg_embedding_drift",
+    "q99zzh_split_leakage",
 ]
 
 

@@ -196,3 +196,16 @@ def test_chunking_plan_is_shuffle_free(spark):
     plan = _plan(spark, "q98_doc_chunks")
     assert "Exchange" not in plan
     assert "Generate" in plan
+
+
+def test_perplexity_plan_free_of_per_element_reevaluation(spark):
+    """Regression pin for the O(len^2) Generate trap: Catalyst's
+    inferred filter under explode duplicates the generator expression
+    with projections collapsed, and a transform(sequence, i -> ws[i])
+    lambda then re-evaluates split(text) once per ELEMENT. The bigram
+    build must stay on the slice + zip_with shape, whose duplicated
+    copies are O(len). (Measured 5.7s -> 0.9s at sf0.1.)"""
+    plan = _plan(spark, "q99zzb_bigram_perplexity")
+    assert "transform(sequence" not in plan, (
+        "per-index lambda crept back into the bigram build")
+    assert "zip_with" in plan

@@ -241,6 +241,21 @@ def main() -> None:
         rows[f"store_fold_{mode}"] = 100
         shutil.rmtree(root, ignore_errors=True)
 
+    # CCNet-style LM quality scoring: train the add-k bigram model on
+    # the 10% reference slice, score the WHOLE corpus. The stage should
+    # track two corpus scans + one bigram-keyed shuffle join — never
+    # vocab² (the synthetic 50-word vocabulary keeps the count tables
+    # broadcast-tiny, which is also the production shape: count tables
+    # grow with observed bigrams, not corpus rows).
+    t0 = time.time()
+    from api_to_amt_data_lake_spark.operators.text import (
+        bigram_lm_perplexity,
+    )
+    rows["perplexity"] = bigram_lm_perplexity(
+        corpus, "doc_id", "text",
+        reference=F.col("doc_id") % 10 == 0).count()
+    t["perplexity"] = round(time.time() - t0, 2)
+
     print(json.dumps({"n_docs": n, "sec": t, "rows": rows,
                       "total_sec": round(sum(t.values()), 2)}))
 
