@@ -572,3 +572,86 @@ def test_bigram_lm_perplexity_matches_python_model(spark):
         assert got[i][0] == want[i][0], i
         assert abs(got[i][1] - want[i][1]) < 2e-6, (i, got[i], want[i])
         assert abs(got[i][2] - want[i][2]) < 2e-2, (i, got[i], want[i])
+
+
+def test_chi2_keyness_and_kl_drift_match_python(spark):
+    """Randomized parity for the corpus-statistics queries' math: the
+    distributed chi-squared keyness and smoothed KL-drift contributions
+    must equal Counter-based reference implementations on a random
+    corpus written through the same parquet shape the queries read."""
+    import math
+    import random
+    from collections import Counter
+
+    from api_to_amt_data_lake_spark.plans import conformance
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(15)]
+    langs = ["en", "de", "fr"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 12))),
+             rng.choice(langs), "s0", 0)
+            for i in range(80)]
+    import tempfile
+    sf_dir = tempfile.mkdtemp(prefix="props_")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    # --- chi2 keyness reference ---
+    lw: Counter = Counter()
+    wl: Counter = Counter()
+    ll: Counter = Counter()
+    n_tot = 0
+    for _i, text, lang, _s, _n in rows:
+        for w in text.split(" "):
+            lw[(lang, w)] += 1
+            wl[w] += 1
+            ll[lang] += 1
+            n_tot += 1
+    scored = []
+    for (lang, w), a in lw.items():
+        b = wl[w] - a
+        c = ll[lang] - a
+        d = n_tot - ll[lang] - b
+        n = float(n_tot)
+        a, b, c, d = map(float, (a, b, c, d))
+        if not a > (a + b) * (a + c) / n:
+            continue
+        chi2 = round(n * (a * d - b * c) ** 2
+                     / ((a + b) * (c + d) * (a + c) * (b + d)), 4)
+        scored.append((lang, chi2, w))
+    want = set()
+    by_lang: dict = {}
+    for lang, chi2, w in scored:
+        by_lang.setdefault(lang, []).append((chi2, w))
+    for lang, items in by_lang.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (chi2, w) in enumerate(items[:3], start=1):
+            want.add((lang, w, chi2, rk))
+    got = {(r["lang"], r["word"], r["chi2"], r["rk"])
+           for r in conformance.QUERIES["q99zze_chi2_keyness"](
+               spark, sf_dir).collect()}
+    assert got == want
+
+    # --- KL drift reference ---
+    c_new: Counter = Counter()
+    c_old: Counter = Counter()
+    for i, text, _lang, _s, _n in rows:
+        tgt = c_new if i % 2 == 1 else c_old
+        for w in text.split(" "):
+            tgt[w] += 1
+    joint = set(c_new) | set(c_old)
+    v = float(len(joint))
+    n_new, n_old = float(sum(c_new.values())), float(sum(c_old.values()))
+    want_kl = {}
+    for w in joint:
+        p = (c_new[w] + 0.5) / (n_new + 0.5 * v)
+        qq = (c_old[w] + 0.5) / (n_old + 0.5 * v)
+        want_kl[w] = round(p * math.log(p / qq), 6)
+    got_kl = {r["word"]: r["kl_term"]
+              for r in conformance.QUERIES["q99zzf_vocab_kl_drift"](
+                  spark, sf_dir).collect()}
+    assert set(got_kl) == set(want_kl)
+    for w in want_kl:
+        assert abs(got_kl[w] - want_kl[w]) < 2e-6, w
