@@ -8292,6 +8292,80 @@ def q99zzh_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("leak_rate")))
 
 
+@register("q99zzi_perplexity_filter", oracle="""
+WITH w AS (
+  SELECT doc_id, lang, lang = 'en' AS ref,
+    string_split(trim(text), ' ') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang, ref, unnest(list_transform(range(1, len(ws)),
+    i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+  FROM w WHERE len(ws) >= 2
+), bg2 AS (
+  SELECT doc_id, lang, ref, b.w1 AS w1, b.w2 AS w2 FROM bg
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg2 WHERE ref GROUP BY 1, 2
+), c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (
+  SELECT CAST(COUNT(DISTINCT u) AS DOUBLE) AS v
+  FROM (SELECT unnest(ws) AS u FROM w WHERE ref)
+), s AS (
+  SELECT bg2.doc_id, bg2.lang,
+    round(-avg(ln((coalesce(c12.c12, 0) + 0.5)
+                  / (coalesce(c1.c1, 0) + 0.5 * v.v))), 6) AS nll
+  FROM bg2 LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+  CROSS JOIN v GROUP BY 1, 2
+), c AS (SELECT lang, nll, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+cum AS (
+  SELECT lang, nll AS val,
+    SUM(cnt) OVER (PARTITION BY lang ORDER BY nll) AS cum,
+    SUM(cnt) OVER (PARTITION BY lang) AS tot
+  FROM c
+), thr AS (
+  SELECT lang, MIN(CASE WHEN cum >= ceil(0.7 * tot) THEN val END)
+    AS thr
+  FROM cum GROUP BY lang
+)
+SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN s.nll <= thr.thr THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  round(SUM(CASE WHEN s.nll <= thr.thr THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+FROM s JOIN thr USING (lang) GROUP BY s.lang
+""")
+def q99zzi_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete CCNet quality-filter composition: score every
+    document's LM negative-log-likelihood (q99zzb's model), find each
+    language's 70th-percentile threshold with the SCALABLE discrete
+    percentile (value-frequency window — never Spark's buffering
+    `percentile` aggregate), and keep the fluent head of the
+    distribution. Per-lang kept/total so the gate's effect is the
+    output. Thresholding compares the ROUNDED nll both engines already
+    hash-agree on, so the keep decision is cross-engine exact."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        grouped_percentiles_disc,
+    )
+    from api_to_amt_data_lake_spark.operators.text import (
+        bigram_lm_perplexity,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = bigram_lm_perplexity(
+        d, "doc_id", "text", reference=F.col("lang") == "en", k=0.5
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    thr = grouped_percentiles_disc(scored, "lang", "nll", (0.7,),
+                                   out_names=("thr",))
+    return (scored.join(F.broadcast(thr), "lang")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("nll") <= F.col("thr"), 1)
+                       .otherwise(0)).alias("n_kept"),
+                 F.round(F.sum(F.when(F.col("nll") <= F.col("thr"), 1)
+                               .otherwise(0))
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("keep_rate")))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -147,6 +147,7 @@ HEADLINE = [
     "q99zzf_vocab_kl_drift",
     "q99zzg_embedding_drift",
     "q99zzh_split_leakage",
+    "q99zzi_perplexity_filter",
 ]
 
 
