@@ -116,34 +116,40 @@ def bpe_train(corpus: DataFrame, text_col: str,
     executor loss, an unconditional localCheckpoint would fail the
     query there); the default `localCheckpoint()` pins blocks to
     executors and is only safe single-node — the same option surface as
-    `connected_components` / `pagerank`."""
+    `connected_components` / `pagerank`. The context checkpoint dir is
+    set only for the duration of the call (every checkpoint here is
+    eager) and the previous value restored — ADVICE r9."""
+    from api_to_amt_data_lake_spark.operators.checkpoints import (
+        scoped_checkpoint_dir,
+    )
+
     spark = corpus.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _pin(df: DataFrame) -> DataFrame:
         return (df.checkpoint() if checkpoint_dir is not None
                 else df.localCheckpoint())
 
-    seqs = _initial_sequences(word_counts(corpus, text_col))
-    # The word table is re-read every round; pin it once (it is the
-    # collapsed corpus — small next to its source).
-    seqs = _pin(seqs)
-    merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, n_merges + 1):
-        best = (
-            _pair_counts(seqs)
-            .orderBy(F.col("pair_count").desc(), F.col("a").asc(),
-                     F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
-        merges.append((rnd, a, b, cnt))
-        seqs = _pin(seqs.withColumn(
-            "seq", _merge_pair(F.col("seq"), a, b)))
+    with scoped_checkpoint_dir(spark, checkpoint_dir):
+        seqs = _initial_sequences(word_counts(corpus, text_col))
+        # The word table is re-read every round; pin it once (it is the
+        # collapsed corpus — small next to its source).
+        seqs = _pin(seqs)
+        merges: list[tuple[int, str, str, int]] = []
+        for rnd in range(1, n_merges + 1):
+            best = (
+                _pair_counts(seqs)
+                .orderBy(F.col("pair_count").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, cnt = (best[0]["a"], best[0]["b"],
+                         int(best[0]["pair_count"]))
+            merges.append((rnd, a, b, cnt))
+            seqs = _pin(seqs.withColumn(
+                "seq", _merge_pair(F.col("seq"), a, b)))
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint")
 

@@ -73,8 +73,11 @@ def pagerank(
     # the upstream edge pipeline every round.)
     ed = e.join(deg, "s")
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        ed = ed.checkpoint()
+        from api_to_amt_data_lake_spark.operators.checkpoints import (
+            scoped_checkpoint_dir,
+        )
+        with scoped_checkpoint_dir(edges.sparkSession, checkpoint_dir):
+            ed = ed.checkpoint()  # eager: materialized inside scope
     else:
         ed = ed.localCheckpoint()
     ranks = deg.select(F.col("s").alias("id"), F.lit(1.0).alias("r"))
@@ -157,6 +160,7 @@ def khop_distances(
     dst: str = "t",
     node_col: str = "node",
     max_hops: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Level-synchronous BFS: minimum hop distance (≤ max_hops) from
     any seed, over a directed edge list — (node, dist) for every node
@@ -167,16 +171,33 @@ def khop_distances(
     Each round expands only the FRONTIER (nodes first reached last
     round): one equi join frontier ⋈ edges plus one anti join against
     the settled set — work per round tracks the frontier, not the
-    graph, and a round's result is pinned (localCheckpoint) so later
-    joins do not re-execute the whole expansion lineage (the
-    `pagerank`/`connected_components` discipline). Early-exits when a
+    graph, and a round's result is pinned so later joins do not
+    re-execute the whole expansion lineage. Early-exits when a
     frontier comes back empty. Level-synchronous BFS discovers every
     node first at its true minimum distance, so no relaxation or
     re-visit pass is needed — the relational equivalent of the
-    recursive-CTE walk the conformance oracle (q99zz) runs."""
+    recursive-CTE walk the conformance oracle (q99zz) runs.
+
+    Lineage (VERDICT r9 item 2): `checkpoint_dir` selects reliable
+    `checkpoint()` files for the per-round pins (use on a real
+    cluster: survives executor loss — BFS is a long-lineage iterative
+    operator exactly like `pagerank`); the default `localCheckpoint()`
+    pins blocks to executors and is only safe single-node. The context
+    checkpoint dir is set only around each (eager) checkpoint and the
+    previous value restored."""
+    from api_to_amt_data_lake_spark.operators.checkpoints import (
+        scoped_checkpoint_dir,
+    )
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        with scoped_checkpoint_dir(df.sparkSession, checkpoint_dir):
+            return df.checkpoint()  # eager: materialized inside scope
+
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
-    dist = seeds.select(F.col(node_col).alias("node")).distinct() \
-        .withColumn("dist", F.lit(0)).localCheckpoint()
+    dist = _pin(seeds.select(F.col(node_col).alias("node")).distinct()
+                .withColumn("dist", F.lit(0)))
     frontier = dist
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -184,10 +205,10 @@ def khop_distances(
             .select(F.col("_t").alias("node"))
             .distinct()
         )
-        new = nxt.join(dist, "node", "left_anti") \
-            .withColumn("dist", F.lit(hop)).localCheckpoint()
+        new = _pin(nxt.join(dist, "node", "left_anti")
+                   .withColumn("dist", F.lit(hop)))
         if new.isEmpty():
             break
-        dist = dist.unionAll(new).localCheckpoint()
+        dist = _pin(dist.unionAll(new))
         frontier = new
     return dist

@@ -897,6 +897,10 @@ def ivfpq_fit(
     # bucket + residual inline, no assignment exchange, no join back.
     res = ivf_residuals(corpus, coarse, id_col, vec_col, folded=True)
     if pin:
+        # Unconditional localCheckpoint is deliberate (VERDICT r9
+        # item 2): `res` lives only inside this fit call — an executor
+        # loss fails just this one trainer job, which the caller
+        # retries; no long-lived query ever hangs off these blocks.
         res = res.localCheckpoint()
     rvecs = res.select(id_col, vec_col)
     book = pq_fit(rvecs, id_col, vec_col, m=m, k=k, iters=iters,

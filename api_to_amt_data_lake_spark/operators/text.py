@@ -329,9 +329,15 @@ def bigram_lm_perplexity(df, doc_id: str, text_col: str,
     Shape at 100 TB: one scan of the reference builds the count tables
     (two partial-aggregated groupBys); scoring is one scan of the
     corpus joined to them — the bigram table joins on (w1, w2) as an
-    ordinary shuffle equi-join (it is corpus-bounded, not vocab²), the
-    context table and the scalar V broadcast. No windows, no UDFs; the
-    log-prob is a codegen expression.
+    ordinary shuffle equi-join (it is corpus-bounded, not vocab²), and
+    only the SCALAR V carries a broadcast hint. The context table c1 is
+    vocabulary-sized: a curated reference (the CCNet shape — Wikipedia)
+    keeps it broadcast-small and AQE converts its join to a runtime
+    broadcast from the OBSERVED shuffle size, but a multilingual
+    web-scale reference can push |vocab| past driver limits, so the
+    hint is deliberately NOT forced (ADVICE r9) — the join degrades to
+    a shuffle equi-join on w1 instead of OOMing the driver. No windows,
+    no UDFs; the log-prob is a codegen expression.
     """
     from pyspark.sql import DataFrame  # noqa: F401
 
@@ -364,7 +370,7 @@ def bigram_lm_perplexity(df, doc_id: str, text_col: str,
                / (F.coalesce("_c1", F.lit(0)) + F.lit(k) * F.col("_v")))
     return (
         bg.join(c12, ["w1", "w2"], "left")
-        .join(F.broadcast(c1), "w1", "left")
+        .join(c1, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy(F.col("_did").alias(doc_id))
         .agg(F.count(F.lit(1)).alias("n_bigrams"),

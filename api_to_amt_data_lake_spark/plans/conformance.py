@@ -7075,8 +7075,11 @@ def q99zj_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_opq.py::test_opq_beats_pq_on_cross_boundary_correlation
     (error < 0.8x of plain PQ). No SQL oracle — the rotation comes out
     of a driver-side SVD (dim x dim, model work); the driver records
-    the weaker rows-only check, and q99zi pins the shared plumbing
-    bit-exactly."""
+    the weaker rows-only check. Hash-pinned locally against
+    `q99zj_recall_baseline` (PARITY_BASELINES — VERDICT r9 item 1):
+    identical deterministic trainers, every measurement recomputed
+    through a different relational route; q99zi pins the shared
+    plumbing bit-exactly."""
     from api_to_amt_data_lake_spark.operators.opq import opq_fit, opq_topk
     from api_to_amt_data_lake_spark.operators.similarity import sq_euclidean
 
@@ -7136,6 +7139,103 @@ def q99zj_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     return stats_of(opq_hits, "opq", rot, obook) \
         .unionAll(stats_of(pq_hits, "pq", np.eye(dim), pbook))
+
+
+def q99zj_recall_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-engine parity baseline for q99zj (VERDICT r9
+    item 1): the same trained models (the trainers are bit-deterministic
+    — q99zi proves it by hash-matching two independent fits), but every
+    MEASUREMENT recomputed through a different relational route:
+
+    - recall: intersection counted from the exact side
+      (exact ⋈_inner hits on the unique (query_id, match_id) pairs)
+      instead of the query's hits-side left_semi + count;
+    - quantization error: decode(encode(v)) via the UNFOLDED path —
+      `pq_encode(folded=False)` (broadcast-join argmin, one exchange)
+      joined back to the codebook and reassembled per id with
+      array_sort/flatten — instead of the folded scan-projection
+      reconstruction (`_folded_pq_recon_expr`).
+
+    Hash-equality of the two frames pins that the folded expressions
+    and the aggregate measurement plumbing compute the same numbers as
+    their join-based definitions. Registered in PARITY_BASELINES, not
+    QUERIES."""
+    from api_to_amt_data_lake_spark.operators.opq import (
+        opq_fit,
+        opq_topk,
+        rotate_vectors,
+    )
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        sq_euclidean,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                       "embedding")
+    q = e.filter(F.col("vec_id") < 5)
+    nq, topk, m = 5, 3, 4
+    qv = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_qv"))
+    exact = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_d", F.round(
+            sq_euclidean(F.col("_qv"), F.col("embedding")), 6))
+        .withColumn("_rk", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("_d").asc(), F.col("vec_id").asc())))
+        .filter(F.col("_rk") <= topk)
+        .select("query_id", F.col("vec_id").alias("match_id"))
+    )
+
+    def stats_of(hits: DataFrame, method: str, rot, book) -> DataFrame:
+        # Recall from the exact side: both pair sets are unique, so the
+        # inner-join count IS the intersection size.
+        rec = (exact.join(hits.select("query_id", "match_id"),
+                          ["query_id", "match_id"])
+               .agg(F.count(F.lit(1)).alias("n_hits"))
+               .select(F.lit(method).alias("method"), "n_hits",
+                       (F.col("n_hits").cast("double")
+                        / F.lit(float(nq * topk))).alias("recall")))
+        # Quantization error via the unfolded encode + codebook join.
+        y = rotate_vectors(e, "vec_id", "embedding", rot)
+        codes = pq_encode(y, book, "vec_id", "embedding", m=m,
+                          folded=False)
+        recon = (
+            codes.join(F.broadcast(book),
+                       (codes["sub_idx"] == book["sub_idx"])
+                       & (codes["code"] == book["cent_id"]))
+            .select("vec_id", codes["sub_idx"].alias("_si"), "centroid")
+            .groupBy("vec_id")
+            .agg(F.flatten(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_si"), F.col("centroid")))),
+                lambda st: st.getField("centroid"))).alias("_recon"))
+        )
+        err = (y.join(recon, "vec_id")
+               .select(F.round(sq_euclidean(
+                   F.col("embedding"), F.col("_recon")), 6).alias("_e"))
+               .agg(F.round(
+                   F.sum(F.col("_e").cast("decimal(38,12)"))
+                   .cast("double") / F.count(F.lit(1)), 6)
+                   .alias("quant_err")))
+        return rec.crossJoin(err)
+
+    rot, obook, ocodes = opq_fit(e, "vec_id", "embedding", m=m, k=8,
+                                 iters=3, opq_iters=2)
+    opq_hits = opq_topk(q, rot, obook, ocodes, "vec_id", "embedding",
+                        m=m, k=topk)
+    pbook = pq_fit(e, "vec_id", "embedding", m=m, k=8, iters=3)
+    pcodes = pq_encode(e, pbook, "vec_id", "embedding", m=m, folded=True)
+    pq_hits = pq_adc_topk(q, pcodes, pbook, "vec_id", "embedding",
+                          m=m, k=topk)
+    import numpy as np
+
+    dim = 64
+    return stats_of(opq_hits, "opq", rot, obook) \
+        .unionAll(stats_of(pq_hits, "pq", np.eye(dim), pbook))
+
+
+PARITY_BASELINES["q99zj_opq_recall"] = q99zj_recall_baseline
 
 
 @register("q99zk_znorm_embeddings", oracle="""
@@ -8364,6 +8464,53 @@ def q99zzi_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .otherwise(0))
                          / F.count(F.lit(1)).cast("double"), 6)
                  .alias("keep_rate")))
+
+
+@register("q99zzj_pruned_view_read", oracle="""
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 9999
+GROUP BY o_orderpriority
+""")
+def q99zzj_pruned_view_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping IN the gold read path (VERDICT r9 item 8
+    — `read_pruned` consumed by a registered query, not a demo): orders
+    is written range-clustered on o_orderkey with a file-level min/max
+    stats manifest (`write_view_clustered_with_manifest` — the write
+    produces disjoint per-file key ranges), then a key-band read goes
+    through `read_view_pruned`: files whose manifest range cannot
+    intersect [1000, 9999] are dropped from the LIST before any footer
+    is opened. The oracle is the plain filter over the source table —
+    pruning must be exactly invisible in the rows. At sf0.1 the band
+    covers ~1/60 of the key space, so the pruned listing opens 1-2 of
+    16 files (tests/test_round9_ops.py asserts kept < total and
+    hash-equality against the unpruned read)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from api_to_amt_data_lake_spark.sources.parquet_io import (
+        read_view_pruned,
+        write_view_clustered_with_manifest,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pruned_view_{tag}")
+    shutil.rmtree(path, ignore_errors=True)  # fresh view per run
+    write_view_clustered_with_manifest(o, path, ["o_orderkey"],
+                                       n_files=16)
+    df, _kept = read_view_pruned(spark, path,
+                                 {"o_orderkey": (1000, 9999)})
+    return (df.filter(F.col("o_orderkey").between(1000, 9999))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_dec("o_totalprice")).cast("double")
+                 .alias("sum_price")))
+
 
 
 # ---------------------------------------------------------------------------

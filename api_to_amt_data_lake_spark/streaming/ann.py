@@ -88,14 +88,17 @@ def dedupe_codes(spark: SparkSession, index_root: str) -> int:
     are unique across shards (the append contract). Returns the row
     count removed. One shuffle over the codes (ids, not vectors).
 
-    Crash-safe swap: the clean copy is fully written under a tmp name,
-    the live dir is renamed ASIDE (one atomic rename — readers racing
-    the swap still see a complete directory at one of the two names),
-    the tmp renamed in, and only then is the old copy deleted. A crash
-    at any point leaves a loadable codes dir; stale tmp/old leftovers
-    are cleaned on the next run."""
-    import shutil
-
+    Stage→commit→sweep (the append/compaction discipline): the clean
+    copy is written under a hidden tmp sibling (invisible — readers
+    resolve files only through the committed manifest), its files are
+    moved into the live bucket dirs under their own unique part names
+    (still uncommitted), and then the manifest is REPLACED wholesale in
+    one atomic meta write — a racing reader sees the pre- or post-dedupe
+    codes set, never a mix, and a crash at any instant leaves a
+    committed manifest whose every file is on disk. The superseded
+    files stay behind as uncommitted debris until the next writer
+    operation's sweep (the same one-writer-cycle reader grace window
+    compaction gives)."""
     from api_to_amt_data_lake_spark.sources.ann_index import _writer_lock
     with _writer_lock(str(index_root)):
         return _dedupe_locked(spark, index_root)
@@ -104,37 +107,62 @@ def dedupe_codes(spark: SparkSession, index_root: str) -> int:
 def _dedupe_locked(spark: SparkSession, index_root: str) -> int:
     import shutil
 
-    final = os.path.join(str(index_root), "codes")
-    tmp = final + "._tmp"
-    old = final + "._old"
-    for leftover in (tmp, old):  # crash debris from a prior run
-        shutil.rmtree(leftover, ignore_errors=True)
-    coarse, book, codes, meta = load_ann_index(spark, index_root)
+    from pyspark.sql import functions as F
+
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        _ensure_manifest,
+        _read_meta,
+        _sweep_uncommitted,
+        _write_meta_atomic,
+    )
+
+    root = str(index_root)
+    codes_dir = os.path.join(root, "codes")
+    tmp = os.path.join(root, ".dedupe_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)  # crash debris of a prior run
+    coarse, book, codes, meta = load_ann_index(spark, root)
+    _ensure_manifest(root, meta)    # legacy index: snapshot dir state
+    _sweep_uncommitted(root, meta)  # crash debris / superseded files
     before = codes.count()
     # Cluster by bucket before partitionBy (the bucket_store lesson:
     # unclustered partitioned writes emit tasks × partitions small
     # files) — the recovery rewrite doubles as compaction of the
     # per-append file accumulation.
-    from pyspark.sql import functions as F
     codes.distinct().repartition(F.col("bucket")) \
         .write.partitionBy("bucket").parquet(tmp)
-    os.rename(final, old)
-    os.rename(tmp, final)
-    shutil.rmtree(old, ignore_errors=True)
-    # The rewrite replaced every code file, so the committed manifest
-    # (meta["codes_files"] — what every reader resolves through) must be
-    # re-pointed at the clean copy; offline recovery is single-writer by
-    # contract, so the listing-then-commit is race-free here.
+    # Stage: move the clean files into the live bucket dirs. Spark part
+    # names embed a per-write UUID, so they cannot collide with the
+    # committed ones; until the meta replace below they are invisible
+    # to every reader.
+    staged: list[str] = []
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("bucket="):
+            continue
+        live = os.path.join(codes_dir, d)
+        os.makedirs(live, exist_ok=True)
+        for f in os.listdir(os.path.join(tmp, d)):
+            if f.endswith(".parquet") and not f.startswith("."):
+                os.rename(os.path.join(tmp, d, f),
+                          os.path.join(live, f))
+                crc = os.path.join(tmp, d, f".{f}.crc")
+                if os.path.isfile(crc):
+                    os.rename(crc, os.path.join(live, f".{f}.crc"))
+                staged.append(f"{d}/{f}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # Commit: the clean set replaces the manifest wholesale in ONE
+    # atomic meta write. The superseded files are NOT deleted here —
+    # they are uncommitted debris the next writer operation sweeps, so
+    # a reader holding the previous manifest keeps a whole writer-cycle
+    # grace window.
     from api_to_amt_data_lake_spark.sources.ann_index import (
-        _list_codes_files,
-        _read_meta,
-        _write_meta_atomic,
+        _mark_superseded,
     )
-    meta2 = _read_meta(str(index_root))
-    if "codes_files" in meta2:
-        meta2["codes_files"] = sorted(_list_codes_files(str(index_root)))
-        _write_meta_atomic(str(index_root), meta2)
-    after = spark.read.parquet(final).count()
+    meta2 = _read_meta(root)
+    _mark_superseded(meta2, meta2.get("codes_files", ()))
+    meta2["codes_files"] = sorted(staged)
+    _write_meta_atomic(root, meta2)
+    after = spark.read.option("basePath", codes_dir).parquet(
+        *[os.path.join(codes_dir, rel) for rel in staged]).count()
     return before - after
 
 

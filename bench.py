@@ -199,11 +199,31 @@ def main() -> None:
     # deltas at sf0.1: q02 8.3s cold → 2.1s warm, q36 1.9s → 0.4s. The
     # timed pass below therefore reflects steady-state cost, which is the
     # regime a long-running cluster job actually operates in.
+    warm: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.time()
         try:
             conformance.QUERIES[name](spark, sf_dir).count()
         except Exception as exc:  # never let warm-up kill the bench
             print(f"# warmup {name} FAILED: {exc}", file=sys.stderr)
+        warm[name] = time.time() - t0
+
+    # LIGHT-TO-HEAVY timed order (VERDICT r9 item 7): the r9
+    # arrow_first control proved ±0.2–0.3 s of position-inherited debt
+    # (GC pressure, executor-thread state left by a heavy neighbor)
+    # moves with suite order for sub-second Arrow queries (q74i
+    # 0.645→0.273 s moved early; q36 0.378→0.597 s parked after the
+    # heavy tail). Sorting the timed rounds by each query's measured
+    # warm-up cost puts every cheap query ahead of the debt-generating
+    # tail, so per-query numbers stop chasing position noise. The
+    # warm-up pass itself keeps registry order (it only absorbs
+    # one-time costs). Cross-round totals remain comparable on shared
+    # queries; SCALE.md records the methodology change (r10).
+    # Any explicit SPARK_GRAFT_BENCH_ORDER ("suite" = legacy registry
+    # order, "arrow_first" = the r8/r9 control) disables the sort so
+    # controls keep their deliberate positioning.
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") is None:
+        HEADLINE = sorted(HEADLINE, key=lambda n: warm.get(n, 1e9))
 
     # Clear accumulated warm-up state (pinned localCheckpoint blocks from
     # the iterative queries, dropped broadcasts) before timing: the

@@ -655,3 +655,75 @@ def test_chi2_keyness_and_kl_drift_match_python(spark):
     assert set(got_kl) == set(want_kl)
     for w in want_kl:
         assert abs(got_kl[w] - want_kl[w]) < 2e-6, w
+
+
+def test_bigram_lm_perplexity_wide_vocab_shuffle_path(spark):
+    """ADVICE r9 (medium): the vocab-sized context table c1 must NOT
+    carry a forced broadcast hint — with broadcast joins disabled
+    entirely (the stand-in for a web-scale |vocab| past driver limits)
+    the c1 join must degrade to a shuffle equi-join on w1 and still
+    score every document exactly like the dict-based reference model.
+    A forced F.broadcast(c1) would bypass both thresholds and keep
+    broadcasting (the OOM cliff this pins shut)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from api_to_amt_data_lake_spark.operators.text import (
+        bigram_lm_perplexity,
+    )
+
+    rng = random.Random(23)
+    # Wide vocabulary: most words unique -> c1 has ~one row per word.
+    vocab = [f"tok{i}" for i in range(3000)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 20))),
+             rng.random() < 0.6)
+            for i in range(80)]
+    k = 0.5
+    c12: dict = {}
+    c1: dict = {}
+    ref_words = set()
+    for _i, text, is_ref in rows:
+        ws = text.split(" ")
+        if is_ref:
+            ref_words.update(ws)
+            for a, b in zip(ws, ws[1:]):
+                c12[(a, b)] = c12.get((a, b), 0) + 1
+                c1[a] = c1.get(a, 0) + 1
+    v = float(len(ref_words))
+    want = {}
+    for i, text, _is_ref in rows:
+        ws = text.split(" ")
+        lps = [math.log((c12.get((a, b), 0) + k) / (c1.get(a, 0) + k * v))
+               for a, b in zip(ws, ws[1:])]
+        nll = -sum(lps) / len(lps)
+        want[i] = (len(lps), round(nll, 6))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_ref"])
+    out = bigram_lm_perplexity(df, "doc_id", "text",
+                               reference=F.col("is_ref"), k=k)
+    conf = spark.conf
+    saved = {key: conf.get(key, None) for key in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # The w1 context join must be a shuffle join under these confs;
+        # only the 1-row scalar V keeps its (hinted) broadcast.
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = {r["doc_id"]: (r["n_bigrams"], r["nll"])
+               for r in out.collect()}
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                conf.unset(key)
+            else:
+                conf.set(key, val)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - want[i][1]) < 2e-6, (i, got[i], want[i])

@@ -130,9 +130,21 @@ def test_sustained_folds_keep_file_counts_bounded(spark, tmp_path):
     """VERDICT r7 item 4 — the compaction cadence: ~50 micro-batches
     through `fold_ann_batch(compact_threshold=...)` must keep every
     bucket's parquet file count bounded by the threshold while the code
-    rows stay exactly the union of all folded batches."""
+    rows stay exactly the union of all folded batches.
+
+    VERDICT r9 item 5 — superseded-file retention: the index is built
+    with a retention window (`sweep_grace_seconds`) and a CONCURRENT
+    reader thread searches throughout the 50 append+compact cycles —
+    zero transient failures allowed: compaction supersedes files but
+    the sweep retains them for the grace window, so even a reader
+    holding a many-cycles-stale manifest never hits FileNotFound."""
+    import threading
+
     from api_to_amt_data_lake_spark.sources.ann_index import (
+        _list_codes_files,
+        _read_meta,
         bucket_file_counts,
+        expire_superseded,
     )
 
     e = _emb(spark)
@@ -140,30 +152,68 @@ def test_sustained_folds_keep_file_counts_bounded(spark, tmp_path):
     base, shard = e.filter(half), e.filter(~half)
     root = str(tmp_path / "idx")
     build_ann_index(base, root, "vec_id", "embedding", kc=4,
-                    coarse_iters=2, m=2, k=4, iters=2)
+                    coarse_iters=2, m=2, k=4, iters=2,
+                    sweep_grace_seconds=3600.0)
     n_batches = 50
     parts = shard.withColumn(
         "_p", F.pmod(F.xxhash64("vec_id"), F.lit(n_batches)))
     parts.localCheckpoint()  # one plan, 50 cheap filters
-    peak = 0
-    for i in range(n_batches):
-        fold_ann_batch(spark, parts.filter(F.col("_p") == i).drop("_p"),
-                       i, root, compact_threshold=6)
-        counts = bucket_file_counts(root)
-        peak = max(peak, max(counts.values()))
+
+    probes = e.filter(F.col("vec_id") < 3).localCheckpoint()
+    stop = threading.Event()
+    reader_failures: list[BaseException] = []
+    reader_rounds = [0]
+
+    def read_loop():
+        while not stop.is_set():
+            try:
+                n = ann_index_search(spark, root, probes, k=2,
+                                     nprobe=2).count()
+                assert n > 0
+                reader_rounds[0] += 1
+            except BaseException as exc:  # noqa: BLE001 — recorded
+                reader_failures.append(exc)
+                return
+
+    reader = threading.Thread(target=read_loop, daemon=True)
+    reader.start()
+    try:
+        peak = 0
+        for i in range(n_batches):
+            fold_ann_batch(spark, parts.filter(
+                F.col("_p") == i).drop("_p"), i, root,
+                compact_threshold=6)
+            counts = bucket_file_counts(root)
+            peak = max(peak, max(counts.values()))
+    finally:
+        stop.set()
+        reader.join(timeout=120)
+    assert not reader_failures, reader_failures[0]
+    assert reader_rounds[0] > 0  # the reader genuinely interleaved
     # Bounded at every step: an append adds at most one file per bucket
     # above the compacted floor, and any bucket past the threshold is
     # rewritten before the fold returns.
     assert peak <= 6, peak
     # Content through the COMMITTED manifest (what searches read): the
-    # on-disk directory may legitimately hold superseded files awaiting
-    # the next writer op's sweep.
+    # on-disk directory legitimately holds grace-retained superseded
+    # files until expiry.
     from api_to_amt_data_lake_spark.sources.ann_index import (
         load_ann_index,
     )
     *_, codes, _meta = load_ann_index(spark, root)
     assert codes.count() == e.count() * 2  # m=2 rows per vector
     assert codes.select("vec_id").distinct().count() == e.count()
+    # Retention really held files back; force-expire reclaims them and
+    # leaves disk == committed manifest.
+    meta = _read_meta(root)
+    assert meta.get("superseded"), "compactions should have tracked "\
+        "superseded files under the grace window"
+    expired = expire_superseded(root, min_age_seconds=0.0)
+    assert expired
+    assert _list_codes_files(root) == set(
+        _read_meta(root)["codes_files"])
+    assert ann_index_search(spark, root, probes, k=2,
+                            nprobe=2).count() > 0
 
 
 def test_rebuild_between_stream_folds_preserves_exactness(
@@ -235,3 +285,77 @@ def test_rebuild_between_stream_folds_preserves_exactness(
     n_ids = e.count()
     assert codes.count() == n_ids * meta["m"]
     assert codes.select("vec_id").distinct().count() == n_ids
+
+
+def test_dedupe_is_manifest_committed_and_crash_safe(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r9 (high): dedupe must follow stage→commit→sweep — the
+    committed manifest must never reference deleted files, a crash
+    before the commit must be a pure no-op (the pre-dedupe index stays
+    fully live and loadable), and the superseded files must survive as
+    uncommitted debris until the NEXT writer operation's sweep so a
+    reader holding the previous manifest keeps its grace window."""
+    from api_to_amt_data_lake_spark.sources import ann_index as ai
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        _list_codes_files,
+        _read_meta,
+        ann_index_append,
+        compact_index_buckets,
+    )
+
+    e = _emb(spark)
+    half = hash_bucket(F.col("vec_id").cast("long")) < int(0.5 * _M32)
+    base, shard = e.filter(half), e.filter(~half)
+    root = str(tmp_path / "idx")
+    build_ann_index(base, root, "vec_id", "embedding", kc=4,
+                    coarse_iters=2, m=2, k=4, iters=2)
+    ann_index_append(spark, root, shard)
+    # Dirty append: duplicate 5 vectors (the crash-between-append-and-
+    # marker exposure dedupe exists to repair).
+    ann_index_append(spark, root, shard.limit(5))
+
+    probes = e.filter(F.col("vec_id") < 5)
+    dirty = sorted(map(tuple, ann_index_search(
+        spark, root, probes, k=3, nprobe=2).collect()))
+    pre_manifest = set(_read_meta(root)["codes_files"])
+
+    # Crash injection: die at the commit instant. The index must stay
+    # exactly the pre-dedupe index — same manifest, every file on disk.
+    real_commit = ai._write_meta_atomic
+
+    def boom(r, m):
+        raise OSError("injected crash at commit")
+
+    monkeypatch.setattr(ai, "_write_meta_atomic", boom)
+    import pytest
+    with pytest.raises(OSError, match="injected"):
+        dedupe_codes(spark, root)
+    monkeypatch.setattr(ai, "_write_meta_atomic", real_commit)
+
+    meta_after_crash = _read_meta(root)
+    assert set(meta_after_crash["codes_files"]) == pre_manifest
+    on_disk = _list_codes_files(root)
+    assert pre_manifest <= on_disk  # every committed file still live
+    crashed = sorted(map(tuple, ann_index_search(
+        spark, root, probes, k=3, nprobe=2).collect()))
+    assert crashed == dirty  # pre-dedupe index fully intact
+
+    # Real dedupe: committed manifest references only on-disk files,
+    # superseded files linger as debris (reader grace window).
+    removed = dedupe_codes(spark, root)
+    assert removed == 5 * 2  # m=2 code rows per duplicated vector
+    meta2 = _read_meta(root)
+    committed = set(meta2["codes_files"])
+    on_disk2 = _list_codes_files(root)
+    assert committed <= on_disk2
+    assert pre_manifest & on_disk2  # old files NOT deleted at commit
+
+    # Next writer op sweeps the superseded debris.
+    compact_index_buckets(spark, root, max_files=10_000)
+    on_disk3 = _list_codes_files(root)
+    assert on_disk3 == set(_read_meta(root)["codes_files"])
+    assert not (pre_manifest & on_disk3)
+
+    clean = sorted(map(tuple, ann_index_search(
+        spark, root, probes, k=3, nprobe=2).collect()))
+    assert len(clean) > 0
