@@ -72,3 +72,39 @@ def fold_grouped_sums(
                + F.coalesce(F.col(f"_dx_{c}"), F.lit(0)))
               .alias(f"sum_{c}") for c in sum_cols])
     return folded.filter(F.col("n_rows") > 0)
+
+
+def delta_join_increment(
+    a_old: DataFrame,
+    d_a: DataFrame,
+    b_old: DataFrame,
+    d_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental INNER-join maintenance for insert-only deltas — the
+    join half of the "maintain, don't recompute" story (this module's
+    docstring): with A' = A ∪ dA and B' = B ∪ dB,
+
+        A' ⋈ B'  =  (A ⋈ B)  ∪  Δ,
+        Δ        =  dA ⋈ B  ∪  A ⋈ dB  ∪  dA ⋈ dB,
+
+    and this returns Δ — the rows the maintained materialization
+    appends. Cost tracks |dA|·|matches| + |dB|·|matches|, never
+    |A|·|B|: the old sides are probed on the join key only where a
+    delta key lands (at 100 TB both base probes are one shuffle join
+    each against a typically broadcast-sized delta; unchanged keys
+    never produce work). Deletes/updates need the CDF ± decomposition
+    (`fold_grouped_sums`) downstream of the join instead — insert-only
+    is the append-log case (event streams, crawl shards), stated here
+    so the contract is explicit.
+
+    Exactness (q99zzl oracle + parity test): the three terms are
+    disjoint by provenance (old×new, new×old, new×new), so
+    (A ⋈ B) ∪ Δ is EXACTLY A' ⋈ B' as a bag — no dedup is applied or
+    needed, duplicates in the inputs flow through with join
+    multiplicity like any inner join."""
+    return (
+        d_a.join(b_old, on)
+        .unionByName(a_old.join(d_b, on))
+        .unionByName(d_a.join(d_b, on))
+    )

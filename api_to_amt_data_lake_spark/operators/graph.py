@@ -212,3 +212,64 @@ def khop_distances(
         dist = _pin(dist.unionAll(new))
         frontier = new
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "t",
+    iters: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007 — community
+    detection over the near-dup / co-occurrence graph): every node
+    starts labeled with its own id; each round EVERY node
+    simultaneously adopts the most frequent label among its in-
+    neighbors under the previous round's labels (count desc, smallest
+    label as the tie-break). Returns (id, label) after `iters` rounds
+    for every node with >= 1 in-edge — `symmetrize()` first for the
+    undirected semantics, which also keeps every node in the result.
+
+    Synchronous, not asynchronous, ON PURPOSE: the async variant's
+    result depends on visit order (engine- and partitioning-dependent),
+    while the synchronous update with a total tie-break order is a pure
+    function of (graph, round count) — the conformance oracle (q99zzk)
+    reproduces it as unrolled SQL rounds. Fixed small `iters` matches
+    LPA practice (it converges or cycles within a few rounds).
+
+    Scale shape (the pagerank contract): the edge list is pinned once
+    and reused; a round is one shuffle to co-locate labels with edge
+    sources, one partial-aggregated (t, label) count, and one argmax
+    per node folded into a single min(struct) aggregation — no windows,
+    no driver state. `checkpoint_dir` selects reliable checkpoint files
+    (cluster-safe); the default localCheckpoint is single-node-only.
+    The context checkpoint dir is set only around the (eager)
+    checkpoint and the previous value restored."""
+    from api_to_amt_data_lake_spark.operators.checkpoints import (
+        scoped_checkpoint_dir,
+    )
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    if checkpoint_dir is not None:
+        with scoped_checkpoint_dir(edges.sparkSession, checkpoint_dir):
+            e = e.checkpoint()  # eager: materialized inside scope
+    else:
+        e = e.localCheckpoint()
+    labels = (e.select(F.col("s").alias("id"))
+              .union(e.select(F.col("t").alias("id"))).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(iters):
+        counts = (
+            e.join(labels, e["s"] == labels["id"])
+            .groupBy("t", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax(count) with min-label tie-break as ONE aggregation:
+        # min over struct(-count, label).
+        labels = (
+            counts.groupBy("t")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                F.col("label"))).alias("m"))
+            .select(F.col("t").alias("id"),
+                    F.col("m.label").alias("label"))
+        )
+    return labels

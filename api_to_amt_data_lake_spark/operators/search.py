@@ -90,3 +90,66 @@ def bm25_scores(
         .select(F.col(id_col),
                 F.round(total.cast("double"), 6).alias("bm25"))
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """NDCG@k per query over a ranked result table — the standard
+    graded-relevance retrieval metric (Järvelin & Kekäläinen 2002),
+    the evaluation half of the BM25/RRF/ANN retrieval stack: rank a
+    candidate set, join judgments, score the ranking.
+
+    Input: one row per (query, rank, relevance) with `rank_col`
+    1-based and unique per query. Output: (query, dcg, idcg, ndcg)
+    with dcg = Σ_{rank<=k} (2^rel − 1)/log2(rank+1), idcg the same sum
+    over the query's OWN top-k relevances re-ranked descending (the
+    ideal ordering), and ndcg = dcg/idcg (0 where idcg = 0 — a query
+    with no relevant results scores 0, the TREC convention).
+
+    Scale shape: two partial-aggregated groupBys on the query key plus
+    one window for the ideal re-rank — the window partitions by query,
+    so state is bounded by a query's candidate list, never the corpus.
+    All-expression math; per-row terms are rounded to 9dp and folded
+    through an exact decimal sum (the engine's cross-engine float
+    discipline), so the result is accumulation-order-independent and
+    the conformance oracle (q99zzm) reproduces it bit-for-bit."""
+    from pyspark.sql import Window
+
+    q = F.col(query_col)
+    gain = (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0)
+
+    def _fold(term):
+        return F.round(
+            F.sum(F.round(term, 9).cast("decimal(38,12)"))
+            .cast("double"), round_to)
+
+    dcg = (
+        ranked.filter(F.col(rank_col) <= k)
+        .groupBy(q.alias("_q"))
+        .agg(_fold(gain / F.log2(F.col(rank_col).cast("double") + 1.0))
+             .alias("dcg"))
+    )
+    # Ideal ordering: this query's relevances sorted descending (rank
+    # as the deterministic tie-break), re-discounted at positions 1..k.
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).cast("double").desc(), F.col(rank_col).asc())
+    ideal = (
+        ranked.withColumn("_irk", F.row_number().over(w))
+        .filter(F.col("_irk") <= k)
+        .groupBy(q.alias("_q"))
+        .agg(_fold(gain / F.log2(F.col("_irk").cast("double") + 1.0))
+             .alias("idcg"))
+    )
+    return (
+        dcg.join(ideal, "_q")
+        .select(F.col("_q").alias(query_col), "dcg", "idcg",
+                F.round(F.when(F.col("idcg") > 0,
+                               F.col("dcg") / F.col("idcg"))
+                        .otherwise(F.lit(0.0)), round_to).alias("ndcg"))
+    )

@@ -1135,3 +1135,41 @@ def binary_rerank_topk(
         F.col("cosine_sim").desc(), F.col("match_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k)
+
+
+def hard_negatives(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str,
+    label_col: str, k: int,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training: for
+    every query row, the k most cosine-similar corpus rows whose
+    `label_col` DIFFERS from the query's — near the query in embedding
+    space but of another class, exactly the negatives that teach a
+    retriever its decision boundary (DPR, Karpukhin et al. 2020 use
+    BM25 hard negatives; this is the embedding-space variant).
+    Output: (query_id, match_id, cosine_sim, rank).
+
+    Same plan shape as `cosine_topk` (the label filter rides the
+    broadcast cross join — no extra shuffle): queries broadcast, one
+    corpus scan, per-query window bounded by the query count. At scale
+    the corpus side composes with the IVF/filtered-ANN paths (q95g's
+    pre-filter) — this brute form is the correctness baseline the
+    conformance oracle (q95h) states directly."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("_qlab")))
+    c = corpus.select(F.col(id_col).alias("match_id"),
+                      F.col(vec_col).alias("_cv"),
+                      F.col(label_col).alias("_clab"))
+    sims = (
+        q.crossJoin(c)
+        .filter((F.col("query_id") != F.col("match_id"))
+                & (F.col("_qlab") != F.col("_clab")))
+        .select("query_id", "match_id",
+                F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+                .alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -8513,6 +8513,179 @@ def q99zzj_pruned_view_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register("q99zzk_label_propagation", oracle="""
+WITH e0 AS (
+  SELECT DISTINCT l_orderkey % 211 AS s, 211 + (l_partkey % 211) AS t
+  FROM lineitem
+), e AS (
+  SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0
+), n AS (SELECT DISTINCT s AS id FROM e),
+l0 AS (SELECT id, id AS label FROM n),
+c1 AS (SELECT e.t, l.label, COUNT(*) AS cnt
+       FROM e JOIN l0 l ON e.s = l.id GROUP BY 1, 2),
+l1 AS (SELECT t AS id, label FROM (
+  SELECT t, label, row_number() OVER (
+    PARTITION BY t ORDER BY cnt DESC, label ASC) AS rn FROM c1)
+  WHERE rn = 1),
+c2 AS (SELECT e.t, l.label, COUNT(*) AS cnt
+       FROM e JOIN l1 l ON e.s = l.id GROUP BY 1, 2),
+l2 AS (SELECT t AS id, label FROM (
+  SELECT t, label, row_number() OVER (
+    PARTITION BY t ORDER BY cnt DESC, label ASC) AS rn FROM c2)
+  WHERE rn = 1),
+c3 AS (SELECT e.t, l.label, COUNT(*) AS cnt
+       FROM e JOIN l2 l ON e.s = l.id GROUP BY 1, 2),
+l3 AS (SELECT t AS id, label FROM (
+  SELECT t, label, row_number() OVER (
+    PARTITION BY t ORDER BY cnt DESC, label ASC) AS rn FROM c3)
+  WHERE rn = 1)
+SELECT id, label FROM l3
+""")
+def q99zzk_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection,
+    `operators/graph.py::label_propagation`) over the same symmetrized
+    order↔part co-occurrence graph as q99zz: 3 rounds, every node
+    simultaneously adopting its in-neighbors' most frequent previous-
+    round label (count desc, min-label tie-break). Synchronous + total
+    tie-break makes the result a pure function of the graph, so the
+    oracle unrolls the exact rounds as SQL (argmax per node via
+    row_number). The Spark argmax is ONE min(struct(-cnt, label))
+    aggregation per round — no window over the full node set."""
+    from api_to_amt_data_lake_spark.operators.graph import (
+        label_propagation,
+        symmetrize,
+    )
+
+    l = read_table(spark, sf_dir, "lineitem")
+    e = l.select(
+        (F.col("l_orderkey") % 211).alias("s"),
+        (F.lit(211) + F.col("l_partkey") % 211).alias("t")).distinct()
+    sym = symmetrize(e, "s", "t")
+    out = label_propagation(sym, iters=3)
+    return out.select(F.col("id").cast("long").alias("id"),
+                      F.col("label").cast("long").alias("label"))
+
+
+@register("q99zzl_join_ivm", oracle="""
+SELECT o_orderpriority,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""")
+def q99zzl_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inner-join maintenance
+    (`operators/delta_agg.py::delta_join_increment`): orders and
+    lineitem are each split 80/20 into a base and an insert-only delta
+    (deterministic key-hash split), the materialized base join is
+    maintained as (A ⋈ B) ∪ (dA ⋈ B) ∪ (A ⋈ dB) ∪ (dA ⋈ dB), and the
+    maintained bag is aggregated. The oracle aggregates the FULL join —
+    equality proves the delta algebra produces exactly A' ⋈ B' with no
+    row duplicated or dropped. At 100 TB only the delta terms run per
+    refresh: each probes the base on the join key where a delta key
+    lands (typically broadcast-sized deltas), never |A|·|B|."""
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        delta_join_increment,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount")
+    a_new = F.pmod(F.xxhash64("k"), F.lit(5)) == 0
+    b_new = F.pmod(F.xxhash64("k", F.lit(1)), F.lit(5)) == 0
+    a_old, d_a = o.filter(~a_new), o.filter(a_new)
+    b_old, d_b = li.filter(~b_new), li.filter(b_new)
+    maintained = a_old.join(b_old, "k").unionByName(
+        delta_join_increment(a_old, d_a, b_old, d_b, ["k"]))
+    rev = _dec("l_extendedprice") * _dec(F.lit(1) - F.col("l_discount"))
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rev).cast("double").alias("revenue"))
+
+
+@register("q99zzm_ndcg", oracle="""
+WITH ranked AS (
+  SELECT user_id,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS rank,
+    length(event_type) % 4 AS rel
+  FROM events
+), r AS (SELECT * FROM ranked WHERE rank <= 20),
+d AS (
+  SELECT user_id,
+    round(CAST(SUM(CAST(round((pow(2, rel) - 1) / log2(rank + 1), 9)
+      AS DECIMAL(38,12))) AS DOUBLE), 6) AS dcg
+  FROM r WHERE rank <= 10 GROUP BY 1
+),
+i AS (
+  SELECT user_id,
+    round(CAST(SUM(CAST(round((pow(2, rel) - 1) / log2(irk + 1), 9)
+      AS DECIMAL(38,12))) AS DOUBLE), 6) AS idcg
+  FROM (SELECT user_id, rel, rank, row_number() OVER (
+          PARTITION BY user_id ORDER BY rel DESC, rank ASC) AS irk
+        FROM r)
+  WHERE irk <= 10 GROUP BY 1
+)
+SELECT d.user_id, dcg, idcg,
+  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg
+FROM d JOIN i ON d.user_id = i.user_id
+""")
+def q99zzm_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query (`operators/search.py::ndcg_at_k`) — the
+    retrieval-evaluation metric over a deterministic ranking fixture:
+    each user's first 20 events in time order are the ranked candidate
+    list, graded relevance derived from the event type. Per-row gains
+    are 9dp-rounded and decimal-folded, so the metric is accumulation-
+    order-independent and the oracle states the textbook formula
+    directly."""
+    from api_to_amt_data_lake_spark.operators.search import ndcg_at_k
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    ranked = (e.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 20)
+              .select("user_id", "rank",
+                      (F.length("event_type") % 4).alias("rel")))
+    return ndcg_at_k(ranked, "user_id", "rank", "rel", k=10)
+
+
+@register("q95h_hard_negatives", oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+           FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+    round({_DOT} / ({_NORM_A} * {_NORM_B}), 6) AS cosine_sim
+  FROM (SELECT * FROM v WHERE vec_id < 5) a
+  JOIN v b ON a.vec_id != b.vec_id AND a.label != b.label
+)
+SELECT query_id, match_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 3
+""")
+def q95h_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (`operators/similarity.py::hard_negatives`
+    — the DPR-style contrastive-training negative selector): for each
+    query vector, the 3 most cosine-similar vectors of a DIFFERENT
+    label. Same broadcast-cross-join scan shape as q34 with the label
+    mismatch riding the join predicate (zero extra shuffle); the
+    scalable composition is the q95g filtered-ANN pre-filter with a
+    label-mismatch allowed set."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return hard_negatives(q, e, "vec_id", "embedding", "label", k=3) \
+        .select("query_id", "match_id", "cosine_sim",
+                F.col("rank").cast("int").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -148,6 +148,12 @@ HEADLINE = [
     "q99zzg_embedding_drift",
     "q99zzh_split_leakage",
     "q99zzi_perplexity_filter",
+    # round 10
+    "q99zzj_pruned_view_read",
+    "q99zzk_label_propagation",
+    "q99zzl_join_ivm",
+    "q99zzm_ndcg",
+    "q95h_hard_negatives",
 ]
 
 

@@ -157,3 +157,144 @@ def test_scoped_checkpoint_dir_restores_previous(spark, tmp_path):
     # prefix equality is the invariant).
     assert after == prev or (prev is not None and after is not None
                              and after.startswith(prev))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 operators: randomized parity vs plain-Python references
+
+def test_label_propagation_matches_python(spark):
+    """Synchronous LPA must equal a dict-based reference (same
+    simultaneous update, same count-desc/min-label tie-break) on a
+    random graph, for several round counts."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.graph import (
+        label_propagation,
+        symmetrize,
+    )
+
+    rng = random.Random(5)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(60)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = symmetrize(spark.createDataFrame(edges, ["a", "b"]), "a", "b")
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+
+    nodes = sorted({x for e in sym for x in e})
+    for iters in (1, 2, 3):
+        lab = {n: n for n in nodes}
+        for _ in range(iters):
+            counts: dict = {}
+            for s, t in sym:
+                key = (t, lab[s])
+                counts[key] = counts.get(key, 0) + 1
+            new = {}
+            for (t, label), c in counts.items():
+                best = new.get(t)
+                if best is None or (-c, label) < best:
+                    new[t] = (-c, label)
+            lab = {t: v[1] for t, v in new.items()}
+        got = {r["id"]: r["label"]
+               for r in label_propagation(df, iters=iters).collect()}
+        assert got == lab, iters
+
+
+def test_delta_join_increment_is_exact_bag(spark):
+    """(A ⋈ B) ∪ Δ must equal A' ⋈ B' as a BAG (duplicates included)
+    under random splits and duplicate keys."""
+    import random
+    from collections import Counter
+
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        delta_join_increment,
+    )
+
+    rng = random.Random(17)
+    a_rows = [(rng.randrange(12), rng.randrange(100))
+              for _ in range(80)]
+    b_rows = [(rng.randrange(12), rng.randrange(100))
+              for _ in range(80)]
+    a_split = [rng.random() < 0.3 for _ in a_rows]
+    b_split = [rng.random() < 0.3 for _ in b_rows]
+    A = spark.createDataFrame(
+        [r for r, s in zip(a_rows, a_split) if not s], ["k", "x"])
+    dA = spark.createDataFrame(
+        [r for r, s in zip(a_rows, a_split) if s], ["k", "x"])
+    B = spark.createDataFrame(
+        [r for r, s in zip(b_rows, b_split) if not s], ["k", "y"])
+    dB = spark.createDataFrame(
+        [r for r, s in zip(b_rows, b_split) if s], ["k", "y"])
+
+    maintained = Counter(
+        tuple(r) for r in A.join(B, "k").unionByName(
+            delta_join_increment(A, dA, B, dB, ["k"])).collect())
+    full = Counter(
+        tuple(r) for r in A.unionByName(dA).join(
+            B.unionByName(dB), "k").collect())
+    assert maintained == full and sum(full.values()) > 0
+
+
+def test_ndcg_matches_python(spark):
+    """ndcg_at_k vs the textbook formula on random graded rankings,
+    including all-zero-relevance queries (ndcg = 0 by convention)."""
+    import math
+    import random
+
+    from api_to_amt_data_lake_spark.operators.search import ndcg_at_k
+
+    rng = random.Random(29)
+    rows = []
+    for qid in range(12):
+        n = rng.randint(1, 15)
+        for rank in range(1, n + 1):
+            rel = 0 if qid == 0 else rng.randint(0, 3)
+            rows.append((qid, rank, rel))
+    df = spark.createDataFrame(rows, ["q", "rank", "rel"])
+    k = 10
+    want = {}
+    by_q: dict = {}
+    for qid, rank, rel in rows:
+        by_q.setdefault(qid, []).append((rank, rel))
+    for qid, lst in by_q.items():
+        dcg = sum(round((2 ** rel - 1) / math.log2(rank + 1), 9)
+                  for rank, rel in lst if rank <= k)
+        ideal = sorted(lst, key=lambda t: (-t[1], t[0]))[:k]
+        idcg = sum(round((2 ** rel - 1) / math.log2(i + 1), 9)
+                   for i, (_rank, rel) in enumerate(ideal, start=1))
+        nd = round(round(dcg, 6) / round(idcg, 6), 6) if idcg > 0 else 0.0
+        want[qid] = (round(dcg, 6), round(idcg, 6), nd)
+    got = {r["q"]: (r["dcg"], r["idcg"], r["ndcg"])
+           for r in ndcg_at_k(df, "q", "rank", "rel", k=k).collect()}
+    assert set(got) == set(want)
+    for qid in want:
+        for gv, wv in zip(got[qid], want[qid]):
+            assert abs(gv - wv) < 2e-6, (qid, got[qid], want[qid])
+    assert got[0] == (0.0, 0.0, 0.0)  # zero-relevance convention
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """hard_negatives == brute-force top-k restricted to label
+    mismatch (and never returns the query itself or its own label)."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)], i % 3)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.filter(F.col("vec_id") < 4)
+    got = hard_negatives(q, df, "vec_id", "embedding", "label",
+                         k=3).collect()
+    assert len(got) == 12
+    import math
+    by_id = {i: (v, lab) for i, v, lab in rows}
+    for r in got:
+        qv, qlab = by_id[r["query_id"]]
+        mv, mlab = by_id[r["match_id"]]
+        assert mlab != qlab and r["match_id"] != r["query_id"]
+        dot = sum(a * b for a, b in zip(qv, mv))
+        na = math.sqrt(sum(a * a for a in qv))
+        nb = math.sqrt(sum(b * b for b in mv))
+        assert abs(r["cosine_sim"] - round(dot / (na * nb), 6)) < 2e-6
