@@ -100,3 +100,93 @@ def stream_maintain_agg(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fold_join_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    state_root: str,
+    on: list[str],
+    side_col: str = "_side",
+) -> bool:
+    """Fold one micro-batch of tagged insert rows into a MAINTAINED
+    inner join (the streaming consumer of
+    `operators/delta_agg.py::delta_join_increment` — VERDICT r9's
+    "maintain, don't recompute" story extended from aggregates to
+    joins): `batch_df` carries rows for BOTH sides in one frame,
+    `side_col` ∈ {'a','b'} naming which; the join result J is kept as
+    append-only parquet alongside the accumulated A and B inputs, and
+    each batch appends exactly Δ = dA ⋈ B ∪ A ⋈ dB ∪ dA ⋈ dB — so at
+    every commit J ≡ A ⋈ B over everything folded so far, at
+    O(|batch| · match fan-out) per trigger, never |A|·|B|.
+
+    Side columns: everything except `side_col` and the join keys must
+    be unambiguous per side — pass disjoint payload column sets (nulls
+    on the other side), the tagged-union convention. Replay: the usual
+    marker discipline (a replayed batch id is skipped); a crash between
+    the three appends re-appends on replay, and like the ANN sink the
+    exposure is one micro-batch, repaired offline by deduplicating J on
+    a batch-unique row id if the caller carries one. Returns False on
+    a replayed batch."""
+    marker = os.path.join(str(state_root), "_last_batch")
+    if batch_id <= read_marker(marker):
+        return False
+    from pyspark.sql import functions as F
+
+    a_dir = os.path.join(str(state_root), "a")
+    b_dir = os.path.join(str(state_root), "b")
+    j_dir = os.path.join(str(state_root), "j")
+    payload = [c for c in batch_df.columns if c != side_col]
+    d_a_all = batch_df.filter(F.col(side_col) == "a").select(payload)
+    d_b_all = batch_df.filter(F.col(side_col) == "b").select(payload)
+    a_cols = on + [c for c in payload if c.startswith("a_")]
+    b_cols = on + [c for c in payload if c.startswith("b_")]
+    d_a = d_a_all.select(a_cols).localCheckpoint()  # batch-scoped pin
+    d_b = d_b_all.select(b_cols).localCheckpoint()
+    has_a, has_b = os.path.isdir(a_dir), os.path.isdir(b_dir)
+    a_old = spark.read.parquet(a_dir) if has_a else d_a.limit(0)
+    b_old = spark.read.parquet(b_dir) if has_b else d_b.limit(0)
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        delta_join_increment,
+    )
+    inc = delta_join_increment(a_old, d_a, b_old, d_b, on)
+    if not inc.isEmpty():
+        inc.write.mode("append").parquet(j_dir)
+    if not d_a.isEmpty():
+        d_a.write.mode("append").parquet(a_dir)
+    if not d_b.isEmpty():
+        d_b.write.mode("append").parquet(b_dir)
+    write_marker(marker, batch_id)
+    return True
+
+
+def read_join_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """The maintained join J over every batch folded so far."""
+    return spark.read.parquet(os.path.join(str(state_root), "j"))
+
+
+def stream_maintain_join(
+    tagged_stream: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    on: list[str],
+    side_col: str = "_side",
+    available_now: bool = True,
+):
+    """Start a stream maintaining an inner join over two tagged insert
+    streams (union the sides with a `side_col` tag upstream); returns
+    the StreamingQuery."""
+    spark = tagged_stream.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fold_join_batch(spark, batch_df, batch_id, state_root, on,
+                        side_col)
+
+    writer = tagged_stream.writeStream.foreachBatch(fold) \
+        .option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -298,3 +298,72 @@ def test_hard_negatives_excludes_same_label(spark):
         na = math.sqrt(sum(a * a for a in qv))
         nb = math.sqrt(sum(b * b for b in mv))
         assert abs(r["cosine_sim"] - round(dot / (na * nb), 6)) < 2e-6
+
+
+def test_stream_maintained_join_equals_batch(spark, tmp_path):
+    """Streaming materialized join (`streaming/ivm.py`): two insert
+    streams folded as tagged micro-batches must leave J exactly equal
+    to the full inner join of everything folded, at every commit —
+    checked at the end as a bag, plus a replayed batch id is skipped."""
+    import random
+    from collections import Counter
+
+    from api_to_amt_data_lake_spark.streaming.ivm import (
+        fold_join_batch,
+        read_join_state,
+    )
+
+    rng = random.Random(31)
+    a_rows = [(rng.randrange(9), i, rng.randrange(50))
+              for i in range(60)]
+    b_rows = [(rng.randrange(9), 100 + i, rng.randrange(50))
+              for i in range(60)]
+    root = str(tmp_path / "jstate")
+    # 4 micro-batches, each carrying a slice of both sides.
+    for bi in range(4):
+        a_slice = [(k, aid, x, "a") for k, aid, x in a_rows[bi::4]]
+        b_slice = [(k, bid, y, "b") for k, bid, y in b_rows[bi::4]]
+        batch = spark.createDataFrame(
+            [(k, v1 if s == "a" else None, v2 if s == "a" else None,
+              v1 if s == "b" else None, v2 if s == "b" else None, s)
+             for k, v1, v2, s in a_slice + b_slice],
+            ["k", "a_id", "a_x", "b_id", "b_y", "_side"])
+        assert fold_join_batch(spark, batch, bi, root, ["k"]) is True
+    # Replay is skipped.
+    n_before = read_join_state(spark, root).count()
+    batch = spark.createDataFrame(
+        [(1, 999, 1, None, None, "a")],
+        ["k", "a_id", "a_x", "b_id", "b_y", "_side"])
+    assert fold_join_batch(spark, batch, 3, root, ["k"]) is False
+    assert read_join_state(spark, root).count() == n_before
+
+    got = Counter(tuple(r) for r in read_join_state(spark, root)
+                  .select("k", "a_id", "a_x", "b_id", "b_y").collect())
+    A = spark.createDataFrame(a_rows, ["k", "a_id", "a_x"])
+    B = spark.createDataFrame(b_rows, ["k", "b_id", "b_y"])
+    want = Counter(tuple(r) for r in A.join(B, "k")
+                   .select("k", "a_id", "a_x", "b_id", "b_y").collect())
+    assert got == want and sum(want.values()) > 0
+
+
+def test_rebuild_warns_when_gate_cannot_run(spark, tmp_path):
+    """ADVICE r9 (low): rebuild_ann_index with holdout_queries but no
+    previous generation must warn that the candidate ships ungated."""
+    import warnings as _warnings
+
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        rebuild_ann_index,
+    )
+
+    e = spark.read.parquet(os.path.join(SF, "embeddings.parquet")) \
+        .select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 3)
+    root = str(tmp_path / "fresh_idx")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        gen = rebuild_ann_index(spark, e, root, kc=4, coarse_iters=2,
+                                m=2, k=4, iters=2,
+                                holdout_queries=probes)
+    assert gen == 1
+    msgs = [str(w.message) for w in caught]
+    assert any("UNGATED" in m for m in msgs), msgs
