@@ -181,3 +181,57 @@ def robust_outlier_stats(
              F.sum(F.when(F.col("_d") > F.lit(n_mads) * F.col("mad"),
                           1).otherwise(0)).alias("n_outliers"))
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns, optionally
+    per group — chance-corrected agreement (Cohen 1960):
+    κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement rate
+    and p_e = Σ_k p_a(k)·p_b(k) the agreement two independent raters
+    with these marginals would reach by chance. THE label-quality
+    primitive for training-data pipelines: κ between two annotators
+    (or two heuristic quality filters) says whether they agree beyond
+    what their base rates force — raw agreement rates do not.
+
+    Output: (groups…, n, po, pe, kappa); κ = 0 where p_e = 1 (a
+    degenerate constant-label group — no agreement is distinguishable
+    from chance). All counts, so the statistic is exact.
+
+    Scale shape: one grouped count for p_o, two (group, label)
+    marginal counts joined on the shared label space for p_e — the
+    marginal tables are |groups|×|labels| rows (broadcast-sized for
+    real label spaces), and nothing but counts crosses the wire."""
+    g = list(group_cols or [])
+    a, b = F.col(rater_a), F.col(rater_b)
+    base = df.select(*g, a.alias("_a"), b.alias("_b"))
+    tot = base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), 1).otherwise(0))
+        .alias("_agree"))
+    ca = base.groupBy(*g, F.col("_a").alias("_k")) \
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    cb = base.groupBy(*g, F.col("_b").alias("_k")) \
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    pe = (ca.join(cb, [*g, "_k"])
+          .groupBy(*g)
+          .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_pe_num")))
+    po_c = F.col("_agree").cast("double") / F.col("n")
+    # Left join + 0-fill: a group whose raters share NO label has
+    # p_e = 0 (κ = p_o), it must not vanish from the result.
+    pe_c = (F.coalesce(F.col("_pe_num"), F.lit(0)).cast("double")
+            / (F.col("n") * F.col("n")))
+    return (
+        tot.join(pe, g, "left") if g else tot.crossJoin(pe)
+    ).select(
+        *g, "n",
+        F.round(po_c, round_to).alias("po"),
+        F.round(pe_c, round_to).alias("pe"),
+        F.round(F.when(pe_c < 1.0, (po_c - pe_c) / (1.0 - pe_c))
+                .otherwise(F.lit(0.0)), round_to).alias("kappa"),
+    )

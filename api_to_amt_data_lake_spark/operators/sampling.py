@@ -321,3 +321,38 @@ def domain_cap(
         .filter(F.col("domain_rank") <= cap)
         .drop("_key")
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    id_col: str,
+    out_col: str = "pctile",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group percentile normalization of a score column: adds
+    `out_col` = (rank − 0.5)/n, the mid-rank percentile of the row's
+    score within its group (rank by score asc, `id_col` as the total
+    deterministic tie-break). THE cross-source calibration step before
+    thresholding curation signals: quality scorers drift in scale and
+    shape across sources/languages, so "keep the top 30%" must be a
+    per-group percentile cut, not one global score cut (CCNet applies
+    its perplexity cut per language bucket for exactly this reason).
+
+    One window per group (state bounded by the group's rows) + a
+    broadcast-sized group-count join; mid-rank (not percent_rank) so
+    the output is strictly inside (0, 1) — usable directly as a
+    uniform-ish feature or a filter threshold."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc())
+    n = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(n), group_cols)
+        .withColumn(out_col, F.round(
+            (F.col("_rk") - 0.5) / F.col("_n"), round_to))
+        .drop("_rk", "_n")
+    )

@@ -153,3 +153,42 @@ def ndcg_at_k(
                                F.col("dcg") / F.col("idcg"))
                         .otherwise(F.lit(0.0)), round_to).alias("ndcg"))
     )
+
+
+def precision_recall_at_k(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Precision@k and recall@k per query over the same ranked-results
+    shape as `ndcg_at_k` (relevance > 0 counts as relevant — the
+    binary view of graded judgments). Output: (query, n_rel_at_k,
+    n_rel_total, precision, recall); recall = 0 for queries with no
+    relevant result (the TREC convention, matching ndcg's).
+
+    Two partial-aggregated groupBys on the query key, pure counts —
+    exact at any scale, no float folding needed."""
+    q = F.col(query_col)
+    is_rel = (F.col(rel_col) > 0).cast("int")
+    at_k = (ranked.filter(F.col(rank_col) <= k)
+            .groupBy(q.alias("_q"))
+            .agg(F.sum(is_rel).alias("n_rel_at_k")))
+    total = (ranked.groupBy(q.alias("_q"))
+             .agg(F.sum(is_rel).alias("n_rel_total")))
+    return (
+        total.join(at_k, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce("n_rel_at_k", F.lit(0)).alias("n_rel_at_k"),
+            "n_rel_total",
+            F.round(F.coalesce("n_rel_at_k", F.lit(0)).cast("double")
+                    / F.lit(float(k)), round_to).alias("precision"),
+            F.round(F.when(F.col("n_rel_total") > 0,
+                           F.coalesce("n_rel_at_k", F.lit(0))
+                           .cast("double") / F.col("n_rel_total"))
+                    .otherwise(F.lit(0.0)), round_to).alias("recall"),
+        )
+    )

@@ -8686,6 +8686,122 @@ def q95h_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rank").cast("int").alias("rank"))
 
 
+@register("q99zzn_cohens_kappa", oracle="""
+WITH base AS (
+  SELECT lang,
+    CAST(length(text) > 500 AS INT) AS a,
+    CAST(len(string_split(trim(text), ' ')) > 80 AS INT) AS b
+  FROM documents
+),
+tot AS (SELECT lang, COUNT(*) AS n,
+               SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+        FROM base GROUP BY 1),
+ca AS (SELECT lang, a AS k, COUNT(*) AS ca FROM base GROUP BY 1, 2),
+cb AS (SELECT lang, b AS k, COUNT(*) AS cb FROM base GROUP BY 1, 2),
+pe AS (SELECT ca.lang, SUM(ca.ca * cb.cb) AS pe_num
+       FROM ca JOIN cb ON ca.lang = cb.lang AND ca.k = cb.k
+       GROUP BY 1)
+SELECT t.lang, n,
+  round(agree / CAST(n AS DOUBLE), 6) AS po,
+  round(COALESCE(pe_num, 0) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+  round(CASE WHEN COALESCE(pe_num, 0) / (CAST(n AS DOUBLE) * n) < 1
+    THEN (agree / CAST(n AS DOUBLE)
+          - COALESCE(pe_num, 0) / (CAST(n AS DOUBLE) * n))
+         / (1 - COALESCE(pe_num, 0) / (CAST(n AS DOUBLE) * n))
+    ELSE 0 END, 6) AS kappa
+FROM tot t LEFT JOIN pe ON t.lang = pe.lang
+""")
+def q99zzn_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (`operators/aggregates.py::cohens_kappa`) between
+    two heuristic quality filters — char-length > 500 vs whitespace
+    tokens > 80 — per language: do the two filters agree BEYOND what
+    their base rates force? The label-quality primitive for annotation
+    pipelines (two annotators, two classifiers, a classifier vs a
+    rule), exact because everything is counts."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        cohens_kappa,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.length("text") > 500).cast("int").alias("filter_a"),
+        (F.size(F.split(F.trim(F.col("text")), " ")) > 80)
+        .cast("int").alias("filter_b"))
+    return cohens_kappa(d, "filter_a", "filter_b", ["lang"])
+
+
+@register("q99zzo_pr_at_k", oracle="""
+WITH ranked AS (
+  SELECT user_id,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS rank,
+    length(event_type) % 4 AS rel
+  FROM events
+), r AS (SELECT * FROM ranked WHERE rank <= 20),
+a AS (SELECT user_id, SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+        AS n_rel_at_k FROM r WHERE rank <= 10 GROUP BY 1),
+t AS (SELECT user_id, SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+        AS n_rel_total FROM r GROUP BY 1)
+SELECT t.user_id,
+  COALESCE(a.n_rel_at_k, 0) AS n_rel_at_k,
+  t.n_rel_total,
+  round(COALESCE(a.n_rel_at_k, 0) / 10.0, 6) AS precision,
+  round(CASE WHEN t.n_rel_total > 0
+    THEN COALESCE(a.n_rel_at_k, 0) / CAST(t.n_rel_total AS DOUBLE)
+    ELSE 0 END, 6) AS recall
+FROM t LEFT JOIN a ON t.user_id = a.user_id
+""")
+def q99zzo_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 / recall@10 per query
+    (`operators/search.py::precision_recall_at_k`) over the q99zzm
+    ranking fixture — the binary-relevance companions to NDCG, pure
+    counts (exact at any scale)."""
+    from api_to_amt_data_lake_spark.operators.search import (
+        precision_recall_at_k,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    ranked = (e.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 20)
+              .select("user_id", "rank",
+                      (F.length("event_type") % 4).alias("rel")))
+    return precision_recall_at_k(ranked, "user_id", "rank", "rel",
+                                 k=10)
+
+
+@register("q99zzp_percentile_normalize", oracle="""
+WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+r AS (
+  SELECT doc_id, d.lang,
+    row_number() OVER (PARTITION BY d.lang
+                       ORDER BY length(text) ASC, doc_id ASC) AS rk
+  FROM documents d
+)
+SELECT doc_id, r.lang,
+  round((rk - 0.5) / n.n, 6) AS pctile
+FROM r JOIN n ON r.lang = n.lang
+""")
+def q99zzp_percentile_normalize(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-group percentile normalization
+    (`operators/sampling.py::percentile_normalize`) of a quality score
+    (char length) within each language — the cross-source calibration
+    step before thresholding curation signals ("keep the top 30% PER
+    LANGUAGE", the CCNet per-bucket cut), since scorers drift in scale
+    across sources. Mid-rank percentile with a total deterministic
+    tie-break."""
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        percentile_normalize,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("_score"))
+    return percentile_normalize(d, ["lang"], "_score", "doc_id") \
+        .select("doc_id", "lang", "pctile")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

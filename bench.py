@@ -154,6 +154,9 @@ HEADLINE = [
     "q99zzl_join_ivm",
     "q99zzm_ndcg",
     "q95h_hard_negatives",
+    "q99zzn_cohens_kappa",
+    "q99zzo_pr_at_k",
+    "q99zzp_percentile_normalize",
 ]
 
 

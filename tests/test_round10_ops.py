@@ -333,7 +333,8 @@ def test_stream_maintained_join_equals_batch(spark, tmp_path):
     n_before = read_join_state(spark, root).count()
     batch = spark.createDataFrame(
         [(1, 999, 1, None, None, "a")],
-        ["k", "a_id", "a_x", "b_id", "b_y", "_side"])
+        "k long, a_id long, a_x long, b_id long, b_y long, "
+        "_side string")
     assert fold_join_batch(spark, batch, 3, root, ["k"]) is False
     assert read_join_state(spark, root).count() == n_before
 
@@ -367,3 +368,106 @@ def test_rebuild_warns_when_gate_cannot_run(spark, tmp_path):
     assert gen == 1
     msgs = [str(w.message) for w in caught]
     assert any("UNGATED" in m for m in msgs), msgs
+
+
+def test_cohens_kappa_matches_python(spark):
+    """cohens_kappa vs the textbook formula on random label pairs,
+    grouped and ungrouped, including a constant-label group (pe=1 →
+    kappa=0 by convention) and a no-shared-label group (pe=0)."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        cohens_kappa,
+    )
+
+    rng = random.Random(13)
+    rows = [("g1", rng.randrange(3), rng.randrange(3))
+            for _ in range(200)]
+    rows += [("g2", 0, 0)] * 20                  # constant labels: pe=1
+    rows += [("g3", 0, 1), ("g3", 0, 1), ("g3", 2, 3)]  # disjoint labels
+    df = spark.createDataFrame(rows, ["g", "a", "b"])
+
+    def py_kappa(sub):
+        n = len(sub)
+        po = sum(a == b for _g, a, b in sub) / n
+        ca: dict = {}
+        cb: dict = {}
+        for _g, a, b in sub:
+            ca[a] = ca.get(a, 0) + 1
+            cb[b] = cb.get(b, 0) + 1
+        pe = sum(ca[k] * cb.get(k, 0) for k in ca) / (n * n)
+        kap = (po - pe) / (1 - pe) if pe < 1 else 0.0
+        return n, round(po, 6), round(pe, 6), round(kap, 6)
+
+    got = {r["g"]: (r["n"], r["po"], r["pe"], r["kappa"])
+           for r in cohens_kappa(df, "a", "b", ["g"]).collect()}
+    for g in ("g1", "g2", "g3"):
+        want = py_kappa([r for r in rows if r[0] == g])
+        assert got[g][0] == want[0]
+        for gv, wv in zip(got[g][1:], want[1:]):
+            assert abs(gv - wv) < 2e-6, (g, got[g], want)
+    assert got["g2"][3] == 0.0   # pe=1 convention
+    assert got["g3"][2] == 0.0   # disjoint labels -> pe=0, group kept
+
+    # Ungrouped: one row, same math over everything.
+    allk = cohens_kappa(df, "a", "b").collect()
+    assert len(allk) == 1
+    want = py_kappa(rows)
+    assert allk[0]["n"] == want[0]
+    assert abs(allk[0]["kappa"] - want[3]) < 2e-6
+
+
+def test_precision_recall_at_k_matches_python(spark):
+    import random
+
+    from api_to_amt_data_lake_spark.operators.search import (
+        precision_recall_at_k,
+    )
+
+    rng = random.Random(37)
+    rows = []
+    for qid in range(10):
+        n = rng.randint(1, 18)
+        for rank in range(1, n + 1):
+            rel = 0 if qid == 0 else rng.randint(0, 2)
+            rows.append((qid, rank, rel))
+    df = spark.createDataFrame(rows, ["q", "rank", "rel"])
+    k = 8
+    got = {r["q"]: (r["n_rel_at_k"], r["n_rel_total"], r["precision"],
+                    r["recall"])
+           for r in precision_recall_at_k(df, "q", "rank", "rel",
+                                          k=k).collect()}
+    by_q: dict = {}
+    for qid, rank, rel in rows:
+        by_q.setdefault(qid, []).append((rank, rel))
+    for qid, lst in by_q.items():
+        ak = sum(1 for rank, rel in lst if rank <= k and rel > 0)
+        tot = sum(1 for _rank, rel in lst if rel > 0)
+        rec = round(ak / tot, 6) if tot else 0.0
+        assert got[qid] == (ak, tot, round(ak / k, 6), rec), qid
+    assert got[0] == (0, 0, 0.0, 0.0)
+
+
+def test_percentile_normalize_invariants(spark):
+    """Per-group: values form the exact mid-rank grid {(i-0.5)/n},
+    ordering follows (score, id), and groups don't interact."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        percentile_normalize,
+    )
+
+    rng = random.Random(19)
+    rows = [(i, "g%d" % (i % 3), rng.randrange(20)) for i in range(90)]
+    df = spark.createDataFrame(rows, ["id", "g", "score"])
+    out = percentile_normalize(df, ["g"], "score", "id").collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    for g, lst in by_g.items():
+        n = len(lst)
+        grid = sorted(round((i - 0.5) / n, 6) for i in range(1, n + 1))
+        assert sorted(r["pctile"] for r in lst) == grid
+        ordered = sorted(lst, key=lambda r: (r["score"], r["id"]))
+        pcts = [r["pctile"] for r in ordered]
+        assert pcts == sorted(pcts)  # monotone in (score, id)
