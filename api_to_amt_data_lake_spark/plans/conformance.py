@@ -4637,7 +4637,8 @@ SELECT query_id, match_id, adc_dist, CAST(rank AS INT) AS rank FROM (
 def _ivfpq_oracle(kc: int = 4, coarse_iters: int = 2, m: int = 2,
                   k: int = 4, iters: int = 2, dim: int = 64,
                   topk: int = 3, sample_cond: str | None = None,
-                  search_cond: str | None = None) -> str:
+                  search_cond: str | None = None,
+                  refine_from: int | None = None) -> str:
     """Unrolled IVFPQ in SQL: coarse Lloyd's k-means on full vectors,
     round-6 assignment, residual subtraction, per-subspace Lloyd's on
     the residuals, raw-distance code assignment, per-bucket ADC with
@@ -4732,6 +4733,31 @@ SELECT query_id, match_id, adc_dist, CAST(rank AS INT) AS rank FROM (
     ORDER BY adc_dist ASC, match_id ASC) AS rank
   FROM adc
 ) WHERE rank <= {topk}""")
+    if refine_from is not None:
+        # Exact re-rank of the ADC top-`refine_from` (q95i): replace
+        # the final SELECT with candidate extraction + exact
+        # re-distance against the original vectors.
+        head[-1] = head[-1][:head[-1].rindex("\nSELECT query_id")] + f"""
+, cands AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY adc_dist ASC, match_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {refine_from}
+),
+exact AS (
+  SELECT c.query_id, c.match_id,
+    round(list_sum(list_transform(range(1, len(q.v) + 1),
+      i -> (q.v[i] - mv.v[i]) * (q.v[i] - mv.v[i]))), 6) AS exact_dist
+  FROM cands c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v mv ON mv.vec_id = c.match_id
+)
+SELECT query_id, match_id, exact_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY exact_dist ASC, match_id ASC) AS rank
+  FROM exact
+) WHERE rank <= {topk}"""
     return "".join(head)
 
 
@@ -4757,6 +4783,34 @@ def q95b_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(q, coarse, book, codes, "vec_id", "embedding",
                       m=2, k=3, nprobe=1) \
         .select("query_id", "match_id", "adc_dist",
+                F.col("rank").cast("int").alias("rank"))
+
+
+@register("q95i_adc_rerank", oracle=_ivfpq_oracle(refine_from=10))
+def q95i_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ + exact re-rank (`operators/similarity.py::
+    ivfpq_topk_refined` — the FAISS IndexRefineFlat composition): ADC
+    top-10 candidates re-ranked by exact squared euclidean against the
+    original vectors, top-3 returned. ADC distances carry quantization
+    bias (each match is represented by its code centroid); the refine
+    stage removes it for the returned ranks at the cost of Q × 10
+    exact distances — an id-keyed candidate join, never a corpus
+    rescan. The oracle unrolls the full IVFPQ pipeline plus the refine
+    stage."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivfpq_fit,
+        ivfpq_topk_refined,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                       "embedding")
+    coarse, book, codes = ivfpq_fit(e, "vec_id", "embedding", kc=4,
+                                    coarse_iters=2, m=2, k=4, iters=2)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk_refined(q, coarse, book, codes, e, "vec_id",
+                              "embedding", m=2, k=3, refine_from=10,
+                              nprobe=1) \
+        .select("query_id", "match_id", "exact_dist",
                 F.col("rank").cast("int").alias("rank"))
 
 

@@ -157,6 +157,7 @@ HEADLINE = [
     "q99zzn_cohens_kappa",
     "q99zzo_pr_at_k",
     "q99zzp_percentile_normalize",
+    "q95i_adc_rerank",
 ]
 
 

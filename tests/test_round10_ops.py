@@ -471,3 +471,63 @@ def test_percentile_normalize_invariants(spark):
         ordered = sorted(lst, key=lambda r: (r["score"], r["id"]))
         pcts = [r["pctile"] for r in ordered]
         assert pcts == sorted(pcts)  # monotone in (score, id)
+
+
+def test_ivfpq_refine_recovers_recall(spark):
+    """ivfpq_topk_refined: (a) the refined top-k is exactly the exact
+    re-rank of the ADC top-refine_from (construction parity), and
+    (b) refined recall@k vs the true exact top-k is >= plain ADC
+    recall@k on the same queries (the point of the refine stage)."""
+    from pyspark.sql import Window
+
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivfpq_fit,
+        ivfpq_topk,
+        ivfpq_topk_refined,
+        sq_euclidean,
+    )
+
+    e = spark.read.parquet(os.path.join(SF, "embeddings.parquet")) \
+        .select("vec_id", "embedding")
+    coarse, book, codes = ivfpq_fit(e, "vec_id", "embedding", kc=4,
+                                    coarse_iters=2, m=2, k=4, iters=2)
+    q = e.filter(F.col("vec_id") < 8)
+    k, m_ref = 3, 10
+    refined = ivfpq_topk_refined(q, coarse, book, codes, e, "vec_id",
+                                 "embedding", m=2, k=k,
+                                 refine_from=m_ref, nprobe=1)
+    plain = ivfpq_topk(q, coarse, book, codes, "vec_id", "embedding",
+                       m=2, k=m_ref, nprobe=1)
+
+    # (a) construction parity: re-rank plain's candidates exactly.
+    qv = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_qv"))
+    mv = e.select(F.col("vec_id").alias("match_id"),
+                  F.col("embedding").alias("_mv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("match_id").asc())
+    want = (plain.select("query_id", "match_id")
+            .join(qv, "query_id").join(mv, "match_id")
+            .select("query_id", "match_id",
+                    F.round(sq_euclidean(F.col("_qv"), F.col("_mv")),
+                            6).alias("exact_dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+    assert sorted(map(tuple, refined.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # (b) recall: refined >= plain ADC top-k against the exact top-k.
+    exact = (e.crossJoin(F.broadcast(qv))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .withColumn("_d", F.round(sq_euclidean(
+                 F.col("_qv"), F.col("embedding")), 6))
+             .withColumn("_rk", F.row_number().over(
+                 Window.partitionBy("query_id").orderBy(
+                     F.col("_d").asc(), F.col("vec_id").asc())))
+             .filter(F.col("_rk") <= k)
+             .select("query_id", F.col("vec_id").alias("match_id")))
+    hits_ref = refined.join(exact, ["query_id", "match_id"],
+                            "left_semi").count()
+    hits_adc = plain.filter(F.col("rank") <= k) \
+        .join(exact, ["query_id", "match_id"], "left_semi").count()
+    assert hits_ref >= hits_adc
