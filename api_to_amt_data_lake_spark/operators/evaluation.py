@@ -1,0 +1,124 @@
+"""Classifier-evaluation statistics for curation filters.
+
+A training-data pipeline runs binary quality/toxicity/language
+classifiers at corpus scale; before trusting one as a filter you ask
+two questions — does it RANK well (AUC) and does its score MEAN what
+it says (calibration/ECE)? Both are pure count/rank statistics, so
+they compute exactly as relational aggregations at any scale — the
+classifier-QA companions to the retrieval metrics in
+`operators/search.py` (NDCG, P/R@k).
+
+Both are grouped (per language / per source / per shard): a filter
+that ranks well globally can be badly mis-calibrated on one slice —
+the per-slice view is the one that catches it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """ROC-AUC per group via the rank-sum (Mann-Whitney U) identity,
+    with the standard average-rank treatment of score ties:
+
+        AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    where R⁺ is the sum of the positives' average ranks under
+    ascending score order. Output: (groups…, n_pos, n_neg, auc);
+    auc = 0.5 where a group has no positives or no negatives
+    (undefined — reported as chance, the scikit-learn convention is to
+    error; a corpus slice must not kill the whole job, so degenerate
+    groups are flagged by their zero count instead).
+
+    Exactness: ranks are derived from per-(group, score) COUNTS — one
+    grouped count, one window cumulative sum ordered by score, integer
+    arithmetic until the single final division — so the statistic is
+    engine- and partitioning-independent with no float folding at all.
+    The window partitions by group and orders by the distinct-score
+    table (|groups| × |distinct scores| rows), never the raw corpus.
+    """
+    g = list(group_cols)
+    per_score = (
+        df.groupBy(*g, F.col(score_col).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_c"),
+             F.sum(F.col(label_col).cast("long")).alias("_pos"))
+    )
+    w = (Window.partitionBy(*g).orderBy(F.col("_s").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    # Average rank of every row at score s: (#rows below) + (c_s+1)/2.
+    # Sum over the positives at s: _pos * that. Doubles only in the
+    # per-score product; counts are exact longs.
+    ranked = per_score.withColumn(
+        "_below", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+    stats = ranked.groupBy(*g).agg(
+        F.sum("_pos").alias("n_pos"),
+        (F.sum("_c") - F.sum("_pos")).alias("n_neg"),
+        F.sum(F.col("_pos")
+              * (F.col("_below").cast("double")
+                 + (F.col("_c").cast("double") + 1.0) / 2.0))
+        .alias("_rpos"))
+    auc = ((F.col("_rpos")
+            - F.col("n_pos").cast("double")
+            * (F.col("n_pos").cast("double") + 1.0) / 2.0)
+           / (F.col("n_pos").cast("double")
+              * F.col("n_neg").cast("double")))
+    return stats.select(
+        *g, "n_pos", "n_neg",
+        F.round(F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                       auc).otherwise(F.lit(0.5)), round_to)
+        .alias("auc"))
+
+
+def calibration_ece(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Expected calibration error per group (Naeini et al. 2015 /
+    Guo et al. 2017): scores in [0, 1] are equal-width binned,
+    each bin contributes (n_b/N)·|accuracy_b − confidence_b|, and the
+    sum is the ECE. Output: (groups…, n, ece); low ECE = the score is
+    a usable probability, so "keep docs with p(quality) > 0.8" means
+    what it says on that slice.
+
+    Two keyed aggregations (per-(group, bin) then per-group) — counts
+    and decimal-folded score sums only, so exact and order-independent;
+    per-bin accuracy/confidence are rounded to `round_to` BEFORE the
+    final sum so the oracle reproduces the statistic bit-for-bit."""
+    g = list(group_cols)
+    s = F.col(score_col).cast("double")
+    bin_c = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    per_bin = (
+        df.select(*g, bin_c.alias("_bin"),
+                  F.round(s, 9).cast("decimal(38,12)").alias("_s9"),
+                  F.col(label_col).cast("long").alias("_y"))
+        .groupBy(*g, "_bin")
+        .agg(F.count(F.lit(1)).alias("_nb"),
+             F.sum("_s9").alias("_conf_sum"),
+             F.sum("_y").alias("_acc_sum"))
+        .select(
+            *g, "_bin", "_nb",
+            F.round(F.col("_conf_sum").cast("double") / F.col("_nb"),
+                    round_to).alias("_conf"),
+            F.round(F.col("_acc_sum").cast("double") / F.col("_nb"),
+                    round_to).alias("_acc"))
+    )
+    return (
+        per_bin.groupBy(*g)
+        .agg(F.sum("_nb").alias("n"),
+             F.round(
+                 F.sum(F.col("_nb").cast("double")
+                       * F.abs(F.col("_acc") - F.col("_conf")))
+                 / F.sum("_nb"), round_to).alias("ece"))
+    )

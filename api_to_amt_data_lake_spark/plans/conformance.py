@@ -8856,6 +8856,87 @@ def q99zzp_percentile_normalize(spark: SparkSession,
         .select("doc_id", "lang", "pctile")
 
 
+@register("q99zzq_auc", oracle="""
+WITH base AS (
+  SELECT lang, (length(text) % 997) / 997.0 AS s,
+    CAST(len(string_split(trim(text), ' ')) > 80 AS INT) AS y
+  FROM documents
+),
+ps AS (SELECT lang, s, COUNT(*) AS c, SUM(y) AS pos
+       FROM base GROUP BY 1, 2),
+rk AS (SELECT lang, s, c, pos,
+  COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY s ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM ps),
+st AS (SELECT lang,
+  CAST(SUM(pos) AS BIGINT) AS n_pos,
+  CAST(SUM(c) - SUM(pos) AS BIGINT) AS n_neg,
+  SUM(pos * (below + (c + 1) / 2.0)) AS rpos
+  FROM rk GROUP BY 1)
+SELECT lang, n_pos, n_neg,
+  round(CASE WHEN n_pos > 0 AND n_neg > 0
+    THEN (rpos - n_pos * (n_pos + 1) / 2.0)
+         / (CAST(n_pos AS DOUBLE) * n_neg)
+    ELSE 0.5 END, 6) AS auc
+FROM st
+""")
+def q99zzq_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ROC-AUC (`operators/evaluation.py::grouped_auc`) of a
+    deterministic pseudo-classifier score (char-length hash into
+    [0, 1)) against the token-count quality label, per language — does
+    the filter RANK well on each slice? Rank-sum identity over
+    per-(group, score) counts: every rank term is a multiple of 0.5
+    (exactly representable), so the statistic is engine- and
+    accumulation-order-independent with no decimal folding at all."""
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        grouped_auc,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        ((F.length("text") % 997) / F.lit(997.0)).alias("score"),
+        (F.size(F.split(F.trim(F.col("text")), " ")) > 80)
+        .cast("int").alias("label"))
+    return grouped_auc(d, ["lang"], "score", "label")
+
+
+@register("q99zzr_calibration", oracle="""
+WITH base AS (
+  SELECT lang, (length(text) % 997) / 997.0 AS s,
+    CAST(len(string_split(trim(text), ' ')) > 80 AS INT) AS y
+  FROM documents
+),
+b AS (SELECT lang, LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin,
+      CAST(round(s, 9) AS DECIMAL(38,12)) AS s9, y FROM base),
+pb AS (SELECT lang, bin, COUNT(*) AS nb,
+  round(CAST(SUM(s9) AS DOUBLE) / COUNT(*), 6) AS conf,
+  round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS acc
+  FROM b GROUP BY 1, 2)
+SELECT lang, CAST(SUM(nb) AS BIGINT) AS n,
+  round(SUM(nb * abs(acc - conf)) / SUM(nb), 6) AS ece
+FROM pb GROUP BY 1
+""")
+def q99zzr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error per language
+    (`operators/evaluation.py::calibration_ece`, 10 equal-width bins)
+    for the same pseudo-classifier — does the score MEAN what it says
+    on each slice? (AUC can be high while every probability is wrong;
+    a threshold-based curation cut needs calibration, not just
+    ranking.) Per-bin confidence is a decimal-folded mean rounded
+    before the final weighted sum, so the oracle reproduces it
+    bit-for-bit."""
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        calibration_ece,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        ((F.length("text") % 997) / F.lit(997.0)).alias("score"),
+        (F.size(F.split(F.trim(F.col("text")), " ")) > 80)
+        .cast("int").alias("label"))
+    return calibration_ece(d, ["lang"], "score", "label", n_bins=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

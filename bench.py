@@ -158,6 +158,8 @@ HEADLINE = [
     "q99zzo_pr_at_k",
     "q99zzp_percentile_normalize",
     "q95i_adc_rerank",
+    "q99zzq_auc",
+    "q99zzr_calibration",
 ]
 
 

@@ -531,3 +531,71 @@ def test_ivfpq_refine_recovers_recall(spark):
     hits_adc = plain.filter(F.col("rank") <= k) \
         .join(exact, ["query_id", "match_id"], "left_semi").count()
     assert hits_ref >= hits_adc
+
+
+def test_grouped_auc_matches_python(spark):
+    """grouped_auc vs a tie-aware reference AUC (average ranks) on
+    random scores with deliberate ties, plus the degenerate
+    single-class convention (auc = 0.5, flagged by the zero count)."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        grouped_auc,
+    )
+
+    rng = random.Random(43)
+    rows = [("g1", rng.randrange(12) / 12.0, rng.randrange(2))
+            for _ in range(300)]
+    rows += [("g2", rng.random(), 1)] * 10  # positives only
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    got = {r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+           for r in grouped_auc(df, ["g"], "s", "y").collect()}
+
+    sub = [(s, y) for g, s, y in rows if g == "g1"]
+    order = sorted(range(len(sub)), key=lambda i: sub[i][0])
+    ranks = [0.0] * len(sub)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and sub[order[j]][0] == sub[order[i]][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        for t in range(i, j):
+            ranks[order[t]] = avg
+        i = j
+    n_pos = sum(y for _s, y in sub)
+    n_neg = len(sub) - n_pos
+    rpos = sum(r for r, (_s, y) in zip(ranks, sub) if y)
+    want = round((rpos - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg), 6)
+    assert got["g1"][0] == n_pos and got["g1"][1] == n_neg
+    assert abs(got["g1"][2] - want) < 2e-6, (got["g1"], want)
+    assert got["g2"] == (10, 0, 0.5)  # degenerate: chance + zero count
+
+
+def test_calibration_ece_matches_python(spark):
+    import random
+
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        calibration_ece,
+    )
+
+    rng = random.Random(47)
+    rows = [("g", rng.randrange(1000) / 1000.0,
+             1 if rng.random() < 0.5 else 0) for _ in range(400)]
+    rows.append(("g", 1.0, 1))  # score exactly 1.0 -> clamped to bin 9
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    out = calibration_ece(df, ["g"], "s", "y", n_bins=10).collect()
+    assert len(out) == 1 and out[0]["n"] == len(rows)
+
+    bins: dict = {}
+    for _g, s, y in rows:
+        b = min(int(s * 10), 9)
+        bins.setdefault(b, []).append((round(s, 9), y))
+    num = 0.0
+    for b, lst in bins.items():
+        conf = round(sum(s for s, _y in lst) / len(lst), 6)
+        acc = round(sum(y for _s, y in lst) / len(lst), 6)
+        num += len(lst) * abs(acc - conf)
+    want = round(num / len(rows), 6)
+    assert abs(out[0]["ece"] - want) < 2e-6, (out[0]["ece"], want)
