@@ -209,3 +209,55 @@ def test_perplexity_plan_free_of_per_element_reevaluation(spark):
     assert "transform(sequence" not in plan, (
         "per-index lambda crept back into the bigram build")
     assert "zip_with" in plan
+
+
+def test_label_propagation_argmax_is_aggregation_not_window(spark):
+    """r10 LPA claim: the per-node argmax folds into one
+    min(struct(-cnt, label)) AGGREGATION per round — a window
+    formulation would sort every node's full label-count list per
+    round. The plan must contain zero WindowExec nodes."""
+    plan = _plan(spark, "q99zzk_label_propagation")
+    assert "Window" not in plan, "LPA argmax fell back to a window"
+
+
+def test_hard_negatives_broadcasts_queries_single_corpus_scan(spark):
+    """r10 q95h claim: the label filter rides the broadcast cross
+    join — queries broadcast, ONE corpus scan, no shuffle join of the
+    corpus against itself."""
+    plan = _plan(spark, "q95h_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan  # queries-side broadcast
+    assert plan.count("Scan parquet") <= 2  # corpus + queries, no more
+
+
+def test_pruned_view_read_lists_fewer_files(spark):
+    """r10 q99zzj claim: the manifest prunes the file LIST — the
+    pruned scan's plan must read strictly fewer files than the
+    clustered view holds (16)."""
+    import hashlib
+    import tempfile
+
+    _plan(spark, "q99zzj_pruned_view_read")  # builds the view + manifest
+    import os as _os
+
+    from api_to_amt_data_lake_spark.sources.manifest import (
+        _data_files,
+        read_pruned,
+    )
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"pruned_view_{hashlib.md5(SF_DIR.encode()).hexdigest()[:8]}")
+    _df, kept = read_pruned(spark, path, {"o_orderkey": (1000, 9999)})
+    assert 0 < len(kept) < len(_data_files(path))
+
+
+def test_auc_window_runs_over_distinct_scores_not_corpus(spark):
+    """r10 q99zzq claim: the rank window partitions the per-(group,
+    score) COUNT table, so the window's input is an aggregation, not
+    the raw document scan."""
+    df = conformance.QUERIES["q99zzq_auc"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().optimizedPlan().toString()
+    # The Window node must sit ABOVE an Aggregate in the optimized
+    # plan (window input = aggregated counts).
+    w_idx = analyzed.index("Window")
+    agg_idx = analyzed.index("Aggregate", w_idx)
+    assert agg_idx > w_idx, "window not over the aggregated score table"
