@@ -109,13 +109,27 @@ SHOWCASE = [
      "min windows share a single (key, order) sort — one Exchange, "
      "no Python state machine"),
     ("q99zzb_bigram_perplexity", "CCNet-style LM scoring: reference "
-     "count tables from one scan; the scoring pass shuffle-joins only "
-     "on the bigram key while the context table and vocab scalar "
-     "broadcast — the log-prob is pure codegen, no UDFs"),
+     "count tables from one scan; the scoring pass shuffle-joins on "
+     "the bigram key, only the 1-row vocab scalar carries a broadcast "
+     "hint (AQE converts the vocab-sized context join at runtime when "
+     "small — no forced-broadcast OOM cliff); log-prob is pure "
+     "codegen, no UDFs"),
     ("q99zzg_embedding_drift", "centroid drift: posexplode partial-"
      "aggregates to (label, dim) means, so the shuffled volume is "
      "labels x dims, never the corpus; the class-level fold is a "
      "second tiny aggregate"),
+    ("q99zzk_label_propagation", "synchronous LPA: per-round argmax "
+     "is one min(struct) HashAggregate — zero WindowExec; label join "
+     "+ partial-aggregated count per round"),
+    ("q99zzl_join_ivm", "incremental join maintenance: three delta-"
+     "bounded joins (AQE broadcasts the 20% deltas) unioned with the "
+     "materialized base join — no |A|x|B| recompute"),
+    ("q95i_adc_rerank", "IVFPQ + exact refine: ADC candidates are "
+     "Q x refine_from rows; the exact stage is two id-keyed joins, "
+     "never a corpus rescan"),
+    ("q99zzq_auc", "grouped ROC-AUC: the rank window runs over the "
+     "per-(group, score) COUNT table (an Aggregate feeds the Window), "
+     "never the raw corpus"),
 ]
 
 
