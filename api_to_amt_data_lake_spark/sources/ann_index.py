@@ -28,10 +28,12 @@ meta.json (`os.replace`), so an append is all-or-nothing to every
 concurrent search: a reader sees the index at some whole number of
 committed shards, never a partially-visible one. Crash debris (files
 written but never committed) is swept by the next writer operation;
-compaction defers deleting the files it superseded to that same sweep,
-giving in-flight readers a whole writer-cycle grace window
-(the Iceberg snapshot/expire discipline, scaled down to one JSON
-manifest).
+compaction/dedupe record the files they superseded with a commit
+timestamp, and the sweep retains them for the index's configurable
+`sweep_grace_seconds` (default 0 = one writer cycle) — a reader that
+re-loads within the retention window can never hit FileNotFound;
+`expire_superseded` reclaims early (the Iceberg snapshot/expire
+discipline, scaled down to one JSON manifest).
 
 Why this shape at 100 TB:
 
