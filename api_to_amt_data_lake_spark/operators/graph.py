@@ -226,9 +226,12 @@ def label_propagation(
     starts labeled with its own id; each round EVERY node
     simultaneously adopts the most frequent label among its in-
     neighbors under the previous round's labels (count desc, smallest
-    label as the tie-break). Returns (id, label) after `iters` rounds
-    for every node with >= 1 in-edge — `symmetrize()` first for the
-    undirected semantics, which also keeps every node in the result.
+    label as the tie-break); a node with NO in-edges keeps its
+    previous-round label (so its out-votes never vanish — advisor r10:
+    dropping in-edge-less nodes from the label table silently lost
+    their contribution from round 2 on directed graphs). Returns
+    (id, label) after `iters` rounds for every node appearing in the
+    edge list — `symmetrize()` first for undirected semantics.
 
     Synchronous, not asynchronous, ON PURPOSE: the async variant's
     result depends on visit order (engine- and partitioning-dependent),
@@ -265,11 +268,17 @@ def label_propagation(
         )
         # argmax(count) with min-label tie-break as ONE aggregation:
         # min over struct(-count, label).
-        labels = (
+        voted = (
             counts.groupBy("t")
             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
                                 F.col("label"))).alias("m"))
             .select(F.col("t").alias("id"),
-                    F.col("m.label").alias("label"))
+                    F.col("m.label").alias("_new"))
+        )
+        # In-edge-less nodes carry their previous label forward (a
+        # no-op join on symmetrized graphs, where every node votes).
+        labels = (
+            labels.join(voted, "id", "left")
+            .select("id", F.coalesce("_new", "label").alias("label"))
         )
     return labels

@@ -343,16 +343,26 @@ def percentile_normalize(
     One window per group (state bounded by the group's rows) + a
     broadcast-sized group-count join; mid-rank (not percent_rank) so
     the output is strictly inside (0, 1) — usable directly as a
-    uniform-ish feature or a filter threshold."""
+    uniform-ish feature or a filter threshold. The count join is
+    NULL-SAFE (`eqNullSafe`), matching the window's partitioning,
+    which puts NULL group values in their own partition — rows with a
+    NULL group are normalized within that group, never dropped
+    (advisor r10: a plain equi-join here silently discarded them)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(
         F.col(score_col).asc(), F.col(id_col).asc())
     n = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    for g in group_cols:
+        n = n.withColumnRenamed(g, f"_g_{g}")
+    cond = None
+    for g in group_cols:
+        c = F.col(g).eqNullSafe(F.col(f"_g_{g}"))
+        cond = c if cond is None else cond & c
     return (
         df.withColumn("_rk", F.row_number().over(w))
-        .join(F.broadcast(n), group_cols)
+        .join(F.broadcast(n), cond)
         .withColumn(out_col, F.round(
             (F.col("_rk") - 0.5) / F.col("_n"), round_to))
-        .drop("_rk", "_n")
+        .drop("_rk", "_n", *[f"_g_{g}" for g in group_cols])
     )

@@ -345,6 +345,15 @@ def expire_superseded(index_root: str,
                 os.remove(path)
             except OSError:
                 pass
+            # LocalFileSystem checksum sidecars ride along (same as
+            # _sweep_uncommitted) — early expiry must not orphan them.
+            d, name = os.path.split(path)
+            crc = os.path.join(d, f".{name}.crc")
+            try:
+                if os.path.isfile(crc):
+                    os.remove(crc)
+            except OSError:
+                pass
             meta["superseded"].pop(rel, None)
             removed.append(rel)
         if not meta.get("superseded"):

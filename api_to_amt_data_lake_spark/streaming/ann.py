@@ -95,10 +95,12 @@ def dedupe_codes(spark: SparkSession, index_root: str) -> int:
     (still uncommitted), and then the manifest is REPLACED wholesale in
     one atomic meta write — a racing reader sees the pre- or post-dedupe
     codes set, never a mix, and a crash at any instant leaves a
-    committed manifest whose every file is on disk. The superseded
-    files stay behind as uncommitted debris until the next writer
-    operation's sweep (the same one-writer-cycle reader grace window
-    compaction gives)."""
+    committed manifest whose every file is on disk. The replaced
+    files are marked superseded in the same atomic meta write (the
+    compaction discipline — `_mark_superseded`) and retained for the
+    index's configurable `sweep_grace_seconds` window plus one writer
+    cycle, so a reader holding the pre-dedupe manifest never hits
+    FileNotFound; `expire_superseded` is the early-reclaim lever."""
     from api_to_amt_data_lake_spark.sources.ann_index import _writer_lock
     with _writer_lock(str(index_root)):
         return _dedupe_locked(spark, index_root)

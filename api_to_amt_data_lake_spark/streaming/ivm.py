@@ -122,8 +122,12 @@ def fold_join_batch(
     O(|batch| · match fan-out) per trigger, never |A|·|B|.
 
     Side columns: everything except `side_col` and the join keys must
-    be unambiguous per side — pass disjoint payload column sets (nulls
-    on the other side), the tagged-union convention. Replay: the usual
+    be unambiguous per side, and the side a payload column belongs to
+    is declared BY NAME — columns prefixed `a_` ride with side 'a',
+    `b_` with side 'b' (nulls on the other side, the tagged-union
+    convention). A payload column with neither prefix is a contract
+    violation and raises ValueError rather than being silently
+    dropped from the maintained join (advisor r10). Replay: the usual
     marker discipline (a replayed batch id is skipped); a crash between
     the three appends re-appends on replay, and like the ANN sink the
     exposure is one micro-batch, repaired offline by deduplicating J on
@@ -138,6 +142,12 @@ def fold_join_batch(
     b_dir = os.path.join(str(state_root), "b")
     j_dir = os.path.join(str(state_root), "j")
     payload = [c for c in batch_df.columns if c != side_col]
+    stray = [c for c in payload if c not in on
+             and not c.startswith(("a_", "b_"))]
+    if stray:
+        raise ValueError(
+            "fold_join_batch payload columns must be side-prefixed "
+            f"'a_'/'b_' (tagged-union contract); got {stray!r}")
     d_a_all = batch_df.filter(F.col(side_col) == "a").select(payload)
     d_b_all = batch_df.filter(F.col(side_col) == "b").select(payload)
     a_cols = on + [c for c in payload if c.startswith("a_")]
@@ -176,7 +186,8 @@ def stream_maintain_join(
 ):
     """Start a stream maintaining an inner join over two tagged insert
     streams (union the sides with a `side_col` tag upstream); returns
-    the StreamingQuery."""
+    the StreamingQuery. Payload columns must carry the `a_`/`b_` side
+    prefixes (see `fold_join_batch` — unprefixed payload raises)."""
     spark = tagged_stream.sparkSession
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:

@@ -1,0 +1,125 @@
+"""Round-11 tests: advisor-r10 contract fixes.
+
+- label_propagation on DIRECTED graphs: in-edge-less nodes keep their
+  previous label (their out-votes must not vanish after round 1).
+- fold_join_batch: unprefixed payload columns raise instead of being
+  silently dropped from the maintained join.
+- percentile_normalize: NULL group values form their own group and are
+  normalized, never dropped.
+- expire_superseded: early expiry removes the .crc sidecar with the
+  parquet file (parity with _sweep_uncommitted).
+"""
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_label_propagation_directed_keeps_voteless_nodes(spark):
+    """Standard synchronous LPA on a DIRECTED graph: a node with no
+    in-edges keeps its label each round, and keeps voting with it.
+    Chain 0→1→2: after 2 rounds node 2 must carry node 0's label —
+    the pre-fix code lost node 0 from the label table after round 1,
+    so node 1 had no voter in round 2 (and the result dropped rows)."""
+    from api_to_amt_data_lake_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], ["s", "t"])
+    got = {r["id"]: r["label"]
+           for r in label_propagation(df, iters=2).collect()}
+    # Round 1: 1<-0's label(0), 2<-1's label(1); 0 keeps 0.
+    # Round 2: 1<-0's label(0), 2<-1's round-1 label(0); 0 keeps 0.
+    assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_label_propagation_directed_matches_python(spark):
+    """Directed LPA == a dict reference in which voteless nodes carry
+    their previous label, on a random directed graph."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(25), rng.randrange(25)) for _ in range(50)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["s", "t"])
+    nodes = sorted({x for e in edges for x in e})
+    for iters in (1, 2, 3):
+        lab = {n: n for n in nodes}
+        for _ in range(iters):
+            counts: dict = {}
+            for s, t in edges:
+                key = (t, lab[s])
+                counts[key] = counts.get(key, 0) + 1
+            best: dict = {}
+            for (t, label), c in counts.items():
+                cand = (-c, label)
+                if t not in best or cand < best[t]:
+                    best[t] = cand
+            lab = {n: best.get(n, (0, lab[n]))[1] for n in nodes}
+        got = {r["id"]: r["label"]
+               for r in label_propagation(df, iters=iters).collect()}
+        assert got == lab, iters
+
+
+def test_fold_join_batch_rejects_unprefixed_payload(spark, tmp_path):
+    """The tagged-union contract is enforced: a payload column with
+    neither a_/b_ prefix raises ValueError (advisor r10 — it used to
+    be silently dropped from the maintained join)."""
+    import pytest
+
+    from api_to_amt_data_lake_spark.streaming.ivm import fold_join_batch
+
+    batch = spark.createDataFrame(
+        [(1, "a", "x", None), (1, "b", None, "y")],
+        ["k", "_side", "a_val", "payload"])
+    with pytest.raises(ValueError, match="payload"):
+        fold_join_batch(spark, batch, 1, str(tmp_path / "j"), ["k"])
+
+
+def test_percentile_normalize_keeps_null_group_rows(spark):
+    """Rows with a NULL group value are their own window partition and
+    must survive the group-count join (eqNullSafe), normalized among
+    themselves."""
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        percentile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", 1.0, 1), ("g1", 2.0, 2),
+         (None, 3.0, 3), (None, 5.0, 4)],
+        ["g", "score", "id"])
+    out = percentile_normalize(df, ["g"], "score", "id")
+    rows = {r["id"]: r["pctile"] for r in out.collect()}
+    assert len(rows) == 4, "NULL-group rows were dropped"
+    # Two NULL-group rows: mid-rank percentiles 0.25 and 0.75.
+    assert rows[3] == 0.25 and rows[4] == 0.75
+    assert rows[1] == 0.25 and rows[2] == 0.75
+
+
+def test_expire_superseded_removes_crc_sidecars(tmp_path):
+    """Early expiry must take the LocalFileSystem .crc sidecar with the
+    parquet file, like the writer-op sweep does."""
+    import json
+
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        expire_superseded,
+    )
+
+    root = tmp_path / "idx"
+    codes = root / "codes"
+    codes.mkdir(parents=True)
+    f = codes / "part-old.parquet"
+    f.write_bytes(b"x")
+    crc = codes / ".part-old.parquet.crc"
+    crc.write_bytes(b"c")
+    (root / "meta.json").write_text(json.dumps({
+        "codes_files": [],
+        "superseded": {"part-old.parquet": 0.0},
+    }))
+    removed = expire_superseded(str(root), min_age_seconds=0.0)
+    assert removed == ["part-old.parquet"]
+    assert not f.exists()
+    assert not crc.exists(), "orphaned .crc sidecar"
