@@ -99,6 +99,45 @@ def build(spark: SparkSession, silver_root: str, school_year: str | int,
     if ssa is None or cal is None or "calendarEvents" not in cal.columns:
         return CONTRACT.empty(spark)
 
+    sch = sec = None
+    if school_ev is not None:
+        sch = _event_counts(
+            school_ev, "schoolReference.schoolId",
+            "studentReference.studentUniqueId",
+            F.col("sessionReference.schoolYear")
+            if "sessionReference" in school_ev.columns else F.lit(None),
+        ).withColumnsRenamed({"_present": "_sch_present",
+                              "_absence": "_sch_absence",
+                              "_ev_year": "_sch_year"})
+    if section_ev is not None:
+        sec = _event_counts(
+            section_ev, "sectionReference.schoolId",
+            "studentReference.studentUniqueId",
+            F.col("sectionReference.schoolYear"),
+        ).withColumnsRenamed({"_present": "_sec_present",
+                              "_absence": "_sec_absence",
+                              "_ev_year": "_sec_year"})
+    return assemble(spark, ssa, cal, sch, sec, run_date)
+
+
+def assemble(spark: SparkSession, ssa: DataFrame, cal: DataFrame,
+             sch: DataFrame | None, sec: DataFrame | None,
+             run_date: str | None = None,
+             touched: DataFrame | None = None) -> DataFrame:
+    """The view body downstream of the event crosstabs: enrollments ×
+    instructional days (J7), left-join the per-(student, school, date)
+    Present/Absence count frames (columns `_student _school _date
+    _sch_present _sch_absence _sch_year` / the `_sec_*` twins), year
+    compatibility filters, flag derivation, contract conform.
+
+    Split out of `build` so the count frames can come either from the
+    raw silver events (`_event_counts`, the full rebuild) or from the
+    incrementally-maintained grouped-sum state
+    (`amt/chrab_incremental.py` — the fold path). With `touched`
+    (columns `StudentKey SchoolKey _date`), the enrollment×day base is
+    semi-joined down to the touched output keys first, so a delta
+    refresh computes only the changed rows (the broadcast semi join +
+    runtime bloom filter push the key set into the silver scans)."""
     today_key = (run_date or _date.today().isoformat()).replace("-", "")[:8]
 
     enroll = ssa.select(
@@ -127,21 +166,18 @@ def build(spark: SparkSession, silver_root: str, school_year: str | int,
         & ((enroll._exit == "") | (enroll._exit >= days._date)),
         "inner",
     ).select("StudentKey", "SchoolKey", "_date", "_assoc_year")
+    if touched is not None:
+        base = base.join(
+            F.broadcast(touched.select("StudentKey", "SchoolKey",
+                                       "_date").distinct()),
+            ["StudentKey", "SchoolKey", "_date"], "left_semi")
 
     def year_ok(ev_year):
         a = F.coalesce(F.col("_assoc_year"), F.lit(""))
         e = F.coalesce(ev_year, F.lit(""))
         return (a == "") | (e == "") | (a == e)
 
-    if school_ev is not None:
-        sch = _event_counts(
-            school_ev, "schoolReference.schoolId",
-            "studentReference.studentUniqueId",
-            F.col("sessionReference.schoolYear")
-            if "sessionReference" in school_ev.columns else F.lit(None),
-        ).withColumnsRenamed({"_present": "_sch_present",
-                              "_absence": "_sch_absence",
-                              "_ev_year": "_sch_year"})
+    if sch is not None:
         base = base.join(
             sch,
             (base.StudentKey == sch._student) & (base.SchoolKey == sch._school)
@@ -152,14 +188,7 @@ def build(spark: SparkSession, silver_root: str, school_year: str | int,
         base = base.withColumns({"_sch_present": F.lit(None).cast("long"),
                                  "_sch_absence": F.lit(None).cast("long")})
 
-    if section_ev is not None:
-        sec = _event_counts(
-            section_ev, "sectionReference.schoolId",
-            "studentReference.studentUniqueId",
-            F.col("sectionReference.schoolYear"),
-        ).withColumnsRenamed({"_present": "_sec_present",
-                              "_absence": "_sec_absence",
-                              "_ev_year": "_sec_year"})
+    if sec is not None:
         base = base.join(
             sec,
             (base.StudentKey == sec._student) & (base.SchoolKey == sec._school)
