@@ -238,10 +238,11 @@ def refresh(spark: SparkSession, silver_root: str,
     (all zero = gold untouched). Falls back to `full_build` when the
     state or gold has never been materialized."""
     gold = _gold_path(gold_root, school_year)
+    inds = {side: _read_events(spark, silver_root, school_year, side)
+            for side in _SIDES}
     sides_ready = all(
         all(os.path.exists(p) for p in _paths(state_root, s))
-        for s in _SIDES
-        if _read_events(spark, silver_root, school_year, s) is not None)
+        for s, ind in inds.items() if ind is not None)
     if not os.path.exists(gold) or not sides_ready:
         full_build(spark, silver_root, school_year, state_root,
                    gold_root, run_date)
@@ -250,10 +251,10 @@ def refresh(spark: SparkSession, silver_root: str,
     stats: dict = {"full_build": False}
     touched_parts = []
     new_states = {}
-    pending = []  # (df, path) state/snapshot swaps, applied post-splice
+    pending = []  # (staged_dir, live_dir) renames, applied post-splice
     for side in _SIDES:
         state_path, snap_path = _paths(state_root, side)
-        ind = _read_events(spark, silver_root, school_year, side)
+        ind = inds[side]
         has_snap = os.path.exists(snap_path)
         if ind is None and not has_snap:
             new_states[side] = None
@@ -261,7 +262,17 @@ def refresh(spark: SparkSession, silver_root: str,
             continue
         snap = (spark.read.parquet(snap_path) if has_snap
                 else ind.limit(0))
-        cur = ind if ind is not None else snap.limit(0)
+        # Stage the current indicators as parquet FIRST — the silver
+        # JSON is scanned exactly once per refresh; the diff and the
+        # post-splice snapshot commit both read the staged copy.
+        if ind is not None:
+            nxt_snap = snap_path + ".next"
+            shutil.rmtree(nxt_snap, ignore_errors=True)
+            ind.write.parquet(nxt_snap)
+            cur = spark.read.parquet(nxt_snap)
+        else:
+            nxt_snap = None
+            cur = snap.limit(0)
         changes = frame_changes(
             snap, cur, "_k", compare_cols=_GROUP + _SUMS,
             include_old=True,
@@ -271,14 +282,21 @@ def refresh(spark: SparkSession, silver_root: str,
         state = spark.read.parquet(state_path) if os.path.exists(
             state_path) else None
         if n:
-            # Pin BEFORE the swap: the fold reads the old state path.
-            new_state = fold_grouped_sums(
-                state, changes, _GROUP, _SUMS).localCheckpoint()
+            # Stage the folded state beside the live one (the fold
+            # reads the live path) and commit by rename post-splice.
+            nxt_state = state_path + ".next"
+            shutil.rmtree(nxt_state, ignore_errors=True)
+            fold_grouped_sums(state, changes, _GROUP, _SUMS) \
+                .write.parquet(nxt_state)
+            new_state = spark.read.parquet(nxt_state)
             touched_parts.append(_touched_keys(changes))
-            pending.append((new_state, state_path))
-            pending.append((cur, snap_path))
+            pending.append((nxt_state, state_path))
+            if nxt_snap is not None:
+                pending.append((nxt_snap, snap_path))
         else:
             new_state = state
+            if nxt_snap is not None:
+                shutil.rmtree(nxt_snap, ignore_errors=True)
         new_states[side] = new_state
 
     if not touched_parts:
@@ -316,7 +334,21 @@ def refresh(spark: SparkSession, silver_root: str,
         .join(F.broadcast(touched.withColumnRenamed("_date", "DateKey")),
               ["StudentKey", "SchoolKey", "DateKey"], "left_anti")
     )
-    _swap_write(carried.unionByName(recomputed), gold)
-    for df, path in pending:
-        _swap_write(df, path)
+    # The anti join moves its keys to the front; restore the contract
+    # column order so the spliced gold is positionally identical to a
+    # full build (downstream exceptAll/diff checks are positional).
+    _swap_write(carried.unionByName(recomputed)
+                .select(*CONTRACT.columns), gold)
+    # Commit states and snapshots by rename. A crash between the gold
+    # swap and these renames is safe: the next refresh re-diffs against
+    # the OLD snapshot, re-detects the same changes, and re-splices the
+    # identical recomputed rows (the recompute is idempotent — gold
+    # rows for a touched key are fully replaced, never accumulated).
+    for staged, live in pending:
+        old = live + ".swap-old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.rename(staged, live)
+        shutil.rmtree(old, ignore_errors=True)
     return stats

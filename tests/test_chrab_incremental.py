@@ -73,7 +73,7 @@ def _assert_gold_matches_full(spark, silver, gold_root):
     p = os.path.join(str(gold_root), str(SY), chrab.CONTRACT.name)
     inc = spark.read.parquet(p)
     full = chrab.build(spark, str(silver), SY, run_date=RUN_DATE)
-    assert sorted(inc.columns) == sorted(full.columns)
+    assert inc.columns == full.columns  # exact contract order
     assert _rows(inc) == _rows(full)
 
 
