@@ -99,6 +99,69 @@ def test_percentile_normalize_keeps_null_group_rows(spark):
     assert rows[1] == 0.25 and rows[2] == 0.75
 
 
+def test_grouped_average_precision_matches_python(spark):
+    """AP must equal the step-wise reference (one step per DISTINCT
+    score, ties moving together — the sklearn definition) on random
+    scored data with deliberate ties."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        grouped_average_precision,
+    )
+
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 3), round(rng.random() * 10) / 10.0,
+             rng.randrange(2)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "score", "label"])
+
+    def ap_ref(pairs):
+        from collections import defaultdict
+        by_score = defaultdict(lambda: [0, 0])
+        for s, y in pairs:
+            by_score[s][0] += 1
+            by_score[s][1] += y
+        n_pos = sum(v[1] for v in by_score.values())
+        if n_pos == 0:
+            return 0.0
+        tp = n = 0
+        ap = 0.0
+        for s in sorted(by_score, reverse=True):
+            c, pos = by_score[s]
+            tp += pos
+            n += c
+            ap += pos / n_pos * (tp / n)
+        return ap
+
+    got = {r["g"]: (r["n_pos"], r["n_neg"], r["ap"])
+           for r in grouped_average_precision(
+               df, ["g"], "score", "label").collect()}
+    for grp in ("g0", "g1", "g2"):
+        pairs = [(s, y) for g, s, y in rows if g == grp]
+        n_pos = sum(y for _, y in pairs)
+        assert got[grp][0] == n_pos
+        assert got[grp][1] == len(pairs) - n_pos
+        assert abs(got[grp][2] - ap_ref(pairs)) < 1e-6, grp
+
+
+def test_grouped_average_precision_degenerate_groups(spark):
+    """No-positive groups report ap=0.0 with n_pos=0 (flagged, never a
+    crash); all-positive groups fall out as ap=1.0."""
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        grouped_average_precision,
+    )
+
+    df = spark.createDataFrame(
+        [("none", 0.1, 0), ("none", 0.9, 0),
+         ("all", 0.2, 1), ("all", 0.8, 1),
+         ("perfect", 0.9, 1), ("perfect", 0.1, 0)],
+        ["g", "score", "label"])
+    got = {r["g"]: r for r in grouped_average_precision(
+        df, ["g"], "score", "label").collect()}
+    assert (got["none"]["ap"], got["none"]["n_pos"]) == (0.0, 0)
+    assert got["all"]["ap"] == 1.0
+    assert got["perfect"]["ap"] == 1.0  # positive ranked first
+
+
 def test_expire_superseded_removes_crc_sidecars(tmp_path):
     """Early expiry must take the LocalFileSystem .crc sidecar with the
     parquet file, like the writer-op sweep does."""
