@@ -11,7 +11,15 @@ snapshots (`sources/incremental.py`).
 Layout under `index_root`:
 
     meta.json            id/vec column names, m, the shard log, and the
-                         MANIFEST: the committed list of code files
+                         MANIFEST POINTER MAP: bucket dir → committed
+                         sidecar file (size bounded by BUCKET count)
+    manifests/           immutable per-bucket sidecar jsons, each the
+                         committed file list of one bucket (VERDICT r10
+                         item 3: at real shard counts an inline file
+                         list made meta.json itself the commit
+                         bottleneck; a writer now rewrites only the
+                         TOUCHED buckets' sidecars and meta stays
+                         O(buckets))
     coarse/              parquet — kc coarse centroid rows (the model)
     book/                parquet — m x k PQ codebook rows (the model)
     codes/bucket=<b>/    parquet — (id, sub_idx, code) PARTITIONED BY
@@ -19,9 +27,15 @@ Layout under `index_root`:
                          rewrite
 
 Reader-atomic commits (VERDICT r8 item 1): readers never list the
-codes directory — `load_ann_index` builds the codes frame from
-`meta["codes_files"]`, the manifest of committed files, read with
-`basePath` so hive bucket partition pruning is preserved. A writer
+codes directory — `load_ann_index` builds the codes frame from the
+committed manifest (`_manifest_get`: meta's pointer map → sidecar
+lists; legacy inline `codes_files` still readable), read with
+`basePath` so hive bucket partition pruning is preserved. Sidecars are
+immutable: a writer stages NEW sidecar files for the buckets it
+touched, and the single atomic meta.json replace publishes them all at
+once — the commit point is unchanged. Retired sidecars are tracked in
+`meta["superseded_manifests"]` and reclaimed under the same retention
+window as superseded code files. A writer
 (append / compaction) first lands files on disk — invisible, because
 no reader resolves them — and COMMITS by atomically replacing
 meta.json (`os.replace`), so an append is all-or-nothing to every
@@ -234,14 +248,131 @@ def _write_meta_atomic(root: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(root, _META))
 
 
+_MANIFESTS = "manifests"
+
+
+def _manifest_get(root: str, meta: dict) -> list[str] | None:
+    """The committed code-file list, resolved through whichever
+    manifest form the index carries: the SHARDED per-bucket sidecars
+    (`meta["manifest"]`: bucket dir → sidecar json under `manifests/`,
+    the current form — meta.json stays bounded by BUCKET count, VERDICT
+    r10 item 3) or the legacy inline `meta["codes_files"]` list. None =
+    no manifest at all (pre-manifest index; callers fall back to the
+    directory listing)."""
+    if "codes_files" in meta:
+        return sorted(meta["codes_files"])
+    man = meta.get("manifest")
+    if man is None:
+        return None
+    out: list[str] = []
+    for rel in man.values():
+        with open(os.path.join(root, _MANIFESTS, rel)) as f:
+            out.extend(json.load(f))
+    return sorted(out)
+
+
+def _manifest_set(root: str, meta: dict, files) -> None:
+    """Stage `files` (relative code paths) as the manifest state:
+    write a NEW immutable sidecar json per bucket whose list changed
+    (never overwrite — a concurrent reader may be resolving the old
+    one) and point `meta["manifest"]` at the new set. NOT the commit:
+    the caller's next `_write_meta_atomic` is, and it publishes every
+    touched bucket's new sidecar in that single atomic replace.
+    Replaced/retired sidecars are tracked in
+    `meta["superseded_manifests"]` (rel → unix time) and reclaimed by
+    the sweep under the same `sweep_grace_seconds` retention window as
+    superseded code files."""
+    import time
+    import uuid
+
+    per_bucket: dict[str, list[str]] = {}
+    for rel in files:
+        per_bucket.setdefault(rel.split("/", 1)[0], []).append(rel)
+    man = dict(meta.get("manifest") or {})
+    mdir = os.path.join(root, _MANIFESTS)
+    os.makedirs(mdir, exist_ok=True)
+    now = time.time()
+    retired: list[str] = []
+    for bucket in sorted(set(man) | set(per_bucket)):
+        new_list = sorted(per_bucket.get(bucket, ()))
+        cur = man.get(bucket)
+        if cur is not None:
+            try:
+                with open(os.path.join(mdir, cur)) as f:
+                    if json.load(f) == new_list:
+                        continue  # unchanged bucket: sidecar reused
+            except OSError:
+                pass
+            retired.append(cur)
+        if not new_list:
+            man.pop(bucket, None)
+            continue
+        name = f"{bucket}.{uuid.uuid4().hex}.json"
+        tmp = os.path.join(mdir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(new_list, f)
+        os.replace(tmp, os.path.join(mdir, name))
+        man[bucket] = name
+    if retired:
+        sup = meta.setdefault("superseded_manifests", {})
+        for rel in retired:
+            sup[rel] = now
+    meta["manifest"] = man
+    meta.pop("codes_files", None)
+
+
+def committed_files(index_root: str) -> set[str]:
+    """Public read of the committed manifest (tests / ops tooling)."""
+    root = str(index_root)
+    return set(_manifest_get(root, _read_meta(root)) or ())
+
+
+def _sweep_manifests(root: str, meta: dict) -> list[str]:
+    """Sidecar GC, mirroring `_sweep_uncommitted`'s two kinds: on-disk
+    manifest jsons not referenced by meta are crash debris (deleted
+    now) unless tracked as superseded within the retention window (a
+    reader holding the previous meta may still resolve them)."""
+    import time
+
+    mdir = os.path.join(root, _MANIFESTS)
+    if not os.path.isdir(mdir):
+        return []
+    live = set((meta.get("manifest") or {}).values())
+    superseded = meta.get("superseded_manifests", {})
+    grace = float(meta.get("sweep_grace_seconds", 0.0))
+    now = time.time()
+    removed = []
+    on_disk = {f for f in os.listdir(mdir)
+               if f.endswith(".json") and not f.startswith(".")}
+    for rel in on_disk - live:
+        if rel in superseded and now - float(superseded[rel]) < grace:
+            continue
+        try:
+            os.remove(os.path.join(mdir, rel))
+        except OSError:
+            continue
+        removed.append(rel)
+    gone = [rel for rel in superseded
+            if rel in removed or rel not in on_disk]
+    for rel in gone:
+        superseded.pop(rel)
+    if not superseded:
+        meta.pop("superseded_manifests", None)
+    return removed
+
+
 def _ensure_manifest(root: str, meta: dict) -> None:
-    """Upgrade a legacy (pre-manifest) index in place: the directory
-    listing IS its committed state, so snapshot it into meta. Writers
-    call this before staging anything new; no-op when the manifest is
-    already present."""
-    if "codes_files" not in meta:
-        meta["codes_files"] = sorted(_list_codes_files(root))
-        _write_meta_atomic(root, meta)
+    """Upgrade older index forms in place: a pre-manifest index's
+    directory listing IS its committed state, so snapshot it; a legacy
+    inline `codes_files` list is resharded into per-bucket sidecars.
+    Writers call this before staging anything new; no-op when the
+    sharded manifest is already present."""
+    if "manifest" in meta and "codes_files" not in meta:
+        return
+    files = (meta["codes_files"] if "codes_files" in meta
+             else sorted(_list_codes_files(root)))
+    _manifest_set(root, meta, files)
+    _write_meta_atomic(root, meta)
 
 
 def _sweep_uncommitted(root: str, meta: dict) -> list[str]:
@@ -270,7 +401,7 @@ def _sweep_uncommitted(root: str, meta: dict) -> list[str]:
     """
     import time
 
-    committed = set(meta.get("codes_files", ()))
+    committed = set(_manifest_get(root, meta) or ())
     superseded = meta.get("superseded", {})
     grace = float(meta.get("sweep_grace_seconds", 0.0))
     now = time.time()
@@ -296,6 +427,7 @@ def _sweep_uncommitted(root: str, meta: dict) -> list[str]:
         superseded.pop(rel)
     if not superseded:
         meta.pop("superseded", None)
+    _sweep_manifests(root, meta)  # sidecar debris rides the same sweep
     return removed
 
 
@@ -358,6 +490,19 @@ def expire_superseded(index_root: str,
             removed.append(rel)
         if not meta.get("superseded"):
             meta.pop("superseded", None)
+        # Retired manifest sidecars ride the same early-reclaim lever.
+        for rel, ts in dict(meta.get("superseded_manifests",
+                                     {})).items():
+            if now - float(ts) < min_age_seconds:
+                continue
+            try:
+                os.remove(os.path.join(root, _MANIFESTS, rel))
+            except OSError:
+                pass
+            meta["superseded_manifests"].pop(rel, None)
+            removed.append(f"{_MANIFESTS}/{rel}")
+        if not meta.get("superseded_manifests"):
+            meta.pop("superseded_manifests", None)
         _write_meta_atomic(root, meta)
         return removed
 
@@ -407,11 +552,12 @@ def _save_locked(root, coarse, book, codes, id_col, vec_col, m,
     (codes.repartition(F.col("bucket")).write.partitionBy("bucket")
      .parquet(os.path.join(tmp, "codes")))
     meta = {"id_col": id_col, "vec_col": vec_col, "m": int(m),
-            "appended_shards": 0, "generation": int(generation),
-            # The manifest: every committed code file. Written into tmp
-            # BEFORE the swap, so the new generation goes live with its
-            # file list in the same atomic rename.
-            "codes_files": sorted(_list_codes_files(tmp))}
+            "appended_shards": 0, "generation": int(generation)}
+    # The manifest: every committed code file, sharded into per-bucket
+    # sidecars under tmp/manifests. Written into tmp BEFORE the swap,
+    # so the new generation goes live with its file list in the same
+    # atomic rename.
+    _manifest_set(tmp, meta, sorted(_list_codes_files(tmp)))
     if sweep_grace_seconds:
         # Superseded-file retention window (VERDICT r9 item 5) — see
         # _sweep_uncommitted; carried across rebuild generations.
@@ -782,7 +928,7 @@ def load_ann_index(
     coarse = spark.read.parquet(os.path.join(root, "coarse"))
     book = spark.read.parquet(os.path.join(root, "book"))
     codes_dir = os.path.join(root, "codes")
-    manifest = meta.get("codes_files")
+    manifest = _manifest_get(root, meta)
     if manifest:
         codes = (spark.read.option("basePath", codes_dir)
                  .parquet(*[os.path.join(codes_dir, rel)
@@ -835,7 +981,7 @@ def bucket_file_counts(index_root: str) -> dict[int, int]:
     out: dict[int, int] = {}
     manifest = None
     if os.path.isfile(meta_path):
-        manifest = _read_meta(root).get("codes_files")
+        manifest = _manifest_get(root, _read_meta(root))
     if manifest is not None:
         for rel in manifest:
             b = int(rel.split("/", 1)[0].split("=", 1)[1])
@@ -889,8 +1035,9 @@ def compact_index_buckets(
     _ensure_manifest(root, meta)  # legacy index: snapshot dir state
     _sweep_uncommitted(root, meta)
 
+    committed = _manifest_get(root, meta) or []
     per_bucket: dict[int, list[str]] = {}
-    for rel in meta["codes_files"]:
+    for rel in committed:
         b = int(rel.split("/", 1)[0].split("=", 1)[1])
         per_bucket.setdefault(b, []).append(rel)
 
@@ -918,13 +1065,14 @@ def compact_index_buckets(
                     os.rename(crc, os.path.join(live, f".{f}.crc"))
                 staged.append(f"bucket={b}/{f}")
         shutil.rmtree(tmp, ignore_errors=True)
-        # Commit: swap this bucket's manifest entries in one atomic
-        # replace. Crash before this line → staged files are swept by
-        # the next writer op; crash after → the superseded ones are
+        # Commit: swap this bucket's manifest entries — a new immutable
+        # sidecar for the bucket, published by one atomic meta replace.
+        # Crash before the replace → staged files + sidecar are swept
+        # by the next writer op; crash after → the superseded ones are
         # retained for the index's sweep grace window, then swept.
         _mark_superseded(meta, rels)
-        meta["codes_files"] = sorted(
-            (set(meta["codes_files"]) - set(rels)) | set(staged))
+        committed = sorted((set(committed) - set(rels)) | set(staged))
+        _manifest_set(root, meta, committed)
         _write_meta_atomic(root, meta)
         compacted.append(b)
     return compacted
@@ -988,19 +1136,24 @@ def _append_stage(
      .parquet(os.path.join(root, "codes")))
     # Post-sweep, every on-disk file not in the manifest is either ours
     # or a grace-retained superseded file (tracked — never re-adopted).
-    new_files = (_list_codes_files(root) - set(meta["codes_files"])
+    new_files = (_list_codes_files(root)
+                 - set(_manifest_get(root, meta) or ())
                  - set(meta.get("superseded", {})))
     return meta, new_files
 
 
 def _append_commit(index_root: str, meta: dict,
                    new_files: set[str]) -> None:
-    """Phase 2 of an append: fold the staged files into the manifest and
-    atomically replace meta.json — the instant the shard becomes visible
-    to readers, as a whole."""
-    meta["codes_files"] = sorted(set(meta["codes_files"]) | new_files)
+    """Phase 2 of an append: fold the staged files into the manifest
+    (new sidecars for the touched buckets only) and atomically replace
+    meta.json — the instant the shard becomes visible to readers, as a
+    whole."""
+    root = str(index_root)
+    _manifest_set(root, meta,
+                  sorted(set(_manifest_get(root, meta) or ())
+                         | new_files))
     meta["appended_shards"] = int(meta.get("appended_shards", 0)) + 1
-    _write_meta_atomic(str(index_root), meta)
+    _write_meta_atomic(root, meta)
 
 
 def ann_index_search(

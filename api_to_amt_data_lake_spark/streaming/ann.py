@@ -157,11 +157,13 @@ def _dedupe_locked(spark: SparkSession, index_root: str) -> int:
     # a reader holding the previous manifest keeps a whole writer-cycle
     # grace window.
     from api_to_amt_data_lake_spark.sources.ann_index import (
+        _manifest_get,
+        _manifest_set,
         _mark_superseded,
     )
     meta2 = _read_meta(root)
-    _mark_superseded(meta2, meta2.get("codes_files", ()))
-    meta2["codes_files"] = sorted(staged)
+    _mark_superseded(meta2, _manifest_get(root, meta2) or ())
+    _manifest_set(root, meta2, sorted(staged))
     _write_meta_atomic(root, meta2)
     after = spark.read.option("basePath", codes_dir).parquet(
         *[os.path.join(codes_dir, rel) for rel in staged]).count()

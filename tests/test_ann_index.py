@@ -453,7 +453,7 @@ def test_append_is_all_or_nothing_to_readers(spark, tmp_path):
         _append_commit,
         _append_stage,
         _list_codes_files,
-        _read_meta,
+        committed_files,
     )
 
     e = _emb(spark)
@@ -470,7 +470,7 @@ def test_append_is_all_or_nothing_to_readers(spark, tmp_path):
         assert staged, "stage landed no files"
         # Staged files are on disk but NOT in the committed manifest…
         on_disk = _list_codes_files(root)
-        committed = set(_read_meta(root)["codes_files"])
+        committed = committed_files(root)
         assert staged <= on_disk and not (staged & committed)
         # …so a racing reader sees exactly the previous whole-shard
         # state: nothing more, nothing less.
@@ -510,8 +510,9 @@ def test_crashed_stage_is_swept_not_duplicated(spark, tmp_path):
     # The sweep also removed the debris from disk: disk == committed.
     from api_to_amt_data_lake_spark.sources.ann_index import (
         _list_codes_files,
+        committed_files,
     )
-    assert _list_codes_files(root) == set(meta["codes_files"])
+    assert _list_codes_files(root) == committed_files(root)
 
 
 def test_compaction_defers_deletes_one_writer_cycle(spark, tmp_path):
@@ -521,8 +522,8 @@ def test_compaction_defers_deletes_one_writer_cycle(spark, tmp_path):
     throughout."""
     from api_to_amt_data_lake_spark.sources.ann_index import (
         _list_codes_files,
-        _read_meta,
         bucket_file_counts,
+        committed_files,
         compact_index_buckets,
     )
 
@@ -537,7 +538,7 @@ def test_compaction_defers_deletes_one_writer_cycle(spark, tmp_path):
     want = sorted(map(tuple, codes_before.collect()))
 
     assert compact_index_buckets(spark, root, max_files=1) != []
-    committed = set(_read_meta(root)["codes_files"])
+    committed = committed_files(root)
     on_disk = _list_codes_files(root)
     assert committed < on_disk, "superseded files must survive the commit"
     assert max(bucket_file_counts(root).values()) <= 2
@@ -546,8 +547,7 @@ def test_compaction_defers_deletes_one_writer_cycle(spark, tmp_path):
 
     # The next writer operation (an append) sweeps the superseded files.
     ann_index_append(spark, root, e.filter(F.col("vec_id") % 8 == 5))
-    meta = _read_meta(root)
-    assert _list_codes_files(root) == set(meta["codes_files"])
+    assert _list_codes_files(root) == committed_files(root)
 
 
 def _tree_sig(root: str) -> dict[str, tuple[int, float, int]]:

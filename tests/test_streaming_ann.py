@@ -144,6 +144,7 @@ def test_sustained_folds_keep_file_counts_bounded(spark, tmp_path):
         _list_codes_files,
         _read_meta,
         bucket_file_counts,
+        committed_files,
         expire_superseded,
     )
 
@@ -210,8 +211,7 @@ def test_sustained_folds_keep_file_counts_bounded(spark, tmp_path):
         "superseded files under the grace window"
     expired = expire_superseded(root, min_age_seconds=0.0)
     assert expired
-    assert _list_codes_files(root) == set(
-        _read_meta(root)["codes_files"])
+    assert _list_codes_files(root) == committed_files(root)
     assert ann_index_search(spark, root, probes, k=2,
                             nprobe=2).count() > 0
 
@@ -300,6 +300,7 @@ def test_dedupe_is_manifest_committed_and_crash_safe(
         _list_codes_files,
         _read_meta,
         ann_index_append,
+        committed_files,
         compact_index_buckets,
     )
 
@@ -317,7 +318,7 @@ def test_dedupe_is_manifest_committed_and_crash_safe(
     probes = e.filter(F.col("vec_id") < 5)
     dirty = sorted(map(tuple, ann_index_search(
         spark, root, probes, k=3, nprobe=2).collect()))
-    pre_manifest = set(_read_meta(root)["codes_files"])
+    pre_manifest = committed_files(root)
 
     # Crash injection: die at the commit instant. The index must stay
     # exactly the pre-dedupe index — same manifest, every file on disk.
@@ -332,8 +333,7 @@ def test_dedupe_is_manifest_committed_and_crash_safe(
         dedupe_codes(spark, root)
     monkeypatch.setattr(ai, "_write_meta_atomic", real_commit)
 
-    meta_after_crash = _read_meta(root)
-    assert set(meta_after_crash["codes_files"]) == pre_manifest
+    assert committed_files(root) == pre_manifest
     on_disk = _list_codes_files(root)
     assert pre_manifest <= on_disk  # every committed file still live
     crashed = sorted(map(tuple, ann_index_search(
@@ -344,8 +344,7 @@ def test_dedupe_is_manifest_committed_and_crash_safe(
     # superseded files linger as debris (reader grace window).
     removed = dedupe_codes(spark, root)
     assert removed == 5 * 2  # m=2 code rows per duplicated vector
-    meta2 = _read_meta(root)
-    committed = set(meta2["codes_files"])
+    committed = committed_files(root)
     on_disk2 = _list_codes_files(root)
     assert committed <= on_disk2
     assert pre_manifest & on_disk2  # old files NOT deleted at commit
@@ -353,7 +352,7 @@ def test_dedupe_is_manifest_committed_and_crash_safe(
     # Next writer op sweeps the superseded debris.
     compact_index_buckets(spark, root, max_files=10_000)
     on_disk3 = _list_codes_files(root)
-    assert on_disk3 == set(_read_meta(root)["codes_files"])
+    assert on_disk3 == committed_files(root)
     assert not (pre_manifest & on_disk3)
 
     clean = sorted(map(tuple, ann_index_search(
