@@ -1200,11 +1200,20 @@ def ivfpq_topk_refined(
     cands = ivfpq_topk(queries, coarse, book, codes, id_col, vec_col,
                        m=m, k=refine_from, nprobe=nprobe) \
         .select("query_id", "match_id")
+    return _exact_rerank(cands, queries, corpus, id_col, vec_col, k)
+
+
+def _exact_rerank(cands: DataFrame, queries: DataFrame,
+                  vectors: DataFrame, id_col: str, vec_col: str,
+                  k: int) -> DataFrame:
+    """The refine stage shared by the in-memory and the pruned-store
+    paths: exact squared euclidean over the (query_id, match_id)
+    candidate pairs, per-query top-k."""
     qv = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("_qv")))
-    mv = corpus.select(F.col(id_col).alias("match_id"),
-                       _as_double(F.col(vec_col)).alias("_mv"))
+    mv = vectors.select(F.col(id_col).alias("match_id"),
+                        _as_double(F.col(vec_col)).alias("_mv"))
     exact = (
         cands.join(qv, "query_id").join(mv, "match_id")
         .select("query_id", "match_id",
@@ -1215,3 +1224,45 @@ def ivfpq_topk_refined(
         F.col("exact_dist").asc(), F.col("match_id").asc())
     return exact.withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k)
+
+
+def ivfpq_topk_refined_pruned(
+    queries: DataFrame, coarse: DataFrame, book: DataFrame,
+    codes: DataFrame, vector_store_path: str, id_col: str,
+    vec_col: str, m: int = 2, k: int = 3, refine_from: int = 10,
+    nprobe: int = 1,
+) -> tuple[DataFrame, list[str], int]:
+    """`ivfpq_topk_refined` with the exact-fetch side composed with the
+    file-stats manifest store (VERDICT r10 item 4 — the docstring's
+    "point-lookup join against the vector store, typically pruned"
+    wired as one call): instead of a caller-held corpus frame, the
+    original vectors come from a RANGE-CLUSTERED parquet store with a
+    min/max manifest on `id_col`
+    (`sources/parquet_io.write_view_clustered_with_manifest`), and only
+    the files whose id range can hold a candidate are opened
+    (`sources/manifest.read_pruned_ids` — one bisect of the sorted
+    candidate ids per file, never a single loose (lo, hi) envelope).
+
+    The candidate id set is Q × refine_from rows — bounded,
+    model-sized — so collecting it to drive the listing-time prune is
+    the cheap side of the trade: at 100 TB the vector store is millions
+    of files, and the prune turns the exact fetch from "open every
+    footer" into "open the handful of files the candidates live in".
+    Returns (result, kept_files, total_files) so callers and tests can
+    assert the skip rate; result hash-equals the in-memory
+    `ivfpq_topk_refined` over the same store content."""
+    from api_to_amt_data_lake_spark.sources.manifest import (
+        _data_files,
+        read_pruned_ids,
+    )
+
+    spark = queries.sparkSession
+    cands = ivfpq_topk(queries, coarse, book, codes, id_col, vec_col,
+                       m=m, k=refine_from, nprobe=nprobe) \
+        .select("query_id", "match_id").localCheckpoint()
+    ids = [r[0] for r in cands.select("match_id").distinct().collect()]
+    vecs, kept = read_pruned_ids(spark, vector_store_path, id_col, ids)
+    out = _exact_rerank(cands, queries,
+                        vecs.select(id_col, vec_col),
+                        id_col, vec_col, k)
+    return out, kept, len(_data_files(str(vector_store_path)))

@@ -4814,6 +4814,46 @@ def q95i_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rank").cast("int").alias("rank"))
 
 
+@register("q95j_pruned_rerank", oracle=_ivfpq_oracle(refine_from=10))
+def q95j_pruned_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q95i's exact re-rank with the candidate fetch going through the
+    PRUNED vector store (`operators/similarity.py::
+    ivfpq_topk_refined_pruned`, VERDICT r10 item 4): embeddings are
+    written range-clustered on vec_id with a file-stats manifest, and
+    the refine stage opens only the files whose id range can hold one
+    of the Q × refine_from candidate ids — at 100 TB the store is
+    millions of files and this is the difference between a point
+    lookup and a full footer sweep. Same oracle as q95i: the pruning
+    must be exactly invisible in the rows (the plan-audit asserts
+    files-kept < files-total)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivfpq_fit,
+        ivfpq_topk_refined_pruned,
+    )
+    from api_to_amt_data_lake_spark.sources.parquet_io import (
+        write_view_clustered_with_manifest,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                       "embedding")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"vec_store_{tag}")
+    shutil.rmtree(path, ignore_errors=True)  # fresh store per run
+    write_view_clustered_with_manifest(e, path, ["vec_id"], n_files=16)
+    coarse, book, codes = ivfpq_fit(e, "vec_id", "embedding", kc=4,
+                                    coarse_iters=2, m=2, k=4, iters=2)
+    q = e.filter(F.col("vec_id") < 5)
+    out, _kept, _total = ivfpq_topk_refined_pruned(
+        q, coarse, book, codes, path, "vec_id", "embedding",
+        m=2, k=3, refine_from=10, nprobe=1)
+    return out.select("query_id", "match_id", "exact_dist",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 @register("q95g_filtered_ann", oracle=_ivfpq_oracle(search_cond="label = 1"))
 def q95g_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search — ANN under a metadata predicate (the

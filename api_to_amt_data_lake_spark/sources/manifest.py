@@ -125,11 +125,53 @@ def read_pruned(
                 break
         if keep:
             kept.append(name)
+    return _read_kept(spark, root, kept), kept
+
+
+def read_pruned_ids(
+    spark: SparkSession, dataset_path: str,
+    id_col: str, ids,
+) -> tuple[DataFrame, list[str]]:
+    """POINT-LOOKUP file pruning: keep only the files whose tracked
+    [min, max] range for `id_col` contains at least one of `ids` — the
+    read shape of an id-keyed candidate fetch (ANN exact re-rank, CDC
+    key splice) against a range-clustered store. A single (lo, hi)
+    envelope over a scattered id set keeps almost every file; checking
+    each file against the SORTED id list (one bisect per file) keeps
+    only the files that can actually hold a candidate. Same
+    conservative contract as `read_pruned`: apply the row-level id
+    filter on top."""
+    import bisect
+
+    root = str(dataset_path)
+    with open(os.path.join(root, _MANIFEST)) as f:
+        manifest = json.load(f)
+    listing = _data_files(root)
+    missing = [n for n in listing if n not in manifest["files"]]
+    if missing:
+        raise ValueError(
+            f"manifest does not cover {len(missing)} data files "
+            f"(e.g. {missing[0]}); rewrite it with write_manifest")
+    vals = sorted(set(ids))
+    kept = []
+    for name in listing:
+        mn, mx = manifest["files"][name][id_col]
+        if mn is None or mx is None:
+            kept.append(name)  # all-null stats: always keep
+            continue
+        i = bisect.bisect_left(vals, mn)
+        if i < len(vals) and vals[i] <= mx:
+            kept.append(name)
+    return _read_kept(spark, root, kept), kept
+
+
+def _read_kept(spark: SparkSession, root: str,
+               kept: list[str]) -> DataFrame:
     if not kept:
         # preserve schema: read everything, keep no rows
-        return (spark.read.parquet(root).filter(F.lit(False)), [])
+        return spark.read.parquet(root).filter(F.lit(False))
     paths = [os.path.join(root, n) for n in kept]
     # basePath keeps hive partition columns (e.g. the bucket store's
     # _bkt) when the kept files sit under partition dirs; harmless for
     # flat layouts.
-    return spark.read.option("basePath", root).parquet(*paths), kept
+    return spark.read.option("basePath", root).parquet(*paths)

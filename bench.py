@@ -160,6 +160,9 @@ HEADLINE = [
     "q95i_adc_rerank",
     "q99zzq_auc",
     "q99zzr_calibration",
+    # round 11
+    "q99zzs_average_precision",
+    "q95j_pruned_rerank",
 ]
 
 
@@ -302,6 +305,20 @@ def main() -> None:
         rounds = [int(m.group(1)) for f in REPO.glob("BENCH_r*.json")
                   if (m := re.match(r"BENCH_r(\d+)\.json$", f.name))]
         nn = (max(rounds) + 1) if rounds else 0
+    # Standalone fresh-JVM floors for the heavy tail (VERDICT r10
+    # item 2): tools/heavy_floors.py writes FLOORS_r{NN}.json before the
+    # driver's bench run; embedding it here makes the round's bench
+    # artifact self-adjudicating — in-suite heavy-tail numbers carry
+    # position debt, so cross-round regression claims cite floor vs
+    # floor. Missing file = floors not recorded this round.
+    floors = None
+    floors_path = REPO / f"FLOORS_r{nn:02d}.json"
+    if floors_path.is_file():
+        try:
+            floors = json.loads(floors_path.read_text()).get("floors")
+        except (OSError, ValueError):
+            floors = None
+
     full = {
         "metric": "headline_suite_total",
         "value": round(total, 3),
@@ -311,6 +328,9 @@ def main() -> None:
         "aggregation": "min",
         "sf": sf,
     }
+    if floors:
+        full["floors"] = floors
+        full["floors_method"] = "fresh JVM per query (heavy_floors.py)"
     # A control-ordered run must not overwrite the canonical suite-order
     # artifact the judge diffs across rounds.
     order = os.environ.get("SPARK_GRAFT_BENCH_ORDER")
@@ -327,7 +347,7 @@ def main() -> None:
     # alongside whatever partial line precedes it. `queries` carries only
     # the 5 slowest entries so the driver's schema still sees the key.
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
-    print(json.dumps({
+    final = {
         "metric": "headline_suite_total",
         "value": round(total, 3),
         "unit": "sec",
@@ -337,7 +357,10 @@ def main() -> None:
         "runs_per_query": n_runs,
         "aggregation": "min",
         "sf": sf,
-    }))
+    }
+    if floors:
+        final["floors"] = floors  # 5 scalar entries: fits the tail
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

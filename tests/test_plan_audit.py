@@ -250,6 +250,43 @@ def test_pruned_view_read_lists_fewer_files(spark):
     assert 0 < len(kept) < len(_data_files(path))
 
 
+def test_pruned_rerank_fetch_opens_fewer_files_than_store(spark):
+    """r11 q95j claim: the exact-fetch side of the refined search goes
+    through the id-set manifest prune — the candidate vectors must
+    resolve to strictly fewer files than the store holds (16), and the
+    result must hash-equal the in-memory refine path (the q95i/q95j
+    oracle identity makes the driver check the same thing)."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        ivfpq_fit,
+        ivfpq_topk_refined,
+        ivfpq_topk_refined_pruned,
+    )
+    from api_to_amt_data_lake_spark.sources.parquet_io import (
+        read_table,
+        write_view_clustered_with_manifest,
+    )
+
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="vec_store_audit_") + "/store"
+    write_view_clustered_with_manifest(e, path, ["vec_id"], n_files=16)
+    coarse, book, codes = ivfpq_fit(e, "vec_id", "embedding", kc=4,
+                                    coarse_iters=2, m=2, k=4, iters=2)
+    q = e.filter(F.col("vec_id") < 5)
+    out, kept, total = ivfpq_topk_refined_pruned(
+        q, coarse, book, codes, path, "vec_id", "embedding",
+        m=2, k=3, refine_from=10, nprobe=1)
+    assert total == 16 and 0 < len(kept) < total
+    want = sorted(map(tuple, ivfpq_topk_refined(
+        q, coarse, book, codes, e, "vec_id", "embedding",
+        m=2, k=3, refine_from=10, nprobe=1).collect()))
+    assert sorted(map(tuple, out.collect())) == want
+
+
 def test_auc_window_runs_over_distinct_scores_not_corpus(spark):
     """r10 q99zzq claim: the rank window partitions the per-(group,
     score) COUNT table, so the window's input is an aggregation, not
