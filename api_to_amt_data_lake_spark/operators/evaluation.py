@@ -133,6 +133,64 @@ def grouped_average_precision(
                 .otherwise(F.lit(0.0)), round_to).alias("ap"))
 
 
+def best_f1_threshold(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """The operational end of the AUC/AP story: pick, per group, the
+    score threshold that maximizes F1 when "predict positive" means
+    score >= threshold — what a curation team actually deploys after
+    validating a filter (AP says the ranking is good; this says WHERE
+    to cut it, per language/source slice, since the right cut drifts
+    across slices exactly like calibration does).
+
+    One step per DISTINCT score over the same per-(group, score) count
+    table as `grouped_auc`/`grouped_average_precision`: descending
+    cumulative TP and N give F1(s) = 2·TP/(2·TP + FP + FN) at every
+    threshold, and the per-group argmax folds into ONE max(struct)
+    aggregation (f1 desc, then HIGHEST threshold as the deterministic
+    tie-break — the conservative cut that keeps fewer rows). Output:
+    (groups…, n_pos, n_neg, threshold, f1); a group with no positives
+    has F1 = 0 at every threshold and reports f1 = 0.0 with its zero
+    n_pos as the flag (grouped_auc's degenerate-slice convention).
+    F1 values are rounded to 9dp before the argmax so the chosen
+    threshold is engine-independent."""
+    g = list(group_cols)
+    per_score = (
+        df.groupBy(*g, F.col(score_col).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_c"),
+             F.sum(F.col(label_col).cast("long")).alias("_pos"))
+    )
+    w = (Window.partitionBy(*g).orderBy(F.col("_s").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per_score.withColumn("_tp", F.sum("_pos").over(w)) \
+                   .withColumn("_n", F.sum("_c").over(w))
+    # FP = _n − _tp and FN = n_pos − _tp, so the F1 denominator
+    # 2·TP + FP + FN telescopes to _n + n_pos — two cumulative longs.
+    totals = per_score.groupBy(*g).agg(
+        F.sum("_pos").alias("n_pos"),
+        (F.sum("_c") - F.sum("_pos")).alias("n_neg"))
+    f1 = (2.0 * F.col("_tp").cast("double")
+          / (F.col("_n").cast("double")
+             + F.col("n_pos").cast("double")))
+    scored = (
+        cum.join(F.broadcast(totals), g)
+        .withColumn("_f1r", F.round(
+            F.when(F.col("n_pos") > 0, f1).otherwise(F.lit(0.0)), 9))
+    )
+    best = scored.groupBy(*g).agg(
+        F.max(F.struct(F.col("_f1r"), F.col("_s"))).alias("_b"),
+        F.first("n_pos").alias("n_pos"),
+        F.first("n_neg").alias("n_neg"))
+    return best.select(
+        *g, "n_pos", "n_neg",
+        F.col("_b._s").alias("threshold"),
+        F.round(F.col("_b._f1r"), round_to).alias("f1"))
+
+
 def calibration_ece(
     df: DataFrame,
     group_cols: list[str],

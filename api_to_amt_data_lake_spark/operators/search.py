@@ -155,6 +155,50 @@ def ndcg_at_k(
     )
 
 
+def mean_reciprocal_rank(
+    ranked: DataFrame,
+    group_cols: list[str],
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mean reciprocal rank per group over the `ndcg_at_k` ranked-
+    results shape — THE single-number navigational-retrieval metric
+    (how high is the FIRST relevant hit?), the companion to NDCG
+    (graded list quality) and P/R@k (set quality). A query's
+    reciprocal rank is 1/rank of its first relevant result (relevance
+    > 0), 0 if none (TREC convention, matching ndcg/recall); MRR
+    averages over ALL the group's queries, including the zero ones.
+    Output: (groups…, n_queries, mrr).
+
+    Scale shape: one filtered min-aggregation on the query key, one
+    group aggregation joined against the per-group query count — pure
+    counts and one division per query, windows nowhere. Per-query
+    reciprocal ranks are rounded to 9dp and folded through an exact
+    decimal sum so the group mean is accumulation-order-independent
+    (the oracle reproduces it bit-for-bit)."""
+    g = list(group_cols)
+    first_rel = (
+        ranked.filter(F.col(rel_col) > 0)
+        .groupBy(*g, F.col(query_col).alias("_q"))
+        .agg(F.min(F.col(rank_col)).alias("_fr"))
+        .select(*g, "_q",
+                F.round(F.lit(1.0) / F.col("_fr").cast("double"), 9)
+                .cast("decimal(38,12)").alias("_rr"))
+    )
+    n_q = (ranked.groupBy(*g)
+           .agg(F.countDistinct(query_col).alias("n_queries")))
+    rr_sum = first_rel.groupBy(*g).agg(F.sum("_rr").alias("_s"))
+    return (
+        n_q.join(rr_sum, g, "left")
+        .select(*g, "n_queries",
+                F.round(F.coalesce(F.col("_s"), F.lit(0))
+                        .cast("double") / F.col("n_queries"),
+                        round_to).alias("mrr"))
+    )
+
+
 def precision_recall_at_k(
     ranked: DataFrame,
     query_col: str,

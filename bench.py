@@ -163,6 +163,8 @@ HEADLINE = [
     # round 11
     "q99zzs_average_precision",
     "q95j_pruned_rerank",
+    "q99zzt_mrr",
+    "q99zzu_best_f1",
 ]
 
 

@@ -162,6 +162,73 @@ def test_grouped_average_precision_degenerate_groups(spark):
     assert got["perfect"]["ap"] == 1.0  # positive ranked first
 
 
+def test_mean_reciprocal_rank_matches_python(spark):
+    """Grouped MRR == the textbook per-query 1/first-relevant-rank mean
+    (no-relevant queries count 0) on random ranked lists."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.search import (
+        mean_reciprocal_rank,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for q in range(40):
+        for rank in range(1, rng.randrange(2, 12)):
+            rows.append(("g%d" % (q % 3), q, rank, rng.randrange(3)))
+    df = spark.createDataFrame(rows, ["g", "query", "rank", "rel"])
+
+    by_group: dict = {}
+    for g, q, rank, rel in rows:
+        by_group.setdefault(g, {}).setdefault(q, []).append((rank, rel))
+    got = {r["g"]: (r["n_queries"], r["mrr"])
+           for r in mean_reciprocal_rank(
+               df, ["g"], "query", "rank", "rel").collect()}
+    for g, queries in by_group.items():
+        rrs = []
+        for q, pairs in queries.items():
+            rel_ranks = [rank for rank, rel in pairs if rel > 0]
+            rrs.append(round(1.0 / min(rel_ranks), 9)
+                       if rel_ranks else 0.0)
+        assert got[g][0] == len(queries)
+        assert abs(got[g][1] - sum(rrs) / len(rrs)) < 1e-6, g
+
+
+def test_best_f1_threshold_matches_python(spark):
+    """Per-group best-F1 threshold == brute force over every distinct
+    score (f1 desc, highest threshold tie-break), including a
+    no-positive group reporting f1=0.0."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        best_f1_threshold,
+    )
+
+    rng = random.Random(9)
+    rows = [("g%d" % (i % 2), round(rng.random() * 5) / 5.0,
+             rng.randrange(2)) for i in range(200)]
+    rows += [("empty", 0.4, 0), ("empty", 0.8, 0)]
+    df = spark.createDataFrame(rows, ["g", "score", "label"])
+    got = {r["g"]: r for r in best_f1_threshold(
+        df, ["g"], "score", "label").collect()}
+
+    for grp in ("g0", "g1"):
+        pairs = [(s, y) for g, s, y in rows if g == grp]
+        n_pos = sum(y for _, y in pairs)
+        best = None
+        for t in sorted({s for s, _ in pairs}, reverse=True):
+            tp = sum(y for s, y in pairs if s >= t)
+            n = sum(1 for s, _ in pairs if s >= t)
+            f1 = round(2.0 * tp / (n + n_pos), 9) if n_pos else 0.0
+            cand = (f1, t)
+            if best is None or cand > best:
+                best = cand
+        assert got[grp]["n_pos"] == n_pos
+        assert abs(got[grp]["f1"] - round(best[0], 6)) < 1e-9, grp
+        assert got[grp]["threshold"] == best[1], grp
+    assert got["empty"]["f1"] == 0.0 and got["empty"]["n_pos"] == 0
+
+
 def test_ann_meta_is_bounded_by_bucket_count(spark, tmp_path):
     """VERDICT r10 item 3: meta.json carries a bucket → sidecar pointer
     map, never the full file list — appends grow the SIDECARS of the

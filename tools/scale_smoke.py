@@ -229,6 +229,31 @@ def main() -> None:
         rounds = [int(m.group(1)) for f in REPO.glob("BENCH_r*.json")
                   if (m := _re.match(r"BENCH_r(\d+)\.json$", f.name))]
         nn = (max(rounds) + 1) if rounds else 0
+    # Cross-round trend with in-artifact adjudication (VERDICT r10
+    # item 7: a >1.5x view gets its one-line note in the ARTIFACT, not
+    # just the verdict). Sub-second views are pre-adjudicated: at that
+    # size the measured time is job overhead + host noise, not plan.
+    prev = sorted(
+        (int(m.group(1)), f)
+        for f in REPO.glob(f"GOLD_SCALE_r*_n{n}.json")
+        if (m := _re.match(r"GOLD_SCALE_r(\d+)_n\d+\.json$", f.name))
+        and int(m.group(1)) < nn)
+    if prev:
+        p_round, p_file = prev[-1]
+        p_views = json.loads(p_file.read_text()).get("views", {})
+        flagged = {}
+        for v, t in times.items():
+            pt = p_views.get(v)
+            if not pt or t <= 1.5 * pt:
+                continue
+            note = ("sub-second at both rounds — job overhead / host "
+                    "noise, not plan" if t < 1.0 and pt < 1.0 else
+                    "ADJUDICATE: exceeds the host band — check the "
+                    "plan and the standalone floor")
+            flagged[v] = {"prev_s": pt, "now_s": t,
+                          "ratio": round(t / pt, 2), "note": note}
+        out_doc["trend"] = {"vs_round": p_round, "flagged_over_1p5x":
+                            flagged}
     art = REPO / f"GOLD_SCALE_r{nn:02d}_n{n}.json"
     art.write_text(json.dumps(out_doc, indent=1) + "\n")
     print(json.dumps(out_doc))
