@@ -71,6 +71,170 @@ def build(spark: SparkSession, silver_root: str, school_year: str | int,
     if ssa is None or cal is None or "calendarEvents" not in cal.columns:
         return CONTRACT.empty(spark)
 
+    sch_ct = per_day = disc_ct = None
+    if school_ev is not None:
+        sch_ct = school_attendance_counts(school_ev)
+    if section_ev is not None and section_assoc is not None:
+        per_day = section_day_flags(
+            section_event_counts(section_ev),
+            section_assoc_frame(section_assoc))
+    if incidents is not None and behavior is not None:
+        disc_ct = discipline_counts(
+            incident_frame(incidents).join(
+                behavior_frame(behavior), ["_school", "_incident"],
+                "inner"))
+    return assemble(spark, ssa, cal, sch_ct, per_day, disc_ct, run_date)
+
+
+def school_attendance_counts(school_ev: DataFrame) -> DataFrame:
+    """The school-attendance crosstab per (school, student, eventDate)
+    — crosswalk CONSTANTS (`main.py:194-207`)."""
+    sch = with_descriptor_constant(
+        school_ev.select(
+            F.col("schoolReference.schoolId").cast("string").alias("_school"),
+            F.col("studentReference.studentUniqueId").cast("string")
+            .alias("_student"),
+            F.col("eventDate").cast("string").alias("_evdate"),
+            F.col("attendanceEventCategoryDescriptor"),
+        ),
+        "attendanceEventCategoryDescriptor",
+    )
+    return crosstab_count(
+        sch, ["_school", "_student", "_evdate"],
+        "attendanceEventCategoryDescriptor_constantName",
+        ["AttendanceEvent.Present", "AttendanceEvent.ExcusedAbsence",
+         "AttendanceEvent.UnexcusedAbsence", "AttendanceEvent.Tardy"],
+        rename={
+            "AttendanceEvent.Present": "IsPresentSchool",
+            "AttendanceEvent.ExcusedAbsence": "IsAbsentFromSchoolExcused",
+            "AttendanceEvent.UnexcusedAbsence":
+                "IsAbsentFromSchoolUnexcused",
+            "AttendanceEvent.Tardy": "IsTardyToSchool",
+        },
+    )
+
+
+SEC_KEYS = ["_lcc", "_school", "_year", "_sid", "_sess", "_student"]
+
+
+def section_event_counts(section_ev: DataFrame) -> DataFrame:
+    """The section-attendance crosstab per (section keys, eventDate,
+    environment) — RAW code values (`main.py:292-331`)."""
+    ev = section_ev.select(
+        F.col("sectionReference.localCourseCode").alias("_lcc"),
+        F.col("sectionReference.schoolId").cast("string").alias("_school"),
+        F.col("sectionReference.schoolYear").cast("string").alias("_year"),
+        F.col("sectionReference.sectionIdentifier").alias("_sid"),
+        F.col("sectionReference.sessionName").alias("_sess"),
+        F.col("studentReference.studentUniqueId").cast("string")
+        .alias("_student"),
+        F.col("eventDate").cast("string").alias("_evdate"),
+        descriptor_code_value("attendanceEventCategoryDescriptor")
+        .alias("_cat"),
+        (F.col("educationalEnvironmentDescriptor")
+         if "educationalEnvironmentDescriptor" in section_ev.columns
+         else F.lit(None).cast("string")).alias("_env"),
+    )
+    return crosstab_count(
+        ev, SEC_KEYS + ["_evdate", "_env"], "_cat",
+        ["In Attendance", "Excused Absence", "Unexcused Absence", "Tardy"],
+        rename={
+            "In Attendance": "IsPresentAnyClass",
+            "Excused Absence": "IsAbsentFromAnyClassExcused",
+            "Unexcused Absence": "IsAbsentFromAnyClassUnexcused",
+            "Tardy": "IsTardyToAnyClass",
+        },
+    )
+
+
+def section_assoc_frame(section_assoc: DataFrame) -> DataFrame:
+    return section_assoc.select(
+        F.col("sectionReference.localCourseCode").alias("_lcc"),
+        F.col("sectionReference.schoolId").cast("string").alias("_school"),
+        F.col("sectionReference.schoolYear").cast("string").alias("_year"),
+        F.col("sectionReference.sectionIdentifier").alias("_sid"),
+        F.col("sectionReference.sessionName").alias("_sess"),
+        F.col("studentReference.studentUniqueId").cast("string")
+        .alias("_student"),
+        (F.col("homeroomIndicator")
+         if "homeroomIndicator" in section_assoc.columns
+         else F.lit(None).cast("boolean")).alias("_homeroom"),
+    )
+
+
+def section_day_flags(ev_ct: DataFrame, assoc: DataFrame) -> DataFrame:
+    """assoc ⋈ section crosstab → per-(school, year, student, day)
+    group-max with the homeroom split (`main.py:459-466`)."""
+    joined = assoc.join(ev_ct, SEC_KEYS, "inner")
+    hr = F.when(F.col("_homeroom"), 1).otherwise(0)
+    return (
+        joined.groupBy("_school", "_year", "_student", "_evdate")
+        .agg(
+            F.max("IsPresentAnyClass").alias("IsPresentAnyClass"),
+            F.max("IsAbsentFromAnyClassExcused")
+            .alias("IsAbsentFromAnyClassExcused"),
+            F.max("IsAbsentFromAnyClassUnexcused")
+            .alias("IsAbsentFromAnyClassUnexcused"),
+            F.max("IsTardyToAnyClass").alias("IsTardyToAnyClass"),
+            F.max(hr * F.col("IsPresentAnyClass")).alias("IsPresentHomeroom"),
+            F.max(hr * F.col("IsAbsentFromAnyClassExcused"))
+            .alias("IsAbsentFromHomeroomExcused"),
+            F.max(hr * F.col("IsAbsentFromAnyClassUnexcused"))
+            .alias("IsAbsentFromHomeroomUnexcused"),
+            F.max(hr * F.col("IsTardyToAnyClass")).alias("IsTardyToHomeroom"),
+        )
+    )
+
+
+def incident_frame(incidents: DataFrame) -> DataFrame:
+    return incidents.select(
+        F.col("schoolReference.schoolId").cast("string").alias("_school"),
+        F.col("incidentIdentifier").alias("_incident"),
+        F.col("incidentDate").cast("string").alias("_incdate"),
+    )
+
+
+def behavior_frame(behavior: DataFrame) -> DataFrame:
+    return behavior.select(
+        F.col("disciplineIncidentReference.incidentIdentifier")
+        .alias("_incident"),
+        F.col("disciplineIncidentReference.schoolId").cast("string")
+        .alias("_school"),
+        F.col("studentReference.studentUniqueId").cast("string")
+        .alias("_student"),
+        F.col("behaviorDescriptor"),
+    )
+
+
+def discipline_counts(joined: DataFrame) -> DataFrame:
+    """Behavior-constant crosstab per (school, student, incidentDate)
+    over the incidents ⋈ behavior-association join (`main.py:494-563`)."""
+    disc = with_descriptor_constant(joined, "behaviorDescriptor")
+    return crosstab_count(
+        disc, ["_school", "_student", "_incdate"],
+        "behaviorDescriptor_constantName",
+        ["Behavior.StateOffense", "Behavior.SchoolCodeOfConductOffense"],
+        rename={
+            "Behavior.StateOffense": "CountByDayOfStateOffenses",
+            "Behavior.SchoolCodeOfConductOffense":
+                "CountByDayOfConductOffenses",
+        },
+    )
+
+
+def assemble(spark: SparkSession, ssa: DataFrame, cal: DataFrame,
+             sch_ct: DataFrame | None, per_day: DataFrame | None,
+             disc_ct: DataFrame | None, run_date: str | None = None,
+             touched: DataFrame | None = None) -> DataFrame:
+    """The view body downstream of the three count frames (split out of
+    `build` so they can come either from the raw silver events or from
+    the incrementally-maintained grouped-sum states —
+    `amt/ews_incremental.py`): enrollment × calendar-event base,
+    left-join the school crosstab / section per-day flags / discipline
+    counts, zero-fill, contract conform. With `touched` (columns
+    `StudentKey SchoolKey _date` — raw date strings), the base is
+    semi-joined down to the touched output keys first (broadcast semi
+    join + runtime bloom into the silver scans)."""
     today_key = (run_date or _date.today().isoformat()).replace("-", "")[:8]
 
     enroll = ssa.select(
@@ -104,31 +268,14 @@ def build(spark: SparkSession, silver_root: str, school_year: str | int,
         & (dk <= today_key),
         "inner",
     ).select("StudentKey", "SchoolKey", "_date", "_cal_year", "IsInstructionalDay")
+    if touched is not None:
+        base = base.join(
+            F.broadcast(touched.select("StudentKey", "SchoolKey",
+                                       "_date").distinct()),
+            ["StudentKey", "SchoolKey", "_date"], "left_semi")
 
     # --- school attendance crosstab (crosswalk constants) ---
-    if school_ev is not None:
-        sch = with_descriptor_constant(
-            school_ev.select(
-                F.col("schoolReference.schoolId").cast("string").alias("_school"),
-                F.col("studentReference.studentUniqueId").cast("string")
-                .alias("_student"),
-                F.col("eventDate").cast("string").alias("_evdate"),
-                F.col("attendanceEventCategoryDescriptor"),
-            ),
-            "attendanceEventCategoryDescriptor",
-        )
-        sch_ct = crosstab_count(
-            sch, ["_school", "_student", "_evdate"],
-            "attendanceEventCategoryDescriptor_constantName",
-            ["AttendanceEvent.Present", "AttendanceEvent.ExcusedAbsence",
-             "AttendanceEvent.UnexcusedAbsence", "AttendanceEvent.Tardy"],
-            rename={
-                "AttendanceEvent.Present": "IsPresentSchool",
-                "AttendanceEvent.ExcusedAbsence": "IsAbsentFromSchoolExcused",
-                "AttendanceEvent.UnexcusedAbsence": "IsAbsentFromSchoolUnexcused",
-                "AttendanceEvent.Tardy": "IsTardyToSchool",
-            },
-        )
+    if sch_ct is not None:
         base = base.join(
             sch_ct,
             (base.SchoolKey == sch_ct._school)
@@ -138,64 +285,7 @@ def build(spark: SparkSession, silver_root: str, school_year: str | int,
         ).drop("_school", "_student", "_evdate")
 
     # --- section attendance (raw code values) + homeroom split ---
-    if section_ev is not None and section_assoc is not None:
-        sec_keys = ["_lcc", "_school", "_year", "_sid", "_sess", "_student"]
-        ev = section_ev.select(
-            F.col("sectionReference.localCourseCode").alias("_lcc"),
-            F.col("sectionReference.schoolId").cast("string").alias("_school"),
-            F.col("sectionReference.schoolYear").cast("string").alias("_year"),
-            F.col("sectionReference.sectionIdentifier").alias("_sid"),
-            F.col("sectionReference.sessionName").alias("_sess"),
-            F.col("studentReference.studentUniqueId").cast("string")
-            .alias("_student"),
-            F.col("eventDate").cast("string").alias("_evdate"),
-            descriptor_code_value("attendanceEventCategoryDescriptor")
-            .alias("_cat"),
-            (F.col("educationalEnvironmentDescriptor")
-             if "educationalEnvironmentDescriptor" in section_ev.columns
-             else F.lit(None).cast("string")).alias("_env"),
-        )
-        ev_ct = crosstab_count(
-            ev, sec_keys + ["_evdate", "_env"], "_cat",
-            ["In Attendance", "Excused Absence", "Unexcused Absence", "Tardy"],
-            rename={
-                "In Attendance": "IsPresentAnyClass",
-                "Excused Absence": "IsAbsentFromAnyClassExcused",
-                "Unexcused Absence": "IsAbsentFromAnyClassUnexcused",
-                "Tardy": "IsTardyToAnyClass",
-            },
-        )
-        assoc = section_assoc.select(
-            F.col("sectionReference.localCourseCode").alias("_lcc"),
-            F.col("sectionReference.schoolId").cast("string").alias("_school"),
-            F.col("sectionReference.schoolYear").cast("string").alias("_year"),
-            F.col("sectionReference.sectionIdentifier").alias("_sid"),
-            F.col("sectionReference.sessionName").alias("_sess"),
-            F.col("studentReference.studentUniqueId").cast("string")
-            .alias("_student"),
-            (F.col("homeroomIndicator")
-             if "homeroomIndicator" in section_assoc.columns
-             else F.lit(None).cast("boolean")).alias("_homeroom"),
-        )
-        joined = assoc.join(ev_ct, sec_keys, "inner")
-        hr = F.when(F.col("_homeroom"), 1).otherwise(0)
-        per_day = (
-            joined.groupBy("_school", "_year", "_student", "_evdate")
-            .agg(
-                F.max("IsPresentAnyClass").alias("IsPresentAnyClass"),
-                F.max("IsAbsentFromAnyClassExcused")
-                .alias("IsAbsentFromAnyClassExcused"),
-                F.max("IsAbsentFromAnyClassUnexcused")
-                .alias("IsAbsentFromAnyClassUnexcused"),
-                F.max("IsTardyToAnyClass").alias("IsTardyToAnyClass"),
-                F.max(hr * F.col("IsPresentAnyClass")).alias("IsPresentHomeroom"),
-                F.max(hr * F.col("IsAbsentFromAnyClassExcused"))
-                .alias("IsAbsentFromHomeroomExcused"),
-                F.max(hr * F.col("IsAbsentFromAnyClassUnexcused"))
-                .alias("IsAbsentFromHomeroomUnexcused"),
-                F.max(hr * F.col("IsTardyToAnyClass")).alias("IsTardyToHomeroom"),
-            )
-        )
+    if per_day is not None:
         base = base.join(
             per_day,
             (base.SchoolKey == per_day._school)
@@ -206,35 +296,7 @@ def build(spark: SparkSession, silver_root: str, school_year: str | int,
         ).drop("_school", "_student", "_evdate", "_year")
 
     # --- discipline counts ---
-    if incidents is not None and behavior is not None:
-        inc = incidents.select(
-            F.col("schoolReference.schoolId").cast("string").alias("_school"),
-            F.col("incidentIdentifier").alias("_incident"),
-            F.col("incidentDate").cast("string").alias("_incdate"),
-        )
-        beh = behavior.select(
-            F.col("disciplineIncidentReference.incidentIdentifier")
-            .alias("_incident"),
-            F.col("disciplineIncidentReference.schoolId").cast("string")
-            .alias("_school"),
-            F.col("studentReference.studentUniqueId").cast("string")
-            .alias("_student"),
-            F.col("behaviorDescriptor"),
-        )
-        disc = with_descriptor_constant(
-            inc.join(beh, ["_school", "_incident"], "inner"),
-            "behaviorDescriptor",
-        )
-        disc_ct = crosstab_count(
-            disc, ["_school", "_student", "_incdate"],
-            "behaviorDescriptor_constantName",
-            ["Behavior.StateOffense", "Behavior.SchoolCodeOfConductOffense"],
-            rename={
-                "Behavior.StateOffense": "CountByDayOfStateOffenses",
-                "Behavior.SchoolCodeOfConductOffense":
-                    "CountByDayOfConductOffenses",
-            },
-        )
+    if disc_ct is not None:
         base = base.join(
             disc_ct,
             (base.SchoolKey == disc_ct._school)

@@ -74,6 +74,98 @@ def fold_grouped_sums(
     return folded.filter(F.col("n_rows") > 0)
 
 
+def signed_changes(changes: DataFrame, cols: list[str],
+                   sign_col: str = "_sgn") -> DataFrame:
+    """Decompose a CDF (from `sources.incremental.frame_changes(...,
+    include_old=True)`) into SIGNED image rows — the delete+insert
+    decomposition that generalizes IVM beyond insert-only deltas:
+    every non-delete row contributes its NEW image at +1, every
+    non-insert row its OLD image (the `_old_{c}` columns) at −1; an
+    update contributes both. Σ(signed images) ≡ A_new − A_old as a
+    signed multiset over `cols`."""
+    new_side = changes.filter(F.col("_change_type") != "delete").select(
+        *[F.col(c) for c in cols], F.lit(1).alias(sign_col))
+    old_side = changes.filter(F.col("_change_type") != "insert").select(
+        *[F.col(f"_old_{c}").alias(c) for c in cols],
+        F.lit(-1).alias(sign_col))
+    return new_side.unionAll(old_side)
+
+
+def delta_join_signed(
+    a_old: DataFrame,
+    d_a: DataFrame,
+    b_old: DataFrame,
+    d_b: DataFrame,
+    on: list[str],
+    sign_col: str = "_sgn",
+) -> DataFrame:
+    """Signed inner-join delta under arbitrary CDC (the general form of
+    `delta_join_increment`, which handles the insert-only case): with
+    dA = A_new − A_old and dB = B_new − B_old as SIGNED multisets
+    (`signed_changes`),
+
+        A'⋈B' − A⋈B  =  dA⋈B  +  A⋈dB  +  dA⋈dB,
+
+    where a joined row's sign is the PRODUCT of its inputs' signs (the
+    bilinear expansion of (A+dA)⋈(B+dB)). The returned frame carries
+    one `sign_col`; folding it into a downstream aggregate state
+    (`fold_grouped_sums_signed`) maintains Agg(A ⋈ B) under inserts,
+    updates, AND deletes on either side — cost tracks the deltas'
+    match fan-out, never |A|·|B|. Both base sides must carry
+    `sign_col` = +1 semantics implicitly (they are unsigned); the
+    delta sides carry theirs explicitly."""
+    a_sgn, b_sgn = f"{sign_col}_a", f"{sign_col}_b"
+
+    def _prod(df, sa, sb):
+        return df.withColumn(sign_col, (F.col(sa) * F.col(sb))
+                             .cast("int")).drop(sa, sb)
+
+    t1 = d_a.withColumnRenamed(sign_col, a_sgn).join(
+        b_old.withColumn(b_sgn, F.lit(1)), on)
+    t2 = a_old.withColumn(a_sgn, F.lit(1)).join(
+        d_b.withColumnRenamed(sign_col, b_sgn), on)
+    t3 = d_a.withColumnRenamed(sign_col, a_sgn).join(
+        d_b.withColumnRenamed(sign_col, b_sgn), on)
+    return (_prod(t1, a_sgn, b_sgn)
+            .unionByName(_prod(t2, a_sgn, b_sgn))
+            .unionByName(_prod(t3, a_sgn, b_sgn)))
+
+
+def fold_grouped_sums_signed(
+    state: DataFrame | None,
+    signed: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    sign_col: str = "_sgn",
+) -> DataFrame:
+    """Fold SIGNED contribution rows (from `signed_changes` or
+    `delta_join_signed`) into a `grouped_sums` state: each row adds
+    sign × 1 to its group's n_rows and sign × value to each sum.
+    `state=None` starts from empty. Same contract as
+    `fold_grouped_sums` (groups at zero rows drop out; the fold of a
+    full +1 feed rebuilds the aggregate) — the two differ only in the
+    input encoding: CDF rows with old images vs pre-signed images."""
+    deltas = (
+        signed.groupBy(*[F.col(c) for c in group_cols])
+        .agg(F.sum(sign_col).alias("_dn"),
+             *[F.sum(F.col(sign_col) * F.col(c)).alias(f"_dx_{c}")
+               for c in sum_cols])
+    )
+    if state is None:
+        folded = deltas.select(
+            *group_cols, F.col("_dn").alias("n_rows"),
+            *[F.col(f"_dx_{c}").alias(f"sum_{c}") for c in sum_cols])
+    else:
+        folded = state.join(deltas, group_cols, "full_outer").select(
+            *group_cols,
+            (F.coalesce(F.col("n_rows"), F.lit(0))
+             + F.coalesce(F.col("_dn"), F.lit(0))).alias("n_rows"),
+            *[(F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+               + F.coalesce(F.col(f"_dx_{c}"), F.lit(0)))
+              .alias(f"sum_{c}") for c in sum_cols])
+    return folded.filter(F.col("n_rows") > 0)
+
+
 def delta_join_increment(
     a_old: DataFrame,
     d_a: DataFrame,

@@ -162,6 +162,79 @@ def test_grouped_average_precision_degenerate_groups(spark):
     assert got["perfect"]["ap"] == 1.0  # positive ranked first
 
 
+def test_signed_join_fold_maintains_join_aggregate(spark):
+    """fold_grouped_sums_signed(state, delta_join_signed(...)) must
+    equal the from-scratch grouped sums of A_new ⋈ B_new under random
+    inserts, updates, and deletes on BOTH sides — the general (non-
+    insert-only) join-IVM algebra."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        delta_join_signed,
+        fold_grouped_sums_signed,
+        grouped_sums,
+        signed_changes,
+    )
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        frame_changes,
+    )
+
+    rng = random.Random(21)
+
+    def make_a(n):
+        return {f"a{i}": (rng.randrange(8), rng.randrange(5))
+                for i in range(n)}  # key -> (join key, group)
+
+    def make_b(n):
+        return {f"b{i}": (rng.randrange(8), rng.randrange(3) + 1)
+                for i in range(n)}  # key -> (join key, value)
+
+    a_old_d, b_old_d = make_a(30), make_b(25)
+    a_new_d = dict(a_old_d)
+    b_new_d = dict(b_old_d)
+    for k in list(a_new_d)[:8]:
+        if rng.random() < 0.5:
+            del a_new_d[k]
+        else:
+            a_new_d[k] = (rng.randrange(8), rng.randrange(5))
+    for i in range(5):
+        a_new_d[f"a_ins{i}"] = (rng.randrange(8), rng.randrange(5))
+    for k in list(b_new_d)[:6]:
+        if rng.random() < 0.5:
+            del b_new_d[k]
+        else:
+            b_new_d[k] = (rng.randrange(8), rng.randrange(3) + 1)
+    for i in range(4):
+        b_new_d[f"b_ins{i}"] = (rng.randrange(8), rng.randrange(3) + 1)
+
+    def df_a(d):
+        return spark.createDataFrame(
+            [(k, j, g) for k, (j, g) in d.items()], ["_k", "jk", "grp"])
+
+    def df_b(d):
+        return spark.createDataFrame(
+            [(k, j, v) for k, (j, v) in d.items()], ["_k", "jk", "val"])
+
+    a_old, a_new = df_a(a_old_d), df_a(a_new_d)
+    b_old, b_new = df_b(b_old_d), df_b(b_new_d)
+    d_a = signed_changes(
+        frame_changes(a_old, a_new, "_k", include_old=True),
+        ["jk", "grp"])
+    d_b = signed_changes(
+        frame_changes(b_old, b_new, "_k", include_old=True),
+        ["jk", "val"])
+    delta = delta_join_signed(a_old.drop("_k"), d_a,
+                              b_old.drop("_k"), d_b, ["jk"])
+    state = grouped_sums(a_old.drop("_k").join(b_old.drop("_k"), "jk"),
+                         ["grp"], ["val"])
+    folded = fold_grouped_sums_signed(state, delta, ["grp"], ["val"])
+    want = grouped_sums(a_new.drop("_k").join(b_new.drop("_k"), "jk"),
+                        ["grp"], ["val"])
+    got = sorted(map(tuple, folded.collect()))
+    exp = sorted(map(tuple, want.collect()))
+    assert got == exp
+
+
 def test_mean_reciprocal_rank_matches_python(spark):
     """Grouped MRR == the textbook per-query 1/first-relevant-rank mean
     (no-relevant queries count 0) on random ranked lists."""

@@ -102,6 +102,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     out = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(
         "/tmp/incr_gold_smoke")
+    which = sys.argv[3] if len(sys.argv) > 3 else "chrab"
     shutil.rmtree(out, ignore_errors=True)
     silver, gold, state = out / "silver", out / "gold", out / "state"
     n_schools = max(2, n // 500)
@@ -109,10 +110,20 @@ def main() -> None:
     print(f"synthesizing silver for {n:,} students ...", flush=True)
     synth_silver(silver, n)
 
-    from api_to_amt_data_lake_spark.amt import chrab_incremental as ci
-    from api_to_amt_data_lake_spark.amt.chrab import (
-        chronic_absenteeism_attendance_fact as chrab,
-    )
+    if which == "ews":
+        from api_to_amt_data_lake_spark.amt import (
+            ews_incremental as ci,
+        )
+        from api_to_amt_data_lake_spark.amt.ews import (
+            student_early_warning_fact as chrab,
+        )
+    else:
+        from api_to_amt_data_lake_spark.amt import (
+            chrab_incremental as ci,
+        )
+        from api_to_amt_data_lake_spark.amt.chrab import (
+            chronic_absenteeism_attendance_fact as chrab,
+        )
     from api_to_amt_data_lake_spark.session import get_spark
 
     spark = get_spark("incr-gold-smoke")
@@ -159,7 +170,8 @@ def main() -> None:
     res["speedup_vs_full_recompute"] = round(
         res["full_recompute_s"] / max(res["refresh_s"], 1e-9), 2)
 
-    artifact = REPO / f"GOLD_INCR_r11_n{n}.json"
+    tag = "" if which == "chrab" else f"_{which}"
+    artifact = REPO / f"GOLD_INCR_r11{tag}_n{n}.json"
     artifact.write_text(json.dumps(res, indent=2) + "\n")
     print(json.dumps(res))
     if not ok:
