@@ -8699,6 +8699,86 @@ def q99zzl_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("double").alias("revenue"))
 
 
+@register("q99zzv_signed_join_ivm", oracle="""
+WITH a_new AS (
+  SELECT o_orderkey AS k,
+    CASE WHEN o_orderkey % 7 = 2 THEN o_orderpriority || '#U'
+         ELSE o_orderpriority END AS grp
+  FROM orders WHERE o_orderkey % 7 != 1),
+b_new AS (
+  SELECT l_orderkey AS k,
+    CAST(l_quantity AS BIGINT)
+      * (CASE WHEN (l_orderkey * 31 + l_linenumber) % 7 = 2
+              THEN 2 ELSE 1 END) AS qty
+  FROM lineitem WHERE (l_orderkey * 31 + l_linenumber) % 7 != 1)
+SELECT grp AS o_orderpriority, COUNT(*) AS n_rows,
+  CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM a_new JOIN b_new USING (k) GROUP BY 1
+""")
+def q99zzv_signed_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL join-aggregate IVM — q99zzl extended from insert-only to
+    inserts, UPDATES, and DELETES on both sides (`operators/delta_agg
+    .py::signed_changes/delta_join_signed/fold_grouped_sums_signed`,
+    the machinery behind `amt/ews_incremental.py`'s discipline state):
+    orders and lineitem each get a deterministic old→new version step
+    (key%7==1 deleted, ==0 inserted, ==2 updated — a group-moving
+    priority rename on the A side, a value change on the B side), the
+    old-version join aggregate is FOLDED with the signed bilinear join
+    delta dA⋈B + A⋈dB + dA⋈dB, and the oracle aggregates the NEW join
+    from scratch. Equality proves fold(state, Δ) ≡ Agg(A'⋈B') exactly.
+    At 100 TB only the delta terms run per refresh — each probes a base
+    side where a delta key lands, never |A|·|B|."""
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        delta_join_signed,
+        fold_grouped_sums_signed,
+        grouped_sums,
+        signed_changes,
+    )
+    from api_to_amt_data_lake_spark.sources.incremental import (
+        frame_changes,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ha = F.col("o_orderkey") % 7
+    a_old = o.filter(ha != 0).select(
+        F.col("o_orderkey").alias("_k"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("grp"))
+    a_new = o.filter(ha != 1).select(
+        F.col("o_orderkey").alias("_k"),
+        F.col("o_orderkey").alias("k"),
+        F.when(ha == 2, F.concat(F.col("o_orderpriority"), F.lit("#U")))
+        .otherwise(F.col("o_orderpriority")).alias("grp"))
+    hb = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 7
+    # CDC key: the 4-tuple is the unique row identity in this corpus
+    # ((orderkey, linenumber) alone is NOT unique here — frame_changes'
+    # key-unique contract would cross-match old×new images and inflate
+    # the deltas).
+    lk = F.concat_ws("_", "l_orderkey", "l_linenumber", "l_partkey",
+                     "l_suppkey")
+    qty = F.col("l_quantity").cast("long")
+    b_old = li.filter(hb != 0).select(
+        lk.alias("_k"), F.col("l_orderkey").alias("k"),
+        qty.alias("qty"))
+    b_new = li.filter(hb != 1).select(
+        lk.alias("_k"), F.col("l_orderkey").alias("k"),
+        (qty * F.when(hb == 2, 2).otherwise(1)).alias("qty"))
+    d_a = signed_changes(
+        frame_changes(a_old, a_new, "_k", include_old=True),
+        ["k", "grp"])
+    d_b = signed_changes(
+        frame_changes(b_old, b_new, "_k", include_old=True),
+        ["k", "qty"])
+    delta = delta_join_signed(a_old.drop("_k"), d_a,
+                              b_old.drop("_k"), d_b, ["k"])
+    state = grouped_sums(a_old.drop("_k").join(b_old.drop("_k"), "k"),
+                         ["grp"], ["qty"])
+    folded = fold_grouped_sums_signed(state, delta, ["grp"], ["qty"])
+    return folded.select(F.col("grp").alias("o_orderpriority"),
+                         "n_rows", "sum_qty")
+
+
 @register("q99zzm_ndcg", oracle="""
 WITH ranked AS (
   SELECT user_id,

@@ -165,6 +165,7 @@ HEADLINE = [
     "q95j_pruned_rerank",
     "q99zzt_mrr",
     "q99zzu_best_f1",
+    "q99zzv_signed_join_ivm",
 ]
 
 
