@@ -120,8 +120,19 @@ def delta_join_signed(
         return df.withColumn(sign_col, (F.col(sa) * F.col(sb))
                              .cast("int")).drop(sa, sb)
 
-    t1 = d_a.withColumnRenamed(sign_col, a_sgn).join(
-        b_old.withColumn(b_sgn, F.lit(1)), on)
+    # Operand order puts the DELTA on the build (right) side of every
+    # term: the base probes then plan as broadcast-hash joins when the
+    # delta is small (its localCheckpoint/CDC-feed stats are accurate),
+    # so NO term exchanges a base side — the only shuffled data is
+    # delta-sized (plan-pinned in tests/test_round11_ops.py). On a
+    # single node the win is invisible (shuffle ≈ memcpy; the 10M smoke
+    # reads scan-bound either way) — on a cluster the avoided exchanges
+    # are 2 × |base| rows of network per refresh, which is the term
+    # that matters at 100 TB. With the delta on the LEFT, Spark planned
+    # the first term as a sort-merge join shuffling the full base.
+    # unionByName makes the operand swap invisible.
+    t1 = b_old.withColumn(b_sgn, F.lit(1)).join(
+        d_a.withColumnRenamed(sign_col, a_sgn), on)
     t2 = a_old.withColumn(a_sgn, F.lit(1)).join(
         d_b.withColumnRenamed(sign_col, b_sgn), on)
     t3 = d_a.withColumnRenamed(sign_col, a_sgn).join(

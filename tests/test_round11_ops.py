@@ -235,6 +235,40 @@ def test_signed_join_fold_maintains_join_aggregate(spark):
     assert got == exp
 
 
+def test_signed_join_delta_never_shuffles_the_base(spark):
+    """Plan pin for the r11 claim: with size-known (checkpointed/CDC)
+    deltas, every delta_join_signed term plans as a broadcast-hash
+    probe of the base — zero SortMergeJoin, so the only exchanged rows
+    are delta-sized. (The cluster-side point: a full recompute
+    exchanges BOTH base sides per refresh.)"""
+    from pyspark.sql import functions as F
+
+    from api_to_amt_data_lake_spark.operators.delta_agg import (
+        delta_join_signed,
+    )
+
+    n = 100_000
+    a_old = spark.range(n).select(
+        (F.col("id") % 1000).alias("k"),
+        (F.col("id") % 7).alias("grp")).localCheckpoint()
+    b_old = spark.range(n).select(
+        (F.col("id") % 1000).alias("k"),
+        (F.col("id") % 9).alias("val")).localCheckpoint()
+    d_a = spark.range(50).select(
+        (F.col("id") % 1000).alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.lit(1).alias("_sgn")).localCheckpoint()
+    d_b = spark.range(50).select(
+        (F.col("id") % 1000).alias("k"),
+        (F.col("id") % 9).alias("val"),
+        F.lit(-1).alias("_sgn")).localCheckpoint()
+    delta = delta_join_signed(a_old, d_a, b_old, d_b, ["k"])
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, (
+        "a base side fell into a shuffle join")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_mean_reciprocal_rank_matches_python(spark):
     """Grouped MRR == the textbook per-query 1/first-relevant-rank mean
     (no-relevant queries count 0) on random ranked lists."""
