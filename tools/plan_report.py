@@ -130,6 +130,18 @@ SHOWCASE = [
     ("q99zzq_auc", "grouped ROC-AUC: the rank window runs over the "
      "per-(group, score) COUNT table (an Aggregate feeds the Window), "
      "never the raw corpus"),
+    ("q99zzs_average_precision", "grouped AP: one descending "
+     "cumulative window over the per-(group, score) count table, "
+     "corpus scanned once"),
+    ("q99zzu_best_f1", "best-F1 threshold: cumulative TP/N algebra on "
+     "the count table + ONE max(struct) argmax HashAggregate — no "
+     "per-threshold recompute"),
+    ("q95j_pruned_rerank", "refine against the PRUNED vector store: "
+     "the exact-fetch scan lists only the files the candidate ids can "
+     "live in (manifest id-set prune)"),
+    ("q99zzv_signed_join_ivm", "general join-aggregate IVM: every "
+     "signed delta term probes its base with a BroadcastHashJoin — "
+     "the only exchanged rows are delta-sized"),
 ]
 
 
