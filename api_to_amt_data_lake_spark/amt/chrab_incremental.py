@@ -204,8 +204,35 @@ def full_build(spark: SparkSession, silver_root: str,
         view = assemble(spark, ssa, cal, counts["sch"], counts["sec"],
                         run_date)
     os.makedirs(os.path.dirname(gold), exist_ok=True)
-    _swap_write(view, gold)
+    # Gold is hive-partitioned by DateKey: real attendance churn is
+    # DATE-CLUSTERED (events land for recent days), so the splice can
+    # rewrite only the touched date partitions instead of copying the
+    # whole view — the Delta/Iceberg dynamic-partition-overwrite shape
+    # on plain parquet, closing the "splice is O(gold)" flat-layout
+    # cost SCALE.md called the irreducible term.
+    tmp = gold + ".swap-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(gold + ".swap-old", ignore_errors=True)
+    (view.repartition(F.col("DateKey"))
+     .write.partitionBy("DateKey").parquet(tmp))
+    old = gold + ".swap-old"
+    if os.path.exists(gold):
+        os.rename(gold, old)
+    os.rename(tmp, gold)
+    shutil.rmtree(old, ignore_errors=True)
     return gold
+
+
+def read_gold(spark: SparkSession, gold_root: str,
+              school_year: str | int) -> DataFrame:
+    """Read the maintained gold back in CONTRACT column order and
+    types. The explicit schema keeps the DateKey PARTITION column a
+    string (type inference would int-ify 'yyyymmdd' values — and the
+    session-wide inference flag can't be flipped without breaking the
+    bucket store's int `_bkt` reads); conform restores exact order."""
+    df = spark.read.schema(CONTRACT.schema()).parquet(
+        _gold_path(gold_root, school_year))
+    return CONTRACT.conform(df, spark)
 
 
 def _touched_keys(changes: DataFrame) -> DataFrame:
@@ -329,16 +356,62 @@ def refresh(spark: SparkSession, silver_root: str,
     # NULL-key gold rows are invariant under event CDC (an event with a
     # NULL group key can never equi-join a base row), so the plain-
     # equality anti join leaving them untouched is exactly right.
-    carried = (
-        spark.read.parquet(gold)
-        .join(F.broadcast(touched.withColumnRenamed("_date", "DateKey")),
-              ["StudentKey", "SchoolKey", "DateKey"], "left_anti")
-    )
-    # The anti join moves its keys to the front; restore the contract
-    # column order so the spliced gold is positionally identical to a
-    # full build (downstream exceptAll/diff checks are positional).
-    _swap_write(carried.unionByName(recomputed)
-                .select(*CONTRACT.columns), gold)
+    tk_gold = F.broadcast(
+        touched.select(
+            "StudentKey", "SchoolKey",
+            F.substring(F.regexp_replace("_date", "-", ""), 1, 8)
+            .alias("DateKey")))
+    partitioned = any(
+        d.startswith("DateKey=") for d in os.listdir(gold))
+    if partitioned:
+        # DATE-PARTITIONED SPLICE: real churn is date-clustered, so
+        # only the touched DateKey partitions are read (partition
+        # pruning via the explicit-schema read) and rewritten; every
+        # other date's files are never opened. A crash between the
+        # per-partition swaps is healed by re-running the refresh: the
+        # snapshots commit after gold, so the same changes re-detect
+        # and the recompute is idempotent.
+        tdates = sorted({
+            r[0] for r in touched.select(
+                F.substring(F.regexp_replace("_date", "-", ""), 1, 8)
+                .alias("dk")).distinct().collect()
+            if r[0] is not None})
+        stats["touched_dates"] = len(tdates)
+        gold_df = spark.read.schema(CONTRACT.schema()).parquet(gold)
+        carried_t = (
+            gold_df.filter(F.col("DateKey").isin(tdates))
+            .join(tk_gold, ["StudentKey", "SchoolKey", "DateKey"],
+                  "left_anti")
+        )
+        out = carried_t.unionByName(recomputed) \
+            .select(*CONTRACT.columns)
+        stage = gold + ".stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        (out.repartition(F.col("DateKey"))
+         .write.partitionBy("DateKey").parquet(stage))
+        for dk in tdates:
+            src = os.path.join(stage, f"DateKey={dk}")
+            dst = os.path.join(gold, f"DateKey={dk}")
+            old = dst + ".swap-old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+    else:
+        # Legacy flat layout: full-copy splice (the pre-r11 shape).
+        carried = (
+            spark.read.parquet(gold)
+            .join(tk_gold, ["StudentKey", "SchoolKey", "DateKey"],
+                  "left_anti")
+        )
+        # The anti join moves its keys to the front; restore contract
+        # order so the spliced gold stays positionally identical to a
+        # full build (downstream exceptAll/diff checks are positional).
+        _swap_write(carried.unionByName(recomputed)
+                    .select(*CONTRACT.columns), gold)
     # Commit states and snapshots by rename. A crash between the gold
     # swap and these renames is safe: the next refresh re-diffs against
     # the OLD snapshot, re-detects the same changes, and re-splices the

@@ -65,13 +65,11 @@ def _rows(df):
 
 
 def _assert_gold_matches_full(spark, silver, gold_root):
-    import os
-
+    from api_to_amt_data_lake_spark.amt import chrab_incremental as ci
     from api_to_amt_data_lake_spark.amt.chrab import (
         chronic_absenteeism_attendance_fact as chrab,
     )
-    p = os.path.join(str(gold_root), str(SY), chrab.CONTRACT.name)
-    inc = spark.read.parquet(p)
+    inc = ci.read_gold(spark, str(gold_root), SY)
     full = chrab.build(spark, str(silver), SY, run_date=RUN_DATE)
     assert inc.columns == full.columns  # exact contract order
     assert _rows(inc) == _rows(full)
@@ -123,15 +121,12 @@ def test_fold_refresh_matches_full_rebuild(spark, tmp_path):
     _assert_gold_matches_full(spark, silver, gold)
 
     # CDC round 2: no changes — gold must be untouched, zero deltas.
-    before = _rows(spark.read.parquet(
-        str(gold / str(SY)
-            / "chrab_chronicAbsenteeismAttendanceFact")))
+    from api_to_amt_data_lake_spark.amt import chrab_incremental as ci2
+    before = _rows(ci2.read_gold(spark, str(gold), SY))
     stats = ci.refresh(spark, str(silver), SY, str(state), str(gold),
                        run_date=RUN_DATE)
     assert stats == {"full_build": False, "sch": 0, "sec": 0}
-    after = _rows(spark.read.parquet(
-        str(gold / str(SY)
-            / "chrab_chronicAbsenteeismAttendanceFact")))
+    after = _rows(ci2.read_gold(spark, str(gold), SY))
     assert before == after
 
     # CDC round 3: delete EVERY event for one (student, school, date)

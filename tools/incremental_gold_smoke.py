@@ -89,6 +89,43 @@ def _mutate_one_percent(docs: list[dict], n_students: int,
     return out, flipped + deleted + inserted
 
 
+def _mutate_one_percent_clustered(docs: list[dict], n_students: int,
+                                  n_schools: int
+                                  ) -> tuple[list[dict], int]:
+    """~1% churn CONCENTRATED on one event date — the realistic shape
+    (attendance corrections land for recent days), and the case the
+    DateKey-partitioned splice exists for: touched_dates stays ~1."""
+    day = "2023-09-03"
+    k = max(3, len(docs) // 100)
+    out, flipped, deleted = [], 0, 0
+    for d in docs:
+        if d["eventDate"] == day and flipped < k // 2:
+            d = dict(d)
+            cat = d["attendanceEventCategoryDescriptor"]
+            d["attendanceEventCategoryDescriptor"] = (
+                f"{URI}/AttendanceEventCategoryDescriptor"
+                "#Excused Absence" if cat.endswith("In Attendance")
+                else f"{URI}/AttendanceEventCategoryDescriptor"
+                "#In Attendance")
+            flipped += 1
+        elif d["eventDate"] == day and deleted < k // 4:
+            deleted += 1
+            continue
+        out.append(d)
+    inserted = k - flipped - deleted
+    for j in range(inserted):
+        i = (j * 37) % n_students
+        out.append({
+            "id": f"aeNEW{j}", "eventDate": day,
+            "attendanceEventCategoryDescriptor":
+                f"{URI}/AttendanceEventCategoryDescriptor"
+                "#Excused Absence",
+            "schoolReference": {"schoolId": 1000 + i % n_schools},
+            "studentReference": {"studentUniqueId": f"S{i}"},
+            "sessionReference": {"schoolYear": SY}})
+    return out, flipped + deleted + inserted
+
+
 def _dump_events(root: Path, docs: list[dict], per_file: int = 5000):
     d = root / str(SY) / "studentSchoolAttendanceEvents"
     shutil.rmtree(d, ignore_errors=True)
@@ -144,8 +181,12 @@ def main() -> None:
     print(f"full recompute baseline: {res['full_recompute_s']} s",
           flush=True)
 
+    clustered = "clustered" in sys.argv
     docs = _attendance_docs(n, n_schools)
-    mutated, n_changes = _mutate_one_percent(docs, n, n_schools)
+    mutate = (_mutate_one_percent_clustered if clustered
+              else _mutate_one_percent)
+    mutated, n_changes = mutate(docs, n, n_schools)
+    res["churn"] = "date_clustered" if clustered else "uniform"
     _dump_events(silver, mutated)
     res["mutated_events"] = n_changes
     res["total_events"] = len(docs)
@@ -159,7 +200,9 @@ def main() -> None:
           flush=True)
 
     print("verifying refresh == full rebuild ...", flush=True)
-    inc = spark.read.parquet(str(gold / str(SY) / ci.VIEW_NAME))
+    inc = (ci.read_gold(spark, str(gold), SY)
+           if hasattr(ci, "read_gold")
+           else spark.read.parquet(str(gold / str(SY) / ci.VIEW_NAME)))
     full = chrab.build(spark, str(silver), SY, run_date=run_date)
     a = inc.exceptAll(full).count()
     b = full.exceptAll(inc).count()
@@ -171,6 +214,8 @@ def main() -> None:
         res["full_recompute_s"] / max(res["refresh_s"], 1e-9), 2)
 
     tag = "" if which == "chrab" else f"_{which}"
+    if clustered:
+        tag += "_clustered"
     artifact = REPO / f"GOLD_INCR_r11{tag}_n{n}.json"
     artifact.write_text(json.dumps(res, indent=2) + "\n")
     print(json.dumps(res))
