@@ -329,9 +329,30 @@ def full_build(spark: SparkSession, silver_root: str,
 
     gold = _gold_path(gold_root, school_year)
     os.makedirs(os.path.dirname(gold), exist_ok=True)
-    _swap_write(_assemble_from_states(spark, silver_root, school_year,
-                                      state_root, run_date), gold)
+    # DateKey-partitioned gold, the chrab_incremental discipline: the
+    # splice rewrites only touched date partitions.
+    view = _assemble_from_states(spark, silver_root, school_year,
+                                 state_root, run_date)
+    tmp, old = gold + ".swap-tmp", gold + ".swap-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (view.repartition(F.col("DateKey"))
+     .write.partitionBy("DateKey").parquet(tmp))
+    if os.path.exists(gold):
+        os.rename(gold, old)
+    os.rename(tmp, gold)
+    shutil.rmtree(old, ignore_errors=True)
     return gold
+
+
+def read_gold(spark: SparkSession, gold_root: str,
+              school_year: str | int) -> DataFrame:
+    """Contract-ordered read of the maintained gold (explicit schema
+    keeps the DateKey partition column a string — see
+    chrab_incremental.read_gold)."""
+    df = spark.read.schema(CONTRACT.schema()).parquet(
+        _gold_path(gold_root, school_year))
+    return CONTRACT.conform(df, spark)
 
 
 def _state(spark, state_root, name):
@@ -536,16 +557,50 @@ def refresh(spark: SparkSession, silver_root: str,
     recomputed = _assemble_from_states(
         spark, silver_root, school_year, state_root, run_date,
         touched=touched, states=states)
-    carried = (
-        spark.read.parquet(gold)
-        .join(F.broadcast(
-            touched.select("StudentKey", "SchoolKey",
-                           F.regexp_replace("_date", "-", "")
-                           .substr(1, 8).alias("DateKey"))),
-              ["StudentKey", "SchoolKey", "DateKey"], "left_anti")
-    )
-    _swap_write(carried.unionByName(recomputed)
-                .select(*CONTRACT.columns), gold)
+    tk_gold = F.broadcast(
+        touched.select("StudentKey", "SchoolKey",
+                       F.regexp_replace("_date", "-", "")
+                       .substr(1, 8).alias("DateKey")))
+    if any(d.startswith("DateKey=") for d in os.listdir(gold)):
+        # Touched-date-partition splice (chrab_incremental discipline;
+        # crash between per-partition swaps heals by re-running — the
+        # snapshots commit after gold).
+        tdates = sorted({
+            r[0] for r in touched.select(
+                F.regexp_replace("_date", "-", "").substr(1, 8)
+                .alias("dk")).distinct().collect()
+            if r[0] is not None})
+        stats["touched_dates"] = len(tdates)
+        gold_df = spark.read.schema(CONTRACT.schema()).parquet(gold)
+        carried_t = (
+            gold_df.filter(F.col("DateKey").isin(tdates))
+            .join(tk_gold, ["StudentKey", "SchoolKey", "DateKey"],
+                  "left_anti"))
+        out = carried_t.unionByName(recomputed) \
+            .select(*CONTRACT.columns)
+        stage = gold + ".stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        (out.repartition(F.col("DateKey"))
+         .write.partitionBy("DateKey").parquet(stage))
+        for dk in tdates:
+            src = os.path.join(stage, f"DateKey={dk}")
+            dst = os.path.join(gold, f"DateKey={dk}")
+            old = dst + ".swap-old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+    else:
+        # Legacy flat layout: full-copy splice.
+        carried = (
+            spark.read.parquet(gold)
+            .join(tk_gold, ["StudentKey", "SchoolKey", "DateKey"],
+                  "left_anti"))
+        _swap_write(carried.unionByName(recomputed)
+                    .select(*CONTRACT.columns), gold)
     for staged, live in pending:
         _commit_rename(staged, live)
     return stats

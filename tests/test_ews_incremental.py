@@ -91,11 +91,11 @@ def _rows(df):
 
 
 def _assert_gold_matches_full(spark, silver, gold_root):
+    from api_to_amt_data_lake_spark.amt import ews_incremental as ei
     from api_to_amt_data_lake_spark.amt.ews import (
         student_early_warning_fact as ews,
     )
-    p = os.path.join(str(gold_root), str(SY), ews.CONTRACT.name)
-    inc = spark.read.parquet(p)
+    inc = ei.read_gold(spark, str(gold_root), SY)
     full = ews.build(spark, str(silver), SY, run_date=RUN_DATE)
     assert inc.columns == full.columns
     assert _rows(inc) == _rows(full)
@@ -167,14 +167,12 @@ def test_ews_fold_refresh_matches_full_rebuild(spark, tmp_path):
     _assert_gold_matches_full(spark, silver, gold)
 
     # CDC round 2: no changes — zero deltas, gold untouched.
-    before = _rows(spark.read.parquet(
-        str(gold / str(SY) / "ews_studentEarlyWarningFact")))
+    before = _rows(ei.read_gold(spark, str(gold), SY))
     stats = ei.refresh(spark, str(silver), SY, str(state), str(gold),
                        run_date=RUN_DATE)
     assert stats == {"full_build": False, "sch": 0, "sec": 0,
                      "assoc": 0, "inc": 0, "beh": 0}
-    after = _rows(spark.read.parquet(
-        str(gold / str(SY) / "ews_studentEarlyWarningFact")))
+    after = _rows(ei.read_gold(spark, str(gold), SY))
     assert before == after
 
     # CDC round 3: delete an incident entirely — its behavior rows must
