@@ -168,6 +168,25 @@ def _paths(state_root: str, side: str) -> tuple[str, str]:
             os.path.join(state_root, f"{side}_snap"))
 
 
+def _repair_swap(path: str) -> None:
+    """Heal the rename-swap crash window: a crash between 'move live
+    aside' and 'move staged in' leaves the live dir missing with its
+    content intact at `.swap-old`. Restoring it keeps the refresh
+    incremental (the expensive alternative — the missing-state
+    full_build fallback — stays as the backstop for genuinely lost
+    state)."""
+    old = path + ".swap-old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
+def _repair_all(state_root: str, gold: str) -> None:
+    for side in _SIDES:
+        for p in _paths(state_root, side):
+            _repair_swap(p)
+    _repair_swap(gold)
+
+
 def _gold_path(gold_root: str, school_year) -> str:
     return os.path.join(gold_root, str(school_year), VIEW_NAME)
 
@@ -265,6 +284,7 @@ def refresh(spark: SparkSession, silver_root: str,
     (all zero = gold untouched). Falls back to `full_build` when the
     state or gold has never been materialized."""
     gold = _gold_path(gold_root, school_year)
+    _repair_all(state_root, gold)  # prior-crash rename-swap leftovers
     inds = {side: _read_events(spark, silver_root, school_year, side)
             for side in _SIDES}
     sides_ready = all(

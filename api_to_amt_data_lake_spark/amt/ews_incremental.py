@@ -432,6 +432,17 @@ def refresh(spark: SparkSession, silver_root: str,
     Returns per-source change counts; falls back to `full_build` when
     state or gold has never been materialized."""
     gold = _gold_path(gold_root, school_year)
+    # Heal prior-crash rename-swap leftovers (live dir missing, content
+    # at .swap-old — the chrab_incremental._repair_swap discipline) so
+    # a crash mid-commit stays incremental instead of forcing the
+    # missing-state full_build fallback.
+    from api_to_amt_data_lake_spark.amt.chrab_incremental import (
+        _repair_swap,
+    )
+    for name in _SNAPS + ("disc",):
+        for p in _paths(state_root, name):
+            _repair_swap(p)
+    _repair_swap(gold)
     snaps_now = _read_snapshots(spark, silver_root, school_year)
     ready = os.path.exists(gold) and all(
         os.path.exists(_paths(state_root, n)[1])

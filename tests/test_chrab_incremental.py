@@ -141,6 +141,62 @@ def test_fold_refresh_matches_full_rebuild(spark, tmp_path):
     _assert_gold_matches_full(spark, silver, gold)
 
 
+def test_crash_between_gold_and_state_commit_heals_on_rerun(
+        spark, tmp_path, monkeypatch):
+    """The refresh commit order is gold-then-states; a crash in the
+    window leaves NEW gold with OLD snapshots. The healing claim: the
+    next refresh re-detects the same changes (old snapshot diff) and
+    re-splices identical rows — gold converges to the full rebuild,
+    never duplicates. Inject the crash by failing the first
+    state/snapshot rename."""
+    import os as _os
+
+    import pytest
+
+    from api_to_amt_data_lake_spark.amt import chrab_incremental as ci
+
+    silver, gold, state = (tmp_path / "silver", tmp_path / "gold",
+                           tmp_path / "state")
+    ssa, cal = _base_docs()
+    _write(silver, "studentSchoolAssociations", ssa)
+    _write(silver, "calendarDates", cal)
+    _write(silver, "studentSchoolAttendanceEvents",
+           [_sch_ev(1, "STU0", 100, "2023-09-01", "In Attendance"),
+            _sch_ev(2, "STU2", 100, "2023-09-02", "Excused Absence")])
+    ci.full_build(spark, str(silver), SY, str(state), str(gold),
+                  run_date=RUN_DATE)
+
+    _write(silver, "studentSchoolAttendanceEvents",
+           [_sch_ev(1, "STU0", 100, "2023-09-01", "Excused Absence"),
+            _sch_ev(3, "STU4", 100, "2023-09-03", "In Attendance")])
+
+    real_rename = _os.rename
+
+    def boom(src, dst):
+        if ".next" in str(src) and str(state) in str(src):
+            raise OSError("injected crash at state commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(ci.os, "rename", boom)
+    with pytest.raises(OSError, match="injected"):
+        ci.refresh(spark, str(silver), SY, str(state), str(gold),
+                   run_date=RUN_DATE)
+    monkeypatch.setattr(ci.os, "rename", real_rename)
+
+    # Re-run: the old snapshot re-detects the same 3 changes and the
+    # re-splice is idempotent.
+    stats = ci.refresh(spark, str(silver), SY, str(state), str(gold),
+                       run_date=RUN_DATE)
+    assert stats["full_build"] is False and stats["sch"] == 3
+    _assert_gold_matches_full(spark, silver, gold)
+
+    # And a third refresh is a clean no-op.
+    stats = ci.refresh(spark, str(silver), SY, str(state), str(gold),
+                       run_date=RUN_DATE)
+    assert stats["sch"] == 0
+    _assert_gold_matches_full(spark, silver, gold)
+
+
 def test_refresh_without_state_falls_back_to_full_build(spark, tmp_path):
     from api_to_amt_data_lake_spark.amt import chrab_incremental as ci
 
