@@ -1654,10 +1654,48 @@ def q29_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q59_stream_sessionize")  # no oracle: stateful streaming op,
-# not SQL-expressible — the driver records the weaker rows-only check;
-# batch-vs-stream parity is asserted in tests/test_streaming.py and the
-# batch binding is fully oracle-checked as q41.
+@register("q59_stream_sessionize", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+              - (epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP)) // 1000000)
+              > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_num,
+    MAX(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0) * 1000.0 AS end_ms,
+    COUNT(*) AS n_ev
+  FROM numbered GROUP BY 1, 2
+), wm AS (
+  SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0) * 1000.0
+         - 1800000.0 AS wm_ms
+  FROM events
+), closed AS (
+  SELECT s.user_id, s.n_ev FROM sessions s CROSS JOIN wm
+  WHERE s.session_num < (SELECT MAX(session_num) FROM sessions s2
+                         WHERE s2.user_id = s.user_id)
+     OR s.end_ms + 1800000.0 < wm.wm_ms
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(n_ev) AS BIGINT) AS n_events
+FROM closed GROUP BY user_id
+""")
+# The oracle states what the stream emits on a bounded replay (the
+# q59_batch_parity semantics below, which tests/test_streaming.py and
+# four rounds of parity hashes pin to the stream): gaps-and-islands
+# sessionization (whole-second gaps, as q41) plus the watermark
+# close rule — a non-final session closes inline, the final session
+# only if the terminal event-time watermark (max ts − 30 min) strictly
+# passes its gap horizon. Arithmetic mirrors the parity frame op-for-op
+# ((us / 1e6) · 1000 per side) so the strict < sees identical doubles.
 def q59_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization executed through Structured Streaming
     (applyInPandasWithState, event-time timeout): the events table is
@@ -9190,6 +9228,191 @@ def q99zzu_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.split(F.trim(F.col("text")), " ")) > 80)
         .cast("int").alias("label"))
     return best_f1_threshold(d, ["lang"], "score", "label")
+
+
+@register("q99zzw_psi_drift", oracle="""
+WITH m AS (
+  SELECT MAX(n_chars) AS vmax FROM documents WHERE doc_id % 2 = 0
+), b AS (
+  SELECT least(9, n_chars // (vmax // 10 + 1)) AS bin,
+         CAST(doc_id % 2 = 1 AS INT) AS cur
+  FROM documents, m
+), c AS (
+  SELECT bin, SUM(cur) AS n_cur, SUM(1 - cur) AS n_ref FROM b GROUP BY 1
+), s AS (
+  SELECT gs.bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM (SELECT unnest(generate_series(0, 9)) AS bin) gs
+  LEFT JOIN c USING (bin)
+), t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM s)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+  round(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+        * ln(((n_cur + 0.5) / (t_cur + 5.0))
+             / ((n_ref + 0.5) / (t_ref + 5.0))), 6) AS psi_term
+FROM s CROSS JOIN t
+""")
+def q99zzw_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots
+    (`operators/corpus.py::psi_drift`): fixed-width length bins sized
+    from the reference slice, add-0.5 smoothing over a materialized
+    10-bin spine, per-bin (p_cur − p_ref)·ln(p_cur/p_ref) terms — the
+    stratum-attributed drift score a pipeline alarms on between crawl
+    generations (PSI > 0.25 = investigate). The corpus collapses to 10
+    rows before any window; width and totals are broadcast scalars."""
+    from api_to_amt_data_lake_spark.operators.corpus import psi_drift
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("doc_id") % 2 == 1).alias("is_cur"))
+    return psi_drift(d, "n_chars", "is_cur", bins=10)
+
+
+@register("q99zzx_bigram_collocations", oracle="""
+WITH toks AS (
+  SELECT string_split(trim(text), ' ') AS t FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+), nt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tok FROM uni),
+bg AS (
+  SELECT bg[1] AS w1, bg[2] AS w2
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+        FROM toks)
+), bic AS (
+  SELECT w1, w2, COUNT(*) AS n_xy FROM bg GROUP BY 1, 2
+), nb AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_bi FROM bic)
+SELECT w1, w2, n_xy,
+  round(ln((n_xy / n_bi)
+           / ((u1.c_w / n_tok) * (u2.c_w / n_tok))), 6) AS pmi
+FROM bic
+JOIN uni u1 ON bic.w1 = u1.w
+JOIN uni u2 ON bic.w2 = u2.w
+CROSS JOIN nb CROSS JOIN nt
+WHERE n_xy >= 5
+""")
+def q99zzx_bigram_collocations(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Collocation mining via adjacent-pair PMI
+    (`operators/corpus.py::bigram_pmi`, Church & Hanks 1990) — the
+    phrase-discovery signal (which word pairs co-occur far above
+    independence) a tokenizer-training or boilerplate-detection pass
+    consumes. The ≥5-count filter runs BEFORE the unigram joins, so
+    the shuffled join input is the surviving-pair table, not the
+    corpus; both count tables partial-aggregate map-side."""
+    from api_to_amt_data_lake_spark.operators.corpus import bigram_pmi
+
+    d = read_table(spark, sf_dir, "documents")
+    return bigram_pmi(d, "text", min_count=5)
+
+
+@register("q99zzy_gini_concentration", oracle="""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY 1
+), r AS (
+  SELECT source, n_rows,
+    row_number() OVER (ORDER BY n_rows, source) AS rank,
+    SUM(n_rows) OVER (ORDER BY n_rows, source
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(n_rows) AS BIGINT) AS tt,
+    CAST(SUM(rank * n_rows) AS BIGINT) AS s,
+    CAST(SUM(n_rows * n_rows) AS BIGINT) AS q
+  FROM r
+)
+SELECT source, n_rows, CAST(rank AS BIGINT) AS rank,
+  round(n_rows / tt, 6) AS share,
+  round(cum / tt, 6) AS cum_share,
+  round((2.0 * s) / (n * tt) - (n + 1.0) / n, 6) AS gini,
+  round(q / (tt * tt), 6) AS hhi
+FROM r CROSS JOIN t
+""")
+def q99zzy_gini_concentration(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Source-concentration audit
+    (`operators/corpus.py::lorenz_concentration`): Lorenz curve rows
+    (share, cumulative share by ascending count) plus Gini and HHI —
+    the is-one-domain-dominating check run before fixing sampling
+    weights (`sampling.temperature_weights` is the remedy this
+    diagnoses the need for). All sums stay integer; each output value
+    is one final double division, so the oracle hash-matches with no
+    float-accumulation caveat."""
+    from api_to_amt_data_lake_spark.operators.corpus import (
+        lorenz_concentration,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return lorenz_concentration(d, "source")
+
+
+@register("q99zzz_ngram_type_growth", oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+        FROM toks)
+), f AS (
+  SELECT w1, w2, MIN(doc_id) AS first_id FROM bg GROUP BY 1, 2
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+b AS (
+  SELECT least(9, (first_id * 10) // n_docs) AS bucket,
+         COUNT(*) AS new_types
+  FROM f CROSS JOIN nd GROUP BY 1
+), s AS (
+  SELECT gs.bucket, COALESCE(new_types, 0) AS new_types
+  FROM (SELECT unnest(generate_series(0, 9)) AS bucket) gs
+  LEFT JOIN b USING (bucket)
+)
+SELECT bucket, CAST(new_types AS BIGINT) AS new_types,
+  CAST(SUM(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS cum_types
+FROM s
+""")
+def q99zzz_ngram_type_growth(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Heaps'-law bigram-type accumulation
+    (`operators/corpus.py::ngram_type_growth`): each distinct bigram is
+    charged to the corpus decile where it first appears; a flattening
+    cumulative curve quantifies how little new phrasal vocabulary more
+    of the same crawl buys. Integer end to end (min-id, integer-div
+    bucket, counts, 10-row running sum) — no float rule needed; the
+    only corpus-sized shuffle is the partial-aggregated
+    groupBy(bigram).min(doc_id)."""
+    from api_to_amt_data_lake_spark.operators.corpus import (
+        ngram_type_growth,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_type_growth(d, "doc_id", "text", buckets=10)
+
+
+@register("q99zzza_zipf_fit", oracle="""
+WITH uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+        FROM documents) GROUP BY 1
+), r AS (
+  SELECT c_w, row_number() OVER (ORDER BY c_w DESC, w ASC) AS rank
+  FROM uni
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+  round(regr_slope(ln(c_w), ln(rank)), 4) AS slope,
+  round(regr_intercept(ln(c_w), ln(rank)), 4) AS intercept,
+  round(regr_r2(ln(c_w), ln(rank)), 5) AS r2
+FROM r WHERE rank <= 1000
+""")
+def q99zzza_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law rank/frequency fit (`operators/corpus.py::zipf_fit`):
+    OLS of ln(frequency) on ln(rank) over the top-1000 tokens (ties
+    broken by token, so the regression set is deterministic). Natural
+    text sits near slope −1; boilerplate flattens it, synthetic token
+    soup steepens it — a one-row corpus health stat. The rank window
+    runs on vocabulary rows only and REGR_* partial-aggregates to one
+    co-moment state (the q99zzc rounding precedent: 4/4/5dp)."""
+    from api_to_amt_data_lake_spark.operators.corpus import zipf_fit
+
+    d = read_table(spark, sf_dir, "documents")
+    return zipf_fit(d, "text", top_n=1000)
 
 
 # ---------------------------------------------------------------------------

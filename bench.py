@@ -166,6 +166,11 @@ HEADLINE = [
     "q99zzt_mrr",
     "q99zzu_best_f1",
     "q99zzv_signed_join_ivm",
+    "q99zzw_psi_drift",
+    "q99zzx_bigram_collocations",
+    "q99zzy_gini_concentration",
+    "q99zzz_ngram_type_growth",
+    "q99zzza_zipf_fit",
 ]
 
 

@@ -1,0 +1,143 @@
+"""Unit tests for operators/corpus.py — hand-computed expectations on
+tiny frames, so the conformance oracles (q99zzw–q99zzza) are not the
+only evidence the math is right.
+
+Determinism notes the suite exercises deliberately:
+- psi_drift bins by integer width from the REFERENCE slice only, and
+  clamps out-of-range current values into the top bin.
+- bigram_pmi's unigram/bigram probabilities use different denominators
+  (total tokens vs total bigrams) — the textbook Church & Hanks form.
+- lorenz_concentration's gini uses the integer-sum formula; equal
+  counts → gini 0, fully-concentrated → (n-1)/n scaling.
+- ngram_type_growth charges a type to the decile of its FIRST doc.
+- zipf_fit on an exact power law recovers the exponent.
+"""
+import math
+
+import pytest
+
+from api_to_amt_data_lake_spark.operators.corpus import (
+    bigram_pmi,
+    lorenz_concentration,
+    ngram_type_growth,
+    psi_drift,
+    zipf_fit,
+)
+
+
+def test_psi_drift_identical_slices_zero(spark):
+    rows = [(v, False) for v in (5, 15, 25, 35)] + \
+           [(v, True) for v in (5, 15, 25, 35)]
+    df = spark.createDataFrame(rows, ["v", "is_cur"])
+    out = psi_drift(df, "v", "is_cur", bins=4).collect()
+    assert len(out) == 4
+    assert all(r["psi_term"] == 0.0 for r in out)
+    # width = 35 // 4 + 1 = 9 → bins 0,1,2,3 hold one row per slice each
+    assert {r["bin"]: (r["n_ref"], r["n_cur"]) for r in out} == {
+        0: (1, 1), 1: (1, 1), 2: (1, 1), 3: (1, 1)}
+
+
+def test_psi_drift_clamps_and_detects_shift(spark):
+    # ref max 39 → width 39//4+1 = 10; current value 400 clamps to bin 3.
+    rows = [(v, False) for v in (0, 10, 20, 39)] + [(400, True)]
+    df = spark.createDataFrame(rows, ["v", "is_cur"])
+    out = {r["bin"]: r for r in
+           psi_drift(df, "v", "is_cur", bins=4).collect()}
+    assert out[3]["n_cur"] == 1 and out[3]["n_ref"] == 1
+    # PSI terms are (p-q)·ln(p/q) ⇒ each is ≥ 0 (same-sign factors);
+    # the shifted-into bin carries the largest contribution.
+    assert all(out[b]["psi_term"] > 0 for b in range(4))
+    assert out[3]["psi_term"] == max(r["psi_term"] for r in out.values())
+    # smoothed terms are finite even for the empty-current bins
+    assert all(math.isfinite(out[b]["psi_term"]) for b in out)
+
+
+def test_bigram_pmi_textbook_value(spark):
+    # "a b" ×5 docs: unigrams a=5, b=5, N_tok=10; bigram (a,b)=5, N_bi=5.
+    # pmi = ln( (5/5) / ((5/10)*(5/10)) ) = ln 4.
+    df = spark.createDataFrame([("a b",)] * 5, ["text"])
+    out = bigram_pmi(df, "text", min_count=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"], r["n_xy"]) == ("a", "b", 5)
+    assert r["pmi"] == pytest.approx(math.log(4.0), abs=1e-6)
+
+
+def test_bigram_pmi_min_count_filters(spark):
+    df = spark.createDataFrame([("a b",)] * 5 + [("c d",)], ["text"])
+    got = {(r["w1"], r["w2"]) for r in
+           bigram_pmi(df, "text", min_count=5).collect()}
+    assert got == {("a", "b")}  # (c,d) count 1 < 5 dropped pre-join
+
+
+def test_lorenz_gini_extremes(spark):
+    # equal counts → gini 0; shares/cum_shares form the diagonal.
+    eq = spark.createDataFrame(
+        [("s1",), ("s2",), ("s3",), ("s4",)], ["k"])
+    out = lorenz_concentration(eq, "k").collect()
+    assert all(r["gini"] == 0.0 for r in out)
+    assert all(r["hhi"] == 0.25 for r in out)
+    assert sorted(r["cum_share"] for r in out) == [0.25, 0.5, 0.75, 1.0]
+
+    # 1,1,1,97 of 100 → hand-computed integer-form gini
+    rows = [("a",)] + [("b",)] + [("c",)] + [("d",)] * 97
+    sk = spark.createDataFrame(rows, ["k"])
+    out = lorenz_concentration(sk, "k").collect()
+    n, t = 4, 100
+    s = 1 * 1 + 2 * 1 + 3 * 1 + 4 * 97
+    want = round((2.0 * s) / (n * t) - (n + 1.0) / n, 6)
+    assert all(r["gini"] == want for r in out)
+    hhi = round((1 + 1 + 1 + 97 * 97) / (t * t), 6)
+    assert all(r["hhi"] == hhi for r in out)
+    # ascending rank: the dominant source ranks last
+    top = max(out, key=lambda r: r["rank"])
+    assert top["k"] == "d" and top["share"] == 0.97
+
+
+def test_ngram_type_growth_first_appearance(spark):
+    # 10 docs; bigram (a,b) first in doc 0, (c,d) first in doc 5,
+    # (a,b) repeats in doc 9 — charged to decile 0 only.
+    rows = [(0, "a b"), (5, "c d"), (9, "a b")] + \
+           [(i, "x") for i in (1, 2, 3, 4, 6, 7, 8)]  # 1-token: no bigram
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["bucket"]: r for r in
+           ngram_type_growth(df, "doc_id", "text", buckets=10).collect()}
+    assert len(out) == 10  # spine materializes empty deciles
+    assert out[0]["new_types"] == 1 and out[5]["new_types"] == 1
+    assert out[9]["new_types"] == 0  # repeat is not a new type
+    assert out[9]["cum_types"] == 2
+    assert [out[b]["cum_types"] for b in range(10)] == \
+        [1, 1, 1, 1, 1, 2, 2, 2, 2, 2]
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    # counts c(r) = round(1000 / r): slope ≈ -1 on the exact law.
+    docs = []
+    for rank in range(1, 21):
+        c = round(1000 / rank)
+        docs.extend([(f"w{rank:02d}",)] * c)
+    df = spark.createDataFrame(docs, ["text"])
+    out = zipf_fit(df, "text", top_n=1000).collect()[0]
+    assert out["n_types"] == 20
+    assert out["slope"] == pytest.approx(-1.0, abs=0.01)
+    assert out["r2"] > 0.999
+
+
+def test_zipf_fit_top_n_truncates(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 2 + [("c",)], ["text"])
+    out = zipf_fit(df, "text", top_n=2).collect()[0]
+    assert out["n_types"] == 2
+
+
+def test_zipf_topn_cut_is_take_ordered_not_global_sort(spark):
+    """The top-N vocabulary cut must plan as TakeOrderedAndProject
+    (per-partition top-k, driver merges k·partitions rows) — never a
+    global Sort of the vocabulary; rank assignment happens after the
+    bound, on ≤ top_n rows, via the packed-array helper (the
+    no-partitionless-WindowExec audit covers the registered query)."""
+    df = spark.createDataFrame([("a b c",)] * 3, ["text"])
+    plan = (zipf_fit(df, "text", top_n=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowExec" not in plan

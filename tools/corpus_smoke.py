@@ -23,6 +23,9 @@ Stages timed (each is the registered operator, not a re-implementation):
   domain_cap two-phase salted per-domain quota (cap=1000/source)
   grid_quantiles per-source fixed-grid length quantiles (mergeable
              binned-count partials)
+  psi / pmi / gini / type_growth / zipf — corpus-distribution stats
+             (operators/corpus.py): PSI drift bins, collocation PMI,
+             Lorenz/Gini/HHI concentration, Heaps type growth, Zipf fit
 
 Prints one JSON line with per-stage seconds and row counts, mirroring
 `tools/scale_smoke.py` for the AMT view pipeline.
@@ -255,6 +258,42 @@ def main() -> None:
         corpus, "doc_id", "text",
         reference=F.col("doc_id") % 10 == 0).count()
     t["perplexity"] = round(time.time() - t0, 2)
+
+    # Corpus-distribution stats (operators/corpus.py, round 11): PSI
+    # and type-growth collapse to <=10 rows before any window; the PMI
+    # joins run on the min_count survivors; gini/zipf windows are
+    # bounded by source/vocab cardinality. Each stage should track one
+    # or two corpus scans.
+    from api_to_amt_data_lake_spark.operators.corpus import (
+        bigram_pmi,
+        lorenz_concentration,
+        ngram_type_growth,
+        psi_drift,
+        zipf_fit,
+    )
+
+    t0 = time.time()
+    rows["psi"] = psi_drift(
+        corpus.withColumn("is_cur", F.col("doc_id") % 2 == 1),
+        "n_chars", "is_cur").count()
+    t["psi"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["pmi"] = bigram_pmi(corpus, "text", min_count=5).count()
+    t["pmi"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["gini"] = lorenz_concentration(corpus, "source").count()
+    t["gini"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["type_growth"] = ngram_type_growth(
+        corpus, "doc_id", "text").count()
+    t["type_growth"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["zipf"] = zipf_fit(corpus, "text", top_n=1000).count()
+    t["zipf"] = round(time.time() - t0, 2)
 
     print(json.dumps({"n_docs": n, "sec": t, "rows": rows,
                       "total_sec": round(sum(t.values()), 2)}))
