@@ -1,4 +1,7 @@
-"""Streaming CUSUM drift alarms: the per-key recursion on a live stream.
+"""Streaming drift detection: per-key CUSUM alarms (the recursion a live
+stream needs custom state for) and tumbling-window histograms for
+distribution drift / PSI monitoring (`stream_binned_counts` — pure
+built-in windowed aggregation, no custom state).
 
 Batch CUSUM de-recursifies into window algebra
 (`operators/timeseries.py::cusum_drift` — cumsum + running min), but a
@@ -75,5 +78,57 @@ def stream_cusum(
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_binned_counts(
+    stream_df: DataFrame,
+    width_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bins: int = 10,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window histogram of a live value stream — the streaming
+    half of distribution-drift monitoring (`operators/corpus.py::
+    psi_drift` is the batch form; the PSI assembly against a static
+    reference histogram happens downstream of the sink, where all of a
+    window's bins are final).
+
+    ``width_df`` is a ONE-ROW static frame carrying the bin width as
+    ``_w`` (derived from the reference snapshot — e.g.
+    ``ref.agg((F.max(v) / bins).alias("_w"))``); it reaches the stream
+    through a stream-static broadcast join on a constant key, so the
+    configuration stays a lazy plan, never a driver collect. Values are
+    clamped into the top bin (out-of-reference-range mass is exactly
+    what drift monitoring must see).
+
+    Output (append mode, emitted once the event-time watermark passes a
+    window's end): ``window_start, window_end, bin, n_cur``. State is
+    O(open windows × bins) — bounded by the watermark horizon, never by
+    stream volume; counts partial-aggregate map-side per micro-batch."""
+    from pyspark.sql import functions as F
+
+    binned = (
+        stream_df.withColumn("_one", F.lit(1))
+        .join(F.broadcast(width_df.withColumn("_one", F.lit(1))), "_one")
+        .select(
+            F.col(ts_col),
+            F.least(
+                F.lit(bins - 1).cast("long"),
+                F.floor(F.col(value_col) / F.col("_w")),
+            ).alias("bin"),
+        )
+    )
+    return (
+        binned.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bin", "n_cur",
         )
     )

@@ -171,6 +171,7 @@ HEADLINE = [
     "q99zzy_gini_concentration",
     "q99zzz_ngram_type_growth",
     "q99zzza_zipf_fit",
+    "q99zzzb_stream_psi",
 ]
 
 

@@ -839,3 +839,48 @@ def test_stream_ivm_replay_skipped(spark, tmp_path):
     assert not fold_agg_batch(spark, ch, 0, root, ["g"], ["x"])
     [r] = read_agg_state(spark, root).collect()
     assert (r.g, r.n_rows, float(r.sum_x)) == ("a", 1, 5.0)
+
+
+def test_stream_binned_counts_watermark_close(spark, tmp_path):
+    """Tumbling-window histogram stream (streaming/drift.py::
+    stream_binned_counts): only windows the terminal event-time
+    watermark has passed are emitted, counts land in the right bins,
+    and out-of-range values clamp into the top bin.
+
+    Fixture: hourly values at 00:30 (v=5), 01:30 (v=95 → clamps), and
+    03:30 (v=50, advances the watermark). With a 1 h watermark the
+    terminal watermark is 02:30, so windows [00:00,01:00) and
+    [01:00,02:00) close; [03:00,04:00) (end 04:00 > 02:30) must NOT."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from api_to_amt_data_lake_spark.streaming.drift import (
+        stream_binned_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=30), 5.0),
+        (base + dt.timedelta(minutes=90), 95.0),
+        (base + dt.timedelta(minutes=210), 50.0),
+    ]
+    src = tmp_path / "psisrc"
+    src.mkdir()
+    spark.createDataFrame(rows, "ts timestamp, value double") \
+        .coalesce(1).write.parquet(str(src / "b0"))
+
+    stream = (spark.readStream.schema("ts timestamp, value double")
+              .parquet(str(src / "b*")))
+    # reference max 80 → width 8 → bins: 5→0, 95→11 clamps to 9, 50→6
+    width = spark.createDataFrame([(8.0,)], "_w double")
+    out = stream_binned_counts(stream, width, bins=10,
+                               window="1 hour", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("psi_bins_t")
+         .option("checkpointLocation", str(tmp_path / "psickpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r.window_start.hour, r.bin): r.n_cur for r in
+           spark.sql("SELECT * FROM psi_bins_t").collect()}
+    assert got == {(0, 0): 1, (1, 9): 1}  # hour-3 window stays open
