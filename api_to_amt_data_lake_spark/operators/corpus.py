@@ -20,6 +20,12 @@ suite (q99zzf):
 - :func:`zipf_fit` — log-log OLS fit of the token rank/frequency
   curve (Zipf's law); a slope far from -1 flags synthetic or
   boilerplate-heavy text.
+- :func:`word_dispersion` — Gries' deviation of proportions (DP):
+  which words concentrate in few corpus parts (boilerplate / site
+  chrome) vs spread evenly (function words).
+- :func:`ks_drift` — grouped two-sample Kolmogorov–Smirnov statistic:
+  the exact distribution-shift test PSI's fixed bins approximate, with
+  the location of the supremum.
 
 All five are pure DataFrame compositions (zero Python UDFs) whose
 shuffles carry only aggregated state:
@@ -269,6 +275,112 @@ def ngram_type_growth(df: DataFrame, id_col: str, text_col: str,
         full.join(F.broadcast(prefix), "bucket")
         .select("bucket", "new_types",
                 (F.col("_excl") + F.col("new_types")).alias("cum_types"))
+    )
+
+
+def word_dispersion(df: DataFrame, key_col: str, text_col: str,
+                    min_count: int = 5) -> DataFrame:
+    """Gries' deviation of proportions (DP, Gries 2008): how unevenly a
+    word distributes across corpus parts (sources/domains) relative to
+    the parts' sizes — DP near 0 = evenly spread (function words), near
+    1 = bursty/concentrated (boilerplate, site chrome, one domain's
+    jargon). The curation signal behind per-domain boilerplate lists.
+
+    DP_w = 0.5 · Σᵢ |vᵢ − sᵢ| with vᵢ = word share in part i and sᵢ =
+    part i's token share. Computed in INTEGER cross-multiplied form —
+    0.5 · (Σᵢ∈present |c_wi·T − C_w·Tᵢ| + C_w·(T − Σᵢ∈present Tᵢ)) /
+    (C_w·T) — so absent parts need no word×part spine (their term
+    telescopes to C_w·(T − ΣTᵢ)) and every accumulation is an exact
+    integer; the only float op per row is the final division. The
+    64-bit products bound the exact range to C_w·T < 2⁶³ (≈9.2e18 —
+    token counts beyond that need the decimal variant).
+
+    Scale shape: one explode → groupBy(word, part) count (partial-
+    aggregated), part totals collapse to |parts| rows (broadcast), word
+    totals to |vocab| rows; the ``min_count`` filter bounds the output
+    before the joins. Output: word, c_w, dp (6dp)."""
+    toks = df.select(
+        F.col(key_col).alias("_part"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("w"),
+    )
+    c = toks.groupBy("w", "_part").agg(F.count(F.lit(1)).alias("c_wi"))
+    t_i = c.groupBy("_part").agg(F.sum("c_wi").alias("t_i"))
+    c_w = (c.groupBy("w").agg(F.sum("c_wi").alias("c_w"))
+           .filter(F.col("c_w") >= min_count))
+    t = t_i.agg(F.sum("t_i").alias("_t"))
+    j = (
+        c.join(c_w, "w")
+        .join(F.broadcast(t_i), "_part")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w", "c_w", "_t",
+            F.abs(F.col("c_wi") * F.col("_t")
+                  - F.col("c_w") * F.col("t_i")).alias("_term"),
+            F.col("t_i").alias("_t_present"),
+        )
+    )
+    agg = j.groupBy("w", "c_w", "_t").agg(
+        F.sum("_term").alias("_s_present"),
+        F.sum("_t_present").alias("_st"),
+    )
+    dp = (
+        0.5 * (F.col("_s_present")
+               + F.col("c_w") * (F.col("_t") - F.col("_st")))
+        / (F.col("c_w") * F.col("_t"))
+    )
+    return agg.select("w", "c_w", F.round(dp, 6).alias("dp"))
+
+
+def ks_drift(df: DataFrame, group_cols: list[str], value_col: str,
+             is_cur_col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group between a
+    reference and a current slice: D = supₓ |F_cur(x) − F_ref(x)| over
+    the observed values — the distribution-shift test PSI's fixed bins
+    approximate, exact here because the empirical CDFs only step at
+    observed values. Reported with the location of the supremum
+    (``ks_x``, smallest such value on ties) — WHERE the distributions
+    diverge most.
+
+    Computed in integer cross-multiplied form: per distinct (group,
+    value) the cumulative counts fold over a value-ordered window
+    (partitioned by group, running over DISTINCT values — the q99zzq
+    grouped-AUC shape, never corpus rows), and D's numerator
+    |cum_cur·n_ref − cum_ref·n_cur| stays integer until one final
+    division by n_cur·n_ref. The per-group argmax is one
+    min(struct(-num, value)) partial aggregation, no second window.
+    Groups with an empty slice are excluded (D is undefined there).
+    Output: *group_cols, n_ref, n_cur, ks_x, ks_d (6dp)."""
+    from pyspark.sql import Window
+
+    is_cur = F.col(is_cur_col)
+    per_val = df.groupBy(*group_cols, value_col).agg(
+        F.sum(is_cur.cast("long")).alias("_c_cur"),
+        F.sum((~is_cur).cast("long")).alias("_c_ref"),
+    )
+    w = (Window.partitionBy(*group_cols).orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_val.select(
+        *group_cols, value_col,
+        F.sum("_c_cur").over(w).alias("_cum_cur"),
+        F.sum("_c_ref").over(w).alias("_cum_ref"),
+    )
+    tot = per_val.groupBy(*group_cols).agg(
+        F.sum("_c_cur").alias("n_cur"),
+        F.sum("_c_ref").alias("n_ref"),
+    ).filter((F.col("n_cur") > 0) & (F.col("n_ref") > 0))
+    num = F.abs(F.col("_cum_cur") * F.col("n_ref")
+                - F.col("_cum_ref") * F.col("n_cur"))
+    best = (
+        cum.join(F.broadcast(tot), group_cols)
+        .groupBy(*group_cols, "n_ref", "n_cur")
+        .agg(F.min(F.struct((-num).alias("_neg"),
+                            F.col(value_col).alias("_x"))).alias("_b"))
+    )
+    return best.select(
+        *group_cols, "n_ref", "n_cur",
+        F.col("_b._x").alias("ks_x"),
+        F.round((-F.col("_b._neg"))
+                / (F.col("n_cur") * F.col("n_ref")), 6).alias("ks_d"),
     )
 
 

@@ -172,6 +172,8 @@ HEADLINE = [
     "q99zzz_ngram_type_growth",
     "q99zzza_zipf_fit",
     "q99zzzb_stream_psi",
+    "q99zzzc_word_dispersion",
+    "q99zzzd_ks_drift",
 ]
 
 

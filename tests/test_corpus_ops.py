@@ -18,9 +18,11 @@ import pytest
 
 from api_to_amt_data_lake_spark.operators.corpus import (
     bigram_pmi,
+    ks_drift,
     lorenz_concentration,
     ngram_type_growth,
     psi_drift,
+    word_dispersion,
     zipf_fit,
 )
 
@@ -128,6 +130,61 @@ def test_zipf_fit_top_n_truncates(spark):
         [("a",)] * 4 + [("b",)] * 2 + [("c",)], ["text"])
     out = zipf_fit(df, "text", top_n=2).collect()[0]
     assert out["n_types"] == 2
+
+
+def test_word_dispersion_extremes(spark):
+    # Two equal-size parts (5 tokens each). "even" appears 2+2 ⇒ its
+    # shares match the part shares exactly ⇒ DP 0. "burst" appears 5×
+    # only in part a ⇒ v=(1,0) vs s=(0.5,0.5) ⇒ DP 0.5.
+    rows = [("a", "even even burst burst burst"),
+            ("b", "even even x y z")]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {r["w"]: r for r in
+           word_dispersion(df, "source", "text", min_count=3).collect()}
+    assert set(got) == {"even", "burst"}  # x/y/z below min_count
+    assert got["even"]["dp"] == 0.0 and got["even"]["c_w"] == 4
+    assert got["burst"]["dp"] == 0.5 and got["burst"]["c_w"] == 3
+
+
+def test_word_dispersion_absent_part_telescopes(spark):
+    # Three parts; the word misses part c entirely — the absent-part
+    # term C_w·T_c must be counted without a word×part spine.
+    # Parts: a=4, b=4, c=2 tokens (T=10); w: 2 in a, 2 in b, 0 in c.
+    # v=(0.5,0.5,0), s=(0.4,0.4,0.2) ⇒ DP=0.5*(0.1+0.1+0.2)=0.2.
+    rows = [("a", "w w p q"), ("b", "w w r s"), ("c", "t u")]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {r["w"]: r["dp"] for r in
+           word_dispersion(df, "source", "text", min_count=4).collect()}
+    assert got == {"w": 0.2}
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    # identical value sets on both sides -> D = 0
+    same = [(v, False) for v in (1, 2, 3)] + [(v, True) for v in (1, 2, 3)]
+    df = spark.createDataFrame([("g", v, c) for v, c in same],
+                               ["g", "v", "is_cur"])
+    [r] = ks_drift(df, ["g"], "v", "is_cur").collect()
+    assert (r["ks_d"], r["n_ref"], r["n_cur"]) == (0.0, 3, 3)
+
+    # fully separated: ref in {1,2}, cur in {10,20} -> D = 1 at x=2
+    sep = [(1, False), (2, False), (10, True), (20, True)]
+    df = spark.createDataFrame([("g", v, c) for v, c in sep],
+                               ["g", "v", "is_cur"])
+    [r] = ks_drift(df, ["g"], "v", "is_cur").collect()
+    assert r["ks_d"] == 1.0 and r["ks_x"] == 2
+
+
+def test_ks_drift_known_value_and_empty_slice_excluded(spark):
+    # ref {1,2,3,4}, cur {3,4,5,6}: D = |F_cur - F_ref| peaks at x=2
+    # (ref 0.5 vs cur 0) -> D = 0.5. Group h has no current rows ->
+    # excluded.
+    rows = [("g", v, False) for v in (1, 2, 3, 4)] + \
+           [("g", v, True) for v in (3, 4, 5, 6)] + \
+           [("h", 1, False)]
+    df = spark.createDataFrame(rows, ["g", "v", "is_cur"])
+    out = {r["g"]: r for r in ks_drift(df, ["g"], "v", "is_cur").collect()}
+    assert set(out) == {"g"}
+    assert out["g"]["ks_d"] == 0.5 and out["g"]["ks_x"] == 2
 
 
 def test_zipf_topn_cut_is_take_ordered_not_global_sort(spark):
