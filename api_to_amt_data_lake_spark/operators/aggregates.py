@@ -183,6 +183,76 @@ def robust_outlier_stats(
     )
 
 
+def trimmed_winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim: float = 0.05,
+) -> DataFrame:
+    """Exact per-group trimmed AND winsorized means — the robust
+    central-tendency pair curation dashboards quote when a handful of
+    giant or empty documents would drag a plain mean (complementing
+    `robust_outlier_stats`' median/MAD census). The trimmed mean drops
+    the ℓ = floor(trim·n) lowest and highest rows; the winsorized mean
+    clamps them to the surviving extremes instead (Tukey/Dixon).
+
+    Scalable shape: the corpus collapses to the per-(group, value)
+    frequency table (partial-aggregated groupBy); ONE cumulative
+    window over DISTINCT values computes each value's kept row count
+    as interval overlap — kept = max(0, min(cum, n−ℓ) − max(cum−c, ℓ))
+    — so per-row buffering never happens and the window partition is
+    bounded by value cardinality (the `grouped_percentiles_disc`
+    shape). The clamp values fall out of the same pass as conditional
+    min/max over kept>0. Counts, ℓ, and (for integral inputs) the
+    kept-mass sums stay exact integers until the two final divisions.
+
+    ``trim`` must be < 0.5 (then n − 2ℓ ≥ 1, so the mean is always
+    defined); ℓ uses a DECIMAL product like `grouped_percentiles_disc`
+    so floor can't straddle an integer boundary vs the oracle. NULL
+    values are excluded. Output: group, n, n_trim (ℓ),
+    trimmed_mean (6dp), winsorized_mean (6dp)."""
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col), F.col(value_col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy(group_col, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = Window.partitionBy(group_col).orderBy(F.col("_v").asc())
+    w_tot = Window.partitionBy(group_col)
+    cum = counts.select(
+        F.col(group_col), F.col("_v"), F.col("_c"),
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_tot).alias("_n"))
+    ell = F.floor(F.lit(trim).cast("decimal(12,6)")
+                  * F.col("_n")).cast("long")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("_cum"), F.col("_n") - ell)
+        - F.greatest(F.col("_cum") - F.col("_c"), ell))
+    scored = cum.select(
+        F.col(group_col), F.col("_v"), F.col("_n"),
+        ell.alias("_l"), kept.alias("_k"))
+    agg = scored.groupBy(group_col).agg(
+        F.max("_n").alias("n"),
+        F.max("_l").alias("n_trim"),
+        F.sum(F.col("_v") * F.col("_k")).alias("_s"),
+        F.min(F.when(F.col("_k") > 0, F.col("_v"))).alias("_vlo"),
+        F.max(F.when(F.col("_k") > 0, F.col("_v"))).alias("_vhi"),
+    )
+    return agg.select(
+        group_col, "n", "n_trim",
+        F.round(F.col("_s") / (F.col("n") - 2 * F.col("n_trim")), 6)
+        .alias("trimmed_mean"),
+        F.round((F.col("_s")
+                 + F.col("n_trim") * (F.col("_vlo") + F.col("_vhi")))
+                / F.col("n"), 6).alias("winsorized_mean"),
+    )
+
+
 def cohens_kappa(
     df: DataFrame,
     rater_a: str,

@@ -26,8 +26,14 @@ suite (q99zzf):
 - :func:`ks_drift` — grouped two-sample Kolmogorov–Smirnov statistic:
   the exact distribution-shift test PSI's fixed bins approximate, with
   the location of the supremum.
+- :func:`js_divergence` — grouped Jensen–Shannon divergence between a
+  reference and a current item distribution: the symmetric, bounded
+  drift scalar (one number per group, vs q99zzf's per-word KL terms).
+- :func:`vocab_richness` — Chao1 estimated vocabulary size and
+  Good–Turing coverage per group: how much unseen vocabulary a source
+  still holds (a saturated source adds nothing to the next epoch).
 
-All five are pure DataFrame compositions (zero Python UDFs) whose
+All are pure DataFrame compositions (zero Python UDFs) whose
 shuffles carry only aggregated state:
 
 - ``psi_drift`` / ``ngram_type_growth`` reduce the corpus to a
@@ -381,6 +387,91 @@ def ks_drift(df: DataFrame, group_cols: list[str], value_col: str,
         F.col("_b._x").alias("ks_x"),
         F.round((-F.col("_b._neg"))
                 / (F.col("n_cur") * F.col("n_ref")), 6).alias("ks_d"),
+    )
+
+
+def js_divergence(df: DataFrame, group_cols: list[str], item_col: str,
+                  is_cur_col: str) -> DataFrame:
+    """Grouped Jensen–Shannon divergence between the reference and
+    current item distributions: JSD = 0.5·KL(P‖M) + 0.5·KL(Q‖M) with
+    M = (P+Q)/2 — the symmetric, always-finite drift scalar (bounded
+    by ln 2) that turns "did this source's vocabulary move?" into ONE
+    number per group, where q99zzf's KL emits per-word terms and needs
+    smoothing to stay finite. No smoothing here: items absent from one
+    side contribute the exact 0·ln0 = 0 / q·ln2 limits, so the score
+    is a true metric-squared (Endres & Schindelin 2003).
+
+    Shape: per-(group, item) two-sided counts (one partial-aggregated
+    groupBy over the scan), per-group totals broadcast back, one
+    codegen term per distinct item, one final grouped sum — state
+    bounded by item cardinality, never corpus rows. Groups missing
+    either slice are excluded (JSD needs both distributions).
+    Output: *group_cols, n_ref, n_cur, jsd (6dp, nats)."""
+    is_cur = F.col(is_cur_col)
+    per_item = df.groupBy(*group_cols, item_col).agg(
+        F.sum(is_cur.cast("long")).alias("_c_cur"),
+        F.sum((~is_cur).cast("long")).alias("_c_ref"),
+    )
+    tot = per_item.groupBy(*group_cols).agg(
+        F.sum("_c_cur").alias("n_cur"),
+        F.sum("_c_ref").alias("n_ref"),
+    ).filter((F.col("n_cur") > 0) & (F.col("n_ref") > 0))
+    p = F.col("_c_cur") / F.col("n_cur")
+    q = F.col("_c_ref") / F.col("n_ref")
+    m = (p + q) / 2
+    term = (
+        0.5 * F.when(F.col("_c_cur") > 0, p * F.log(p / m)).otherwise(0.0)
+        + 0.5 * F.when(F.col("_c_ref") > 0, q * F.log(q / m)).otherwise(0.0)
+    )
+    return (
+        per_item.join(F.broadcast(tot), group_cols)
+        .groupBy(*group_cols, "n_ref", "n_cur")
+        .agg(F.round(F.sum(term), 6).alias("jsd"))
+    )
+
+
+def vocab_richness(df: DataFrame, group_cols: list[str], text_col: str
+                   ) -> DataFrame:
+    """Chao1 vocabulary-richness estimate and Good–Turing coverage per
+    group: from the type-frequency spectrum (f1 = types seen once,
+    f2 = seen twice), Chao1 (bias-corrected, Chao 1984) estimates the
+    TOTAL vocabulary a source holds — seen plus unseen —
+
+        chao1 = V + f1·(f1 − 1) / (2·(f2 + 1))
+
+    and Good–Turing sample coverage C = 1 − f1/N says what fraction of
+    the source's token mass the observed vocabulary already covers. A
+    source whose coverage ≈ 1 and chao1 ≈ V is mined out — more crawl
+    of it adds tokens, not types; a low-coverage source is where the
+    next epoch's new vocabulary lives.
+
+    Shape: explode → per-(group, word) count (partial-aggregated) →
+    ONE grouped agg over the type table (f1/f2/V/N as conditional
+    sums). Integer until the two final divisions.
+    Output: *group_cols, n_tokens, v_types, f1, f2, chao1 (2dp),
+    coverage (6dp)."""
+    toks = df.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("_w"),
+    )
+    types = toks.groupBy(*group_cols, "_w").agg(
+        F.count(F.lit(1)).alias("_c"))
+    f1 = F.sum((F.col("_c") == 1).cast("long"))
+    f2 = F.sum((F.col("_c") == 2).cast("long"))
+    agg = types.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_types"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+    )
+    chao1 = (F.col("v_types")
+             + (F.col("f1") * (F.col("f1") - 1))
+             / (2.0 * (F.col("f2") + 1)))
+    return agg.select(
+        *group_cols, "n_tokens", "v_types", "f1", "f2",
+        F.round(chao1, 2).alias("chao1"),
+        F.round(1.0 - F.col("f1") / F.col("n_tokens"), 6)
+        .alias("coverage"),
     )
 
 

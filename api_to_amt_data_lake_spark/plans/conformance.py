@@ -9634,6 +9634,142 @@ def q99zzzd_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(d, ["lang"], "n_chars", "is_cur")
 
 
+@register("q99zzze_js_divergence", oracle="""
+WITH w AS (
+  SELECT lang, doc_id % 2 = 1 AS is_cur,
+    unnest(string_split(trim(text), ' ')) AS item
+  FROM documents
+), pi AS (
+  SELECT lang, item,
+    SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS c_cur,
+    SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS c_ref
+  FROM w GROUP BY 1, 2
+), tot AS (
+  SELECT lang, SUM(c_cur) AS n_cur, SUM(c_ref) AS n_ref
+  FROM pi GROUP BY 1
+  HAVING SUM(c_cur) > 0 AND SUM(c_ref) > 0
+)
+SELECT pi.lang, CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(n_cur AS BIGINT) AS n_cur,
+  round(SUM(
+    0.5 * CASE WHEN c_cur > 0 THEN
+      (c_cur / CAST(n_cur AS DOUBLE))
+      * ln((c_cur / CAST(n_cur AS DOUBLE))
+           / ((c_cur / CAST(n_cur AS DOUBLE)
+               + c_ref / CAST(n_ref AS DOUBLE)) / 2)) ELSE 0 END
+    + 0.5 * CASE WHEN c_ref > 0 THEN
+      (c_ref / CAST(n_ref AS DOUBLE))
+      * ln((c_ref / CAST(n_ref AS DOUBLE))
+           / ((c_cur / CAST(n_cur AS DOUBLE)
+               + c_ref / CAST(n_ref AS DOUBLE)) / 2)) ELSE 0 END
+  ), 6) AS jsd
+FROM pi JOIN tot USING (lang)
+GROUP BY 1, 2, 3
+""")
+def q99zzze_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Jensen–Shannon divergence between the even-doc
+    (reference) and odd-doc (current) word distributions
+    (`operators/corpus.py::js_divergence`): the symmetric,
+    bounded-by-ln2, zero-smoothing drift scalar — ONE number per
+    language, where q99zzf's KL emits per-word terms and must smooth
+    to stay finite. Per-(lang, word) two-sided counts, broadcast
+    totals, one codegen term per distinct word, one grouped sum."""
+    from api_to_amt_data_lake_spark.operators.corpus import (
+        js_divergence,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select("lang", (F.col("doc_id") % 2 == 1).alias("is_cur"),
+                 F.explode(F.split(F.trim("text"), " ")).alias("item"))
+    return js_divergence(w, ["lang"], "item", "is_cur")
+
+
+@register("q99zzzf_vocab_richness", oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS w
+  FROM documents
+), t AS (
+  SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS v_types,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+  round(COUNT(*)
+        + (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+           * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+          / (2.0 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)),
+        2) AS chao1,
+  round(1.0 - SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+              / CAST(SUM(c) AS DOUBLE), 6) AS coverage
+FROM t GROUP BY 1
+""")
+def q99zzzf_vocab_richness(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Chao1 vocabulary-richness census per source
+    (`operators/corpus.py::vocab_richness`): from the type-frequency
+    spectrum (f1 singletons, f2 doubletons), the bias-corrected Chao1
+    estimate of TOTAL (seen + unseen) vocabulary and the Good–Turing
+    coverage 1 − f1/N — which sources are mined out vs still holding
+    new types. One explode, one type-table count, one grouped
+    conditional-sum pass; integer until the final divisions."""
+    from api_to_amt_data_lake_spark.operators.corpus import (
+        vocab_richness,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return vocab_richness(d, ["source"], "text")
+
+
+@register("q99zzzg_trimmed_mean", oracle="""
+WITH c AS (
+  SELECT lang, n_chars AS v, COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, v, cnt,
+    SUM(cnt) OVER (PARTITION BY lang ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cm,
+    SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM c
+), s AS (
+  SELECT lang, v, n,
+    CAST(floor(CAST(0.1 AS DECIMAL(12,6)) * n) AS BIGINT) AS l,
+    greatest(CAST(0 AS BIGINT),
+      least(cm, n - CAST(floor(CAST(0.1 AS DECIMAL(12,6)) * n)
+                         AS BIGINT))
+      - greatest(cm - cnt,
+                 CAST(floor(CAST(0.1 AS DECIMAL(12,6)) * n)
+                      AS BIGINT))) AS k
+  FROM cum
+), a AS (
+  SELECT lang, MAX(n) AS n, MAX(l) AS n_trim, SUM(v * k) AS s,
+    MIN(CASE WHEN k > 0 THEN v END) AS vlo,
+    MAX(CASE WHEN k > 0 THEN v END) AS vhi
+  FROM s GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(n_trim AS BIGINT) AS n_trim,
+  round(s / CAST(n - 2 * n_trim AS DOUBLE), 6) AS trimmed_mean,
+  round((s + n_trim * (vlo + vhi)) / CAST(n AS DOUBLE), 6)
+    AS winsorized_mean
+FROM a
+""")
+def q99zzzg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 10% trimmed and winsorized mean document length
+    (`operators/aggregates.py::trimmed_winsorized_mean`): the robust
+    central-tendency pair for skewed length distributions, computed
+    exactly from the value-frequency table — each distinct value's
+    kept row count is an interval overlap against the [ℓ, n−ℓ] rank
+    band, so no per-row buffering and the cumulative window runs over
+    DISTINCT values only (the grouped_percentiles_disc shape). The
+    oracle states the identical integer algebra."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        trimmed_winsorized_mean,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return trimmed_winsorized_mean(d, "lang", "n_chars", trim=0.1)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -174,6 +174,9 @@ HEADLINE = [
     "q99zzzb_stream_psi",
     "q99zzzc_word_dispersion",
     "q99zzzd_ks_drift",
+    "q99zzze_js_divergence",
+    "q99zzzf_vocab_richness",
+    "q99zzzg_trimmed_mean",
 ]
 
 

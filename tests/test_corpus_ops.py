@@ -18,10 +18,12 @@ import pytest
 
 from api_to_amt_data_lake_spark.operators.corpus import (
     bigram_pmi,
+    js_divergence,
     ks_drift,
     lorenz_concentration,
     ngram_type_growth,
     psi_drift,
+    vocab_richness,
     word_dispersion,
     zipf_fit,
 )
@@ -185,6 +187,57 @@ def test_ks_drift_known_value_and_empty_slice_excluded(spark):
     out = {r["g"]: r for r in ks_drift(df, ["g"], "v", "is_cur").collect()}
     assert set(out) == {"g"}
     assert out["g"]["ks_d"] == 0.5 and out["g"]["ks_x"] == 2
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark):
+    # identical distributions -> JSD 0; disjoint supports -> ln 2.
+    same = [("g", i, c) for i in ("a", "b") for c in (False, True)]
+    df = spark.createDataFrame(same, ["g", "item", "is_cur"])
+    [r] = js_divergence(df, ["g"], "item", "is_cur").collect()
+    assert (r["jsd"], r["n_ref"], r["n_cur"]) == (0.0, 2, 2)
+
+    disj = [("g", "a", False), ("g", "b", True)]
+    df = spark.createDataFrame(disj, ["g", "item", "is_cur"])
+    [r] = js_divergence(df, ["g"], "item", "is_cur").collect()
+    assert abs(r["jsd"] - math.log(2)) < 1e-6
+
+
+def test_js_divergence_known_value_and_empty_slice_excluded(spark):
+    # ref: a,a,b; cur: a,b,b,c — compare to the direct formula.
+    rows = [("g", w, False) for w in "aab"] + \
+           [("g", w, True) for w in "abbc"] + \
+           [("h", "x", False)]
+    df = spark.createDataFrame(rows, ["g", "item", "is_cur"])
+    out = {r["g"]: r for r in
+           js_divergence(df, ["g"], "item", "is_cur").collect()}
+    assert set(out) == {"g"}  # h has no current slice -> excluded
+    p = {"a": 1 / 4, "b": 2 / 4, "c": 1 / 4}
+    q = {"a": 2 / 3, "b": 1 / 3, "c": 0.0}
+    exp = 0.0
+    for w in "abc":
+        m = (p[w] + q[w]) / 2
+        if p[w]:
+            exp += 0.5 * p[w] * math.log(p[w] / m)
+        if q[w]:
+            exp += 0.5 * q[w] * math.log(q[w] / m)
+    assert abs(out["g"]["jsd"] - exp) < 1e-6
+    assert (out["g"]["n_ref"], out["g"]["n_cur"]) == (3, 4)
+
+
+def test_vocab_richness_spectrum_and_chao1(spark):
+    # "a a b c": N=4, V=3, f1=2 (b,c), f2=1 (a)
+    #   chao1 = 3 + 2*1/(2*2) = 3.5; coverage = 1 - 2/4 = 0.5
+    # "a b": f2=0 exercises the bias-corrected denominator (f2+1).
+    # "a a a": f1=0 -> chao1 = V, coverage = 1.
+    rows = [("s1", "a a b c"), ("s2", "a b"), ("s3", "a a a")]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r["source"]: r for r in
+           vocab_richness(df, ["source"], "text").collect()}
+    assert (out["s1"]["n_tokens"], out["s1"]["v_types"],
+            out["s1"]["f1"], out["s1"]["f2"]) == (4, 3, 2, 1)
+    assert out["s1"]["chao1"] == 3.5 and out["s1"]["coverage"] == 0.5
+    assert out["s2"]["chao1"] == 3.0 and out["s2"]["coverage"] == 0.0
+    assert out["s3"]["chao1"] == 1.0 and out["s3"]["coverage"] == 1.0
 
 
 def test_zipf_topn_cut_is_take_ordered_not_global_sort(spark):

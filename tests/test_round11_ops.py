@@ -409,3 +409,73 @@ def test_expire_superseded_removes_crc_sidecars(tmp_path):
     assert removed == ["part-old.parquet"]
     assert not f.exists()
     assert not crc.exists(), "orphaned .crc sidecar"
+
+
+def test_trimmed_winsorized_mean_known_values(spark):
+    """[0,1,2,3,9,100], trim 0.2 -> l=1: drop 0 and 100.
+    trimmed = (1+2+3+9)/4 = 3.75
+    winsorized = (15 + 1*(1+9))/6 = 25/6 (clamp 0->1, 100->9)."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        trimmed_winsorized_mean,
+    )
+
+    rows = [("g", v) for v in (0, 1, 2, 3, 9, 100)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    [r] = trimmed_winsorized_mean(df, "g", "v", trim=0.2).collect()
+    assert (r["n"], r["n_trim"]) == (6, 1)
+    assert r["trimmed_mean"] == 3.75
+    assert r["winsorized_mean"] == round(25 / 6, 6)
+
+
+def test_trimmed_mean_duplicate_value_straddles_cut(spark):
+    """[1,1,1,2,3], trim 0.2 -> l=1: ONE of the three 1-rows is
+    trimmed (kept=2 for value 1), plus the 3.
+    trimmed = (1+1+2)/3; winsorized = (4 + 1*(1+2))/5 = 1.4."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        trimmed_winsorized_mean,
+    )
+
+    rows = [("g", v) for v in (1, 1, 1, 2, 3)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    [r] = trimmed_winsorized_mean(df, "g", "v", trim=0.2).collect()
+    assert r["trimmed_mean"] == round(4 / 3, 6)
+    assert r["winsorized_mean"] == 1.4
+
+
+def test_trimmed_mean_zero_trim_is_plain_mean_and_bad_trim_raises(spark):
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        trimmed_winsorized_mean,
+    )
+
+    rows = [("g", v) for v in (1, 2, 3, None, 10)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    [r] = trimmed_winsorized_mean(df, "g", "v", trim=0.0).collect()
+    assert r["n"] == 4  # NULL excluded
+    assert r["trimmed_mean"] == r["winsorized_mean"] == 4.0
+    import pytest
+    with pytest.raises(ValueError):
+        trimmed_winsorized_mean(df, "g", "v", trim=0.5)
+
+
+def test_trimmed_mean_matches_python_reference(spark):
+    """Random multiset per group == sort-and-slice reference."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        trimmed_winsorized_mean,
+    )
+
+    rng = random.Random(11)
+    rows = [(f"g{i % 3}", rng.randint(0, 30)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["g"]: r for r in
+           trimmed_winsorized_mean(df, "g", "v", trim=0.1).collect()}
+    for g in ("g0", "g1", "g2"):
+        vs = sorted(v for gg, v in rows if gg == g)
+        n = len(vs)
+        l = int(0.1 * n)
+        kept = vs[l:n - l]
+        trimmed = sum(kept) / (n - 2 * l)
+        winsor = (sum(kept) + l * (kept[0] + kept[-1])) / n
+        assert got[g]["trimmed_mean"] == round(trimmed, 6), g
+        assert got[g]["winsorized_mean"] == round(winsor, 6), g
