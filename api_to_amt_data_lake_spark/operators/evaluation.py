@@ -236,3 +236,97 @@ def calibration_ece(
                        * F.abs(F.col("_acc") - F.col("_conf")))
                  / F.sum("_nb"), round_to).alias("ece"))
     )
+
+
+# Cumulative Poisson(1) probabilities e^{-1}·Σ_{j≤k} 1/j!: the inverse-
+# CDF ladder for the Poisson bootstrap. Literal doubles, identical in
+# the SQL oracle — both engines compare the same exact u against the
+# same exact thresholds, so replicate weights agree bit-for-bit.
+_POISSON1_CUM = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    n_boot: int = 64,
+    alpha: float = 0.05,
+    seed: int = 11,
+) -> DataFrame:
+    """Per-group mean with a Poisson-bootstrap percentile confidence
+    interval — the error bar on "this source's mean quality score" a
+    curation dashboard needs before acting on a difference. The
+    POISSON bootstrap (Hanley & MacGibbon 2006; the standard
+    map-reduce bootstrap) replaces multinomial resampling — which
+    needs the group size up front and a global draw — with an
+    independent Poisson(1) replicate weight per (row, replicate), so
+    it runs as a per-row expression at any scale and any parallelism.
+
+    Determinism (engine-portable, retry-stable): the weight is the
+    Poisson(1) inverse CDF of u = (md5(id:b:seed)[:6 hex] + 0.5)/16^6
+    — the `weighted_sample_keys` uniform — never rand(). u is exact
+    (24-bit integer over a power of two) and the CDF thresholds are
+    shared literals, so every engine draws identical weights. For
+    INTEGRAL value columns each replicate's weighted sum stays an
+    exact integer, making the replicate means — and hence the selected
+    percentiles — bit-identical across engines (the conformance
+    oracle's hash-parity relies on this; float columns get engine-
+    identical weights but sum-order float drift).
+
+    Shape: explode ×n_boot (the deliberate, bounded cost — B× one
+    scan, partially aggregated before any shuffle), one groupBy
+    (group, replicate) down to B rows per group, then the
+    percentile_disc value-frequency shape over those B-row tables.
+    Replicates that draw total weight 0 (prob e^{-n}) are dropped, as
+    is standard. Output: *group_cols, n, mean (6dp), ci_lo, ci_hi
+    (6dp, percentile bootstrap at alpha/2 and 1-alpha/2)."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        grouped_percentiles_disc,
+    )
+
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b")
+    rep = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).alias("_x"),
+        F.col(id_col).cast("string").alias("_id"), b,
+    ).where(F.col("_x").isNotNull())
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("_id"),
+                              F.col("_b").cast("string"),
+                              F.lit(str(seed)))), 1, 6),
+        16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16 ** 6))
+    w = F.lit(len(_POISSON1_CUM))
+    for k in range(len(_POISSON1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w)
+    weighted = rep.withColumn("_w", w.cast("long"))
+    means = (
+        weighted.groupBy(*group_cols, "_b")
+        .agg(F.sum(F.col("_w") * F.col("_x")).alias("_sw"),
+             F.sum("_w").alias("_w"))
+        .where(F.col("_w") > 0)
+        .select(*group_cols,
+                (F.col("_sw") / F.col("_w")).alias("_rep_mean"))
+    )
+    if len(group_cols) != 1:
+        raise ValueError("bootstrap_mean_ci supports one group column")
+    ci = grouped_percentiles_disc(
+        means, group_cols[0], "_rep_mean",
+        [alpha / 2, 1 - alpha / 2], ["_lo", "_hi"])
+    base = df.where(F.col(value_col).isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(value_col) / F.count(F.lit(1))).alias("_mean"))
+    return (
+        base.join(F.broadcast(ci), group_cols)
+        .select(*group_cols, "n",
+                F.round("_mean", 6).alias("mean"),
+                F.round("_lo", 6).alias("ci_lo"),
+                F.round("_hi", 6).alias("ci_hi"))
+    )

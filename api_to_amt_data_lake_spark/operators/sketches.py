@@ -443,3 +443,49 @@ def minu_estimate(
     est = F.when(F.col("_occ") * 2 < kk, sparse).otherwise(dense)
     return agg.select(
         *key_cols, F.round(est).cast("long").alias("n_distinct_est"))
+
+
+def kmv_jaccard_matrix(
+    df: DataFrame,
+    key_col: str,
+    distinct_col: str,
+    k: int = 128,
+    seed: int = 5,
+) -> DataFrame:
+    """Pairwise Jaccard-similarity matrix between groups' distinct-item
+    sets from their KMV sketches — "which sources/domains mirror each
+    other's vocabulary (or URL set, or shingle set)?", the corpus-level
+    dedup diagnostic that tells you WHERE near-duplicate mass lives
+    before you pay for a document-level LSH pass.
+
+    Estimator (Beyer et al. 2007): merge two KMV sketches (union,
+    distinct, keep k smallest), then Ĵ = |merged ∩ S_a ∩ S_b| /
+    |merged| — the k-smallest union uniforms are a uniform sample of
+    the union, and membership in both sketches marks intersection
+    elements. Deterministic: the uniforms are `_kmv_uniform`'s exact
+    md5 doubles, so the sketch — and therefore the estimate — is
+    bit-identical across engines and reruns.
+
+    Scale shape: the corpus collapses to |keys| sketch rows via the
+    mergeable `kmv_sketch` aggregation (shuffled state ≤ salts × k
+    doubles per key); the pair join and all merge/intersect work are
+    array expressions on that |keys|²/2-row table — bounded by group
+    cardinality, never corpus size. Output: key_a, key_b, k_used,
+    n_both, jaccard (6dp)."""
+    sk = kmv_sketch(df, [key_col], distinct_col, k=k, seed=seed)
+    a = sk.select(F.col(key_col).alias("key_a"),
+                  F.col("kmv").alias("_ka"))
+    b = sk.select(F.col(key_col).alias("key_b"),
+                  F.col("kmv").alias("_kb"))
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_ka", "_kb"))), 1, k)
+    scored = pairs.withColumn("_m", merged).select(
+        "key_a", "key_b",
+        F.size("_m").alias("k_used"),
+        F.size(F.array_intersect(
+            "_m", F.array_intersect("_ka", "_kb"))).alias("n_both"),
+    )
+    return scored.withColumn(
+        "jaccard",
+        F.round(F.col("n_both") / F.col("k_used"), 6))

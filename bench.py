@@ -177,6 +177,8 @@ HEADLINE = [
     "q99zzze_js_divergence",
     "q99zzzf_vocab_richness",
     "q99zzzg_trimmed_mean",
+    "q99zzzh_bootstrap_ci",
+    "q99zzzi_source_overlap",
 ]
 
 

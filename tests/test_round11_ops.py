@@ -479,3 +479,113 @@ def test_trimmed_mean_matches_python_reference(spark):
         winsor = (sum(kept) + l * (kept[0] + kept[-1])) / n
         assert got[g]["trimmed_mean"] == round(trimmed, 6), g
         assert got[g]["winsorized_mean"] == round(winsor, 6), g
+
+
+def test_kmv_jaccard_matrix_exact_when_k_covers_union(spark):
+    """k >= |union| makes the KMV estimate EXACT: merged holds every
+    union uniform, n_both = |A∩B|. A={0..19}, B={10..29} -> 10/30."""
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        kmv_jaccard_matrix,
+    )
+
+    rows = [("a", v) for v in range(20)] + \
+           [("b", v) for v in range(10, 30)]
+    df = spark.createDataFrame(rows, ["src", "item"])
+    [r] = kmv_jaccard_matrix(df, "src", "item", k=128).collect()
+    assert (r["key_a"], r["key_b"]) == ("a", "b")
+    assert (r["k_used"], r["n_both"]) == (30, 10)
+    assert r["jaccard"] == round(10 / 30, 6)
+
+
+def test_kmv_jaccard_matrix_identical_and_disjoint(spark):
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        kmv_jaccard_matrix,
+    )
+
+    rows = ([("a", v) for v in range(50)]
+            + [("b", v) for v in range(50)]          # == a
+            + [("c", v) for v in range(100, 150)])   # disjoint
+    df = spark.createDataFrame(rows, ["src", "item"])
+    got = {(r["key_a"], r["key_b"]): r["jaccard"]
+           for r in kmv_jaccard_matrix(df, "src", "item", k=64).collect()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == 0.0 and got[("b", "c")] == 0.0
+
+
+def test_kmv_jaccard_truncated_sketch_is_plausible(spark):
+    """k < |union|: the estimate is approximate but must stay in [0,1]
+    and land near the true 1/3 for a 200-item overlap at k=64."""
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        kmv_jaccard_matrix,
+    )
+
+    rows = [("a", v) for v in range(200)] + \
+           [("b", v) for v in range(100, 300)]
+    df = spark.createDataFrame(rows, ["src", "item"])
+    [r] = kmv_jaccard_matrix(df, "src", "item", k=64).collect()
+    assert r["k_used"] == 64
+    assert 0.15 <= r["jaccard"] <= 0.55  # true J = 100/300
+
+
+def _py_poisson_weight(u):
+    cums = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+            0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+            0.9999167588507119, 0.9999897508033253)
+    for k, c in enumerate(cums):
+        if u < c:
+            return k
+    return 8
+
+
+def test_bootstrap_mean_ci_matches_python_reference(spark):
+    """Replicate the md5 uniforms + Poisson ladder + percentile-disc
+    selection in pure python and demand identical output."""
+    import hashlib
+    import math
+
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [("g", i, (i * 7) % 23 + 1) for i in range(40)] + \
+           [("h", 100 + i, (i * 3) % 11) for i in range(25)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "x"])
+    got = {r["grp"]: r for r in bootstrap_mean_ci(
+        df, ["grp"], "x", "rid", n_boot=32, alpha=0.05, seed=11
+    ).collect()}
+
+    for grp in ("g", "h"):
+        data = [(rid, x) for g2, rid, x in rows if g2 == grp]
+        means = []
+        for b in range(32):
+            sw = wsum = 0
+            for rid, x in data:
+                hx = hashlib.md5(f"{rid}:{b}:11".encode()).hexdigest()
+                u = (int(hx[:6], 16) + 0.5) / 16 ** 6
+                w = _py_poisson_weight(u)
+                sw += w * x
+                wsum += w
+            if wsum > 0:
+                means.append(sw / wsum)
+        means.sort()
+        tot = len(means)
+        lo = means[math.ceil(0.025 * tot) - 1]
+        hi = means[math.ceil(0.975 * tot) - 1]
+        r = got[grp]
+        assert r["n"] == len(data)
+        assert r["mean"] == round(sum(x for _, x in data) / len(data), 6)
+        assert r["ci_lo"] == round(lo, 6), grp
+        assert r["ci_hi"] == round(hi, 6), grp
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+
+
+def test_bootstrap_mean_ci_constant_collapses_and_null_excluded(spark):
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [("g", i, 5) for i in range(30)] + [("g", 99, None)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "x"])
+    [r] = bootstrap_mean_ci(df, ["grp"], "x", "rid", n_boot=16).collect()
+    assert r["n"] == 30
+    assert r["mean"] == r["ci_lo"] == r["ci_hi"] == 5.0
