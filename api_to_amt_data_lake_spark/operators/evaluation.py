@@ -330,3 +330,127 @@ def bootstrap_mean_ci(
                 F.round("_lo", 6).alias("ci_lo"),
                 F.round("_hi", 6).alias("ci_hi"))
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-group isotonic (PAV) calibration curve over score bins: the
+    non-parametric companion to `calibration_ece` — instead of just
+    MEASURING miscalibration, fit the monotone non-decreasing mapping
+    score → P(label=1) one would apply to fix it (Zadrozny & Elkan
+    2002). Scores bin exactly as in calibration_ece (floor(s·n_bins),
+    top-clamped), so the fit is over ≤ n_bins points per group.
+
+    Algorithm: the minimax characterization of isotonic regression
+    (Robertson, Wright & Dykstra 1988) instead of the sequential PAV
+    pooling loop — ŷ_i = max_{j≤i} min_{k≥i} A(j,k), with A(j,k) the
+    label rate pooled over bins j..k from prefix sums. That turns an
+    inherently sequential algorithm into relational algebra: a prefix
+    window over the n_bins rows, a (j ≤ k) pair join (≤ n_bins²/2 rows
+    per group), one reverse running-min window partitioned by (group,
+    j), and one final partial-aggregated max groupBy. Every A(j,k) is
+    an exact-integer ratio and the windows only SELECT values (no
+    float folding), so the fit hash-matches the oracle bit-for-bit.
+
+    Scale: the corpus collapses to the (group, bin) count table in one
+    partial-aggregated pass; everything after is n_bins²-bounded.
+    Output: *group_cols, bin, n, rate (6dp, raw), calibrated (6dp,
+    the isotonic fit — non-decreasing in bin within each group)."""
+    s = F.col(score_col)
+    bin_c = F.least(F.floor(s * n_bins).cast("int"),
+                    F.lit(n_bins - 1))
+    bins = (
+        df.select(*group_cols, bin_c.alias("bin"),
+                  F.col(label_col).cast("long").alias("_y"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("_s"))
+    )
+    w_pre = (Window.partitionBy(*group_cols).orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = bins.select(
+        *group_cols, "bin", "n", "_s",
+        F.sum("n").over(w_pre).alias("_cw"),
+        F.sum("_s").over(w_pre).alias("_cs"),
+    )
+    j = pre.select(*[F.col(c).alias(f"_ga_{c}") for c in group_cols],
+                   F.col("bin").alias("_j"),
+                   (F.col("_cw") - F.col("n")).alias("_cwj"),
+                   (F.col("_cs") - F.col("_s")).alias("_csj"))
+    k = pre.select(*group_cols, F.col("bin").alias("_k"),
+                   F.col("_cw").alias("_cwk"), F.col("_cs").alias("_csk"))
+    cond = [F.col(f"_ga_{c}") == F.col(c) for c in group_cols]
+    pairs = j.join(k, cond + [F.col("_j") <= F.col("_k")]).select(
+        *group_cols, "_j", "_k",
+        ((F.col("_csk") - F.col("_csj"))
+         / (F.col("_cwk") - F.col("_cwj"))).alias("_a"),
+    )
+    w_rmin = (Window.partitionBy(*group_cols, "_j")
+              .orderBy(F.col("_k").desc())
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow))
+    m = pairs.select(*group_cols, F.col("_k").alias("bin"),
+                     F.min("_a").over(w_rmin).alias("_m"))
+    fit = m.groupBy(*group_cols, "bin").agg(
+        F.max("_m").alias("_fit"))
+    return (
+        bins.join(fit, [*group_cols, "bin"])
+        .select(*group_cols, "bin", "n",
+                F.round(F.col("_s") / F.col("n"), 6).alias("rate"),
+                F.round("_fit", 6).alias("calibrated"))
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    group_cols: list[str],
+    pval_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control per group over a battery of
+    p-values — the multiple-testing gate for the keyness/drift
+    batteries (q99zze chi², q99zzzd KS, …): testing 100k words at
+    α=0.05 hands you 5k false "drifted" words; BH caps the expected
+    FALSE-DISCOVERY FRACTION at α instead (Benjamini & Hochberg 1995).
+
+    Computed on the distinct-p-value frequency table (the
+    percentile_disc shape — never a window over test rows): for each
+    distinct p its highest sorted rank is the cumulative count, the
+    BH-adjusted q-value is the reverse running min of p·m/rank over
+    descending p (so tied p-values share one exact q), and reject =
+    (q ≤ alpha) reproduces max-k thresholding exactly. p·m/rank is
+    one multiply + one divide of exact inputs per distinct value —
+    identical in any engine, no accumulation.
+
+    Output: *group_cols, pval, n_tests (per-value count), m (group
+    test count), q_value (9dp), reject."""
+    per_val = (
+        df.select(*group_cols, F.col(pval_col).alias("pval"))
+        .where(F.col("pval").isNotNull())
+        .groupBy(*group_cols, "pval")
+        .agg(F.count(F.lit(1)).alias("n_tests"))
+    )
+    w_cum = (Window.partitionBy(*group_cols).orderBy("pval")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy(*group_cols)
+    ranked = per_val.select(
+        *group_cols, "pval", "n_tests",
+        F.sum("n_tests").over(w_cum).alias("_rank"),
+        F.sum("n_tests").over(w_tot).alias("m"),
+    )
+    w_rmin = (Window.partitionBy(*group_cols)
+              .orderBy(F.col("pval").desc())
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow))
+    q_raw = F.col("pval") * F.col("m") / F.col("_rank")
+    scored = ranked.withColumn(
+        "_q", F.least(F.min(q_raw).over(w_rmin), F.lit(1.0)))
+    return scored.select(
+        *group_cols, "pval", "n_tests", "m",
+        F.round("_q", 9).alias("q_value"),
+        (F.col("_q") <= F.lit(alpha)).alias("reject"),
+    )

@@ -9895,6 +9895,105 @@ def q99zzzi_source_overlap(spark: SparkSession, sf_dir: str
     return kmv_jaccard_matrix(toks, "source", "w", k=128, seed=5)
 
 
+@register("q99zzzj_isotonic_calibration", oracle="""
+WITH base AS (
+  SELECT lang, (length(text) % 997) / 997.0 AS s,
+    CAST(len(string_split(trim(text), ' ')) > 80 AS INT) AS y
+  FROM documents
+), b AS (
+  SELECT lang, LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin, y
+  FROM base
+), bins AS (
+  SELECT lang, bin, COUNT(*) AS n, SUM(y) AS sy FROM b GROUP BY 1, 2
+), pre AS (
+  SELECT lang, bin, n, sy,
+    SUM(n) OVER (PARTITION BY lang ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) AS cw,
+    SUM(sy) OVER (PARTITION BY lang ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS cs
+  FROM bins
+), pairs AS (
+  SELECT j.lang, j.bin AS jb, k.bin AS kb,
+    (k.cs - (j.cs - j.sy))
+      / CAST(k.cw - (j.cw - j.n) AS DOUBLE) AS a
+  FROM pre j JOIN pre k ON j.lang = k.lang AND j.bin <= k.bin
+), mm AS (
+  SELECT lang, jb, kb,
+    MIN(a) OVER (PARTITION BY lang, jb ORDER BY kb DESC
+                 ROWS UNBOUNDED PRECEDING) AS rm
+  FROM pairs
+), fit AS (
+  SELECT lang, kb AS bin, MAX(rm) AS f FROM mm GROUP BY 1, 2
+)
+SELECT bins.lang, bins.bin, CAST(bins.n AS BIGINT) AS n,
+  round(bins.sy / CAST(bins.n AS DOUBLE), 6) AS rate,
+  round(f, 6) AS calibrated
+FROM bins JOIN fit ON bins.lang = fit.lang AND bins.bin = fit.bin
+""")
+def q99zzzj_isotonic_calibration(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Per-language isotonic (PAV) calibration curve for the q99zzr
+    pseudo-classifier (`operators/evaluation.py::isotonic_calibration`,
+    10 bins): the monotone score→P(label) mapping that FIXES the
+    miscalibration ECE measures. Sequential PAV pooling is re-expressed
+    through the minimax characterization ŷᵢ = max_{j≤i} min_{k≥i}
+    A(j,k) — a prefix window, an n_bins² pair join, a reverse
+    running-min window and one max groupBy, all on bin-bounded tables;
+    every pooled rate is an exact-integer ratio so the fit
+    hash-matches bit-for-bit."""
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        ((F.length("text") % 997) / F.lit(997.0)).alias("score"),
+        (F.size(F.split(F.trim(F.col("text")), " ")) > 80)
+        .cast("int").alias("label"))
+    return isotonic_calibration(d, ["lang"], "score", "label",
+                                n_bins=10)
+
+
+@register("q99zzzk_bh_fdr", oracle="""
+WITH t AS (
+  SELECT lang, (n_chars % 1000) / 999.0 AS pval
+  FROM documents WHERE n_chars IS NOT NULL
+), pv AS (
+  SELECT lang, pval, COUNT(*) AS n_tests FROM t GROUP BY 1, 2
+), r AS (
+  SELECT lang, pval, n_tests,
+    SUM(n_tests) OVER (PARTITION BY lang ORDER BY pval
+                       ROWS UNBOUNDED PRECEDING) AS rk,
+    SUM(n_tests) OVER (PARTITION BY lang) AS m
+  FROM pv
+), s AS (
+  SELECT lang, pval, n_tests, m,
+    LEAST(MIN(pval * m / rk) OVER (PARTITION BY lang ORDER BY pval DESC
+                                   ROWS UNBOUNDED PRECEDING),
+          1.0) AS q
+  FROM r
+)
+SELECT lang, pval, CAST(n_tests AS BIGINT) AS n_tests,
+  CAST(m AS BIGINT) AS m, round(q, 9) AS q_value,
+  q <= 0.05 AS reject
+FROM s
+""")
+def q99zzzk_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control per language over a battery of
+    per-document pseudo p-values (`operators/evaluation.py::bh_fdr`,
+    α=0.05): the multiple-testing gate the keyness/drift batteries
+    need before acting on "significant" words. Computed on the
+    distinct-p frequency table — tied p-values share their highest
+    sorted rank (the cumulative count) and one exact q-value; the
+    adjusted q is a reverse running min of p·m/rank, a single multiply
+    + divide of exact inputs per distinct value."""
+    from api_to_amt_data_lake_spark.operators.evaluation import bh_fdr
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang", ((F.col("n_chars") % 1000) / F.lit(999.0)).alias("p"))
+    return bh_fdr(d, ["lang"], "p", alpha=0.05)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -179,6 +179,8 @@ HEADLINE = [
     "q99zzzg_trimmed_mean",
     "q99zzzh_bootstrap_ci",
     "q99zzzi_source_overlap",
+    "q99zzzj_isotonic_calibration",
+    "q99zzzk_bh_fdr",
 ]
 
 

@@ -589,3 +589,99 @@ def test_bootstrap_mean_ci_constant_collapses_and_null_excluded(spark):
     [r] = bootstrap_mean_ci(df, ["grp"], "x", "rid", n_boot=16).collect()
     assert r["n"] == 30
     assert r["mean"] == r["ci_lo"] == r["ci_hi"] == 5.0
+
+
+def _py_pav(pairs):
+    """Sequential pool-adjacent-violators on [(w, s)] -> fitted rates."""
+    blocks = [[w, s] for w, s in pairs]  # [weight, label_sum]
+    out_idx = [[i] for i in range(len(pairs))]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] * blocks[i + 1][0] > blocks[i + 1][1] * blocks[i][0]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            out_idx[i] += out_idx[i + 1]
+            del blocks[i + 1], out_idx[i + 1]
+            if i:
+                i -= 1
+        else:
+            i += 1
+    fit = [0.0] * len(pairs)
+    for blk, idxs in zip(blocks, out_idx):
+        for j in idxs:
+            fit[j] = blk[1] / blk[0]
+    return fit
+
+
+def test_isotonic_calibration_matches_sequential_pav(spark):
+    """The minimax-formula fit == classic sequential PAV pooling on a
+    deliberately non-monotone per-bin rate profile, per group."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        isotonic_calibration,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("g0", "g1"):
+        for i in range(400):
+            s = rng.random()
+            # non-monotone truth: high positives in the middle bins
+            p = 0.8 if 0.3 < s < 0.6 else 0.2 if s < 0.3 else 0.5
+            rows.append((g, s, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, ["g", "score", "y"])
+    got = isotonic_calibration(df, ["g"], "score", "y", n_bins=10)
+    got = {(r["g"], r["bin"]): r for r in got.collect()}
+
+    for g in ("g0", "g1"):
+        per_bin = {}
+        for gg, s, y in rows:
+            if gg != g:
+                continue
+            b = min(int(s * 10), 9)
+            w, sy = per_bin.get(b, (0, 0))
+            per_bin[b] = (w + 1, sy + y)
+        bins_sorted = sorted(per_bin)
+        fit = _py_pav([per_bin[b] for b in bins_sorted])
+        for b, f in zip(bins_sorted, fit):
+            r = got[(g, b)]
+            assert r["n"] == per_bin[b][0]
+            assert r["calibrated"] == round(f, 6), (g, b)
+        # and the output is monotone non-decreasing
+        cal = [got[(g, b)]["calibrated"] for b in bins_sorted]
+        assert cal == sorted(cal), g
+
+
+def test_bh_fdr_textbook_and_ties(spark):
+    from api_to_amt_data_lake_spark.operators.evaluation import bh_fdr
+
+    # classic: p=(.01,.02,.03,.04,.9), m=5, alpha=.05 -> reject 4,
+    # all four adjusted q collapse to .05
+    rows = [("g", p) for p in (0.01, 0.02, 0.03, 0.04, 0.9)]
+    df = spark.createDataFrame(rows, ["g", "p"])
+    out = {r["pval"]: r for r in bh_fdr(df, ["g"], "p").collect()}
+    for p in (0.01, 0.02, 0.03, 0.04):
+        assert out[p]["reject"] and out[p]["q_value"] == 0.05
+    assert not out[0.9]["reject"] and out[0.9]["q_value"] == 0.9
+
+    # tied p-values share rank = their cumulative count and one q
+    rows = [("g", 0.01), ("g", 0.01), ("g", 0.5)]
+    df = spark.createDataFrame(rows, ["g", "p"])
+    out = {r["pval"]: r for r in bh_fdr(df, ["g"], "p").collect()}
+    assert out[0.01]["n_tests"] == 2
+    assert out[0.01]["q_value"] == 0.015  # 0.01 * 3 / 2
+    assert out[0.01]["reject"] and not out[0.5]["reject"]
+
+
+def test_bh_fdr_nulls_dropped_and_reverse_min_smooths(spark):
+    from api_to_amt_data_lake_spark.operators.evaluation import bh_fdr
+
+    rows = [("g", 0.8), ("g", 0.99), ("g", None)]
+    df = spark.createDataFrame(rows, ["g", "p"])
+    out = {r["pval"]: r for r in bh_fdr(df, ["g"], "p").collect()}
+    assert set(out) == {0.8, 0.99}  # NULL p dropped
+    assert out[0.8]["m"] == 2
+    # q_raw(0.8) = 0.8*2/1 = 1.6, but the reverse running min pulls it
+    # down to q(0.99) = 0.99 — adjusted p-values are monotone in p.
+    assert out[0.99]["q_value"] == 0.99 and out[0.8]["q_value"] == 0.99

@@ -295,6 +295,70 @@ def main() -> None:
     rows["zipf"] = zipf_fit(corpus, "text", top_n=1000).count()
     t["zipf"] = round(time.time() - t0, 2)
 
+    # Round-11 wave 2: dispersion/drift/richness/CI/overlap. Each is
+    # one or two corpus scans plus aggregation on vocabulary- or
+    # source-bounded tables; bootstrap is deliberately 16x one scan
+    # (the replicate explode) with partial aggregation before the
+    # (group, replicate) shuffle.
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        trimmed_winsorized_mean,
+    )
+    from api_to_amt_data_lake_spark.operators.corpus import (
+        js_divergence,
+        ks_drift,
+        vocab_richness,
+        word_dispersion,
+    )
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+    )
+    from api_to_amt_data_lake_spark.operators.sketches import (
+        kmv_jaccard_matrix,
+    )
+
+    t0 = time.time()
+    rows["dispersion"] = word_dispersion(
+        corpus, "source", "text", min_count=5).count()
+    t["dispersion"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    # slice flag alternates WITHIN each source (source = id % 20, so
+    # id parity is constant per source; id % 40 >= 20 flips per block)
+    rows["ks"] = ks_drift(
+        corpus.select("source", "n_chars",
+                      (F.col("doc_id") % 40 >= 20).alias("is_cur")),
+        ["source"], "n_chars", "is_cur").count()
+    t["ks"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    jsd_in = corpus.select(
+        "source", (F.col("doc_id") % 40 >= 20).alias("is_cur"),
+        F.explode(F.split(F.trim("text"), " ")).alias("item"))
+    rows["jsd"] = js_divergence(
+        jsd_in, ["source"], "item", "is_cur").count()
+    t["jsd"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["richness"] = vocab_richness(corpus, ["source"], "text").count()
+    t["richness"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["trimmed"] = trimmed_winsorized_mean(
+        corpus, "source", "n_chars", trim=0.1).count()
+    t["trimmed"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    rows["bootstrap"] = bootstrap_mean_ci(
+        corpus, ["source"], "n_chars", "doc_id", n_boot=16).count()
+    t["bootstrap"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    toks = corpus.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("w"))
+    rows["overlap"] = kmv_jaccard_matrix(
+        toks, "source", "w", k=128).count()
+    t["overlap"] = round(time.time() - t0, 2)
+
     print(json.dumps({"n_docs": n, "sec": t, "rows": rows,
                       "total_sec": round(sum(t.values()), 2)}))
 
