@@ -454,3 +454,55 @@ def bh_fdr(
         F.round("_q", 9).alias("q_value"),
         (F.col("_q") <= F.lit(alpha)).alias("reject"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal quantile per group: the calibration-set
+    threshold q̂ = the ⌈(n+1)(1−α)⌉-th smallest nonconformity score
+    (Vovk et al. 2005; Angelopoulos & Bates 2023). Predicting "accept
+    iff score ≤ q̂" on exchangeable future data then guarantees
+    coverage ≥ 1−α — distribution-free, the statistically-grounded way
+    to turn a curation classifier's raw scores into an accept set with
+    a promised error budget. The (n+1) finite-sample correction is the
+    whole difference from a plain percentile — without it coverage
+    silently undershoots on small calibration slices.
+
+    Shape: the `grouped_percentiles_disc` machinery — value-frequency
+    table, cumulative window over DISTINCT scores, one conditional
+    min — with the rank threshold ⌈(n+1)(1−α)⌉ instead of ⌈p·n⌉
+    (DECIMAL product, exact cross-engine). Groups smaller than
+    ⌈1/α⌉ − 1 cannot guarantee coverage (the rank exceeds n): they
+    report NULL q_hat rather than a silently-invalid threshold.
+    Output: *group_cols, n, cal_rank (the order statistic used),
+    q_hat."""
+    if len(group_cols) != 1:
+        raise ValueError("conformal_threshold supports one group column")
+    g = group_cols[0]
+    counts = (
+        df.select(F.col(g), F.col(score_col).alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy(g, "_v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_cum = (Window.partitionBy(g).orderBy(F.col("_v").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy(g)
+    cum = counts.select(
+        F.col(g), F.col("_v"),
+        F.sum("_n").over(w_cum).alias("_cum"),
+        F.sum("_n").over(w_tot).alias("_tot"))
+    rank = F.ceil(
+        F.lit(1.0 - alpha).cast("decimal(12,6)") * (F.col("_tot") + 1)
+    ).cast("long")
+    return (
+        cum.groupBy(g)
+        .agg(F.max("_tot").alias("n"),
+             F.max(rank).alias("cal_rank"),
+             F.min(F.when(F.col("_cum") >= rank, F.col("_v")))
+             .alias("q_hat"))
+    )

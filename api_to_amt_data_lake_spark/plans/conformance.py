@@ -9994,6 +9994,42 @@ def q99zzzk_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bh_fdr(d, ["lang"], "p", alpha=0.05)
 
 
+@register("q99zzzl_conformal_threshold", oracle="""
+WITH c AS (
+  SELECT lang, n_chars AS v, COUNT(*) AS n FROM documents
+  WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT lang, v,
+    SUM(n) OVER (PARTITION BY lang ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cm,
+    SUM(n) OVER (PARTITION BY lang) AS tot
+  FROM c
+)
+SELECT lang, CAST(MAX(tot) AS BIGINT) AS n,
+  CAST(MAX(ceil(CAST(0.9 AS DECIMAL(12,6)) * (tot + 1))) AS BIGINT)
+    AS cal_rank,
+  MIN(CASE WHEN cm >= ceil(CAST(0.9 AS DECIMAL(12,6)) * (tot + 1))
+           THEN v END) AS q_hat
+FROM cum GROUP BY lang
+""")
+def q99zzzl_conformal_threshold(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Split-conformal 90%-coverage threshold per language
+    (`operators/evaluation.py::conformal_threshold`): the
+    ⌈(n+1)·0.9⌉-th smallest nonconformity score (document length as
+    the stand-in) — the distribution-free accept-set cut with a
+    finite-sample coverage guarantee, vs the plain p90 whose coverage
+    silently undershoots on small slices. Same value-frequency /
+    cumulative-window shape as percentile_disc, DECIMAL rank product,
+    NULL q_hat for groups too small to guarantee coverage."""
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return conformal_threshold(d, ["lang"], "n_chars", alpha=0.1)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -181,6 +181,7 @@ HEADLINE = [
     "q99zzzi_source_overlap",
     "q99zzzj_isotonic_calibration",
     "q99zzzk_bh_fdr",
+    "q99zzzl_conformal_threshold",
 ]
 
 

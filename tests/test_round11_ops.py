@@ -685,3 +685,53 @@ def test_bh_fdr_nulls_dropped_and_reverse_min_smooths(spark):
     # q_raw(0.8) = 0.8*2/1 = 1.6, but the reverse running min pulls it
     # down to q(0.99) = 0.99 — adjusted p-values are monotone in p.
     assert out[0.99]["q_value"] == 0.99 and out[0.8]["q_value"] == 0.99
+
+
+def test_conformal_threshold_finite_sample_rank(spark):
+    """scores 1..9, alpha=0.1: rank = ceil(0.9*10) = 9 -> q_hat 9;
+    alpha=0.5: rank = ceil(0.5*10) = 5 -> q_hat 5. A plain p90
+    percentile_disc would pick ceil(0.9*9) = rank 9 too, but at
+    alpha=0.5 plain picks rank 5 of 9 while conformal picks rank 5 of
+    10 — the (n+1) correction shows at small n."""
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in range(1, 10)],
+                               ["g", "s"])
+    [r] = conformal_threshold(df, ["g"], "s", alpha=0.1).collect()
+    assert (r["n"], r["cal_rank"], r["q_hat"]) == (9, 9, 9)
+    [r] = conformal_threshold(df, ["g"], "s", alpha=0.5).collect()
+    assert (r["cal_rank"], r["q_hat"]) == (5, 5)
+
+
+def test_conformal_threshold_too_small_group_is_null(spark):
+    """n=3, alpha=0.1: rank = ceil(0.9*4) = 4 > n — no order statistic
+    can guarantee 90% coverage from 3 points; q_hat must be NULL, not
+    a silently-invalid max."""
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in (1, 2, 3)],
+                               ["g", "s"])
+    [r] = conformal_threshold(df, ["g"], "s", alpha=0.1).collect()
+    assert r["cal_rank"] == 4 and r["q_hat"] is None
+
+
+def test_conformal_threshold_ties_and_coverage(spark):
+    """Duplicated scores: the rank counts ROWS, not distinct values;
+    and on a 199-point calibration set the accept rule covers >= 90%
+    of an exchangeable sample by construction."""
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    vals = [(i * 13) % 50 for i in range(199)]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "s"])
+    [r] = conformal_threshold(df, ["g"], "s", alpha=0.1).collect()
+    import math
+    k = math.ceil(0.9 * 200)
+    assert r["cal_rank"] == k
+    assert r["q_hat"] == sorted(vals)[k - 1]
+    assert sum(v <= r["q_hat"] for v in vals) / len(vals) >= 0.9
