@@ -132,3 +132,42 @@ def stream_binned_counts(
             "bin", "n_cur",
         )
     )
+
+
+def stream_value_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window DISTINCT-VALUE histogram of a live stream — the
+    unbinned sibling of `stream_binned_counts`, feeding EXACT
+    distribution tests downstream: from per-(window, value) counts a
+    batch consumer assembles the precise empirical CDF of every closed
+    window, so the two-sample Kolmogorov–Smirnov statistic against a
+    reference snapshot (`operators/corpus.py::ks_drift`'s algebra) is
+    exact, not a binned approximation — PSI tells you THAT mass moved
+    between coarse bins; KS on the true CDF tells you the largest
+    distributional gap and WHERE it sits.
+
+    Use on discrete or quantized value domains (status codes, token
+    counts, rounded latencies): state is O(open windows × distinct
+    values), bounded by the watermark horizon times value cardinality
+    — for continuous raw doubles, quantize first or use
+    `stream_binned_counts`. Counts partial-aggregate map-side per
+    micro-batch; emission is append-mode on watermark close.
+    Output: window_start, window_end, value, n_cur."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"),
+                 F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "value", "n_cur",
+        )
+    )

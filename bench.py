@@ -182,6 +182,7 @@ HEADLINE = [
     "q99zzzj_isotonic_calibration",
     "q99zzzk_bh_fdr",
     "q99zzzl_conformal_threshold",
+    "q99zzzm_stream_ks",
 ]
 
 

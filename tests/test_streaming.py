@@ -884,3 +884,44 @@ def test_stream_binned_counts_watermark_close(spark, tmp_path):
     got = {(r.window_start.hour, r.bin): r.n_cur for r in
            spark.sql("SELECT * FROM psi_bins_t").collect()}
     assert got == {(0, 0): 1, (1, 9): 1}  # hour-3 window stays open
+
+
+def test_stream_value_counts_watermark_close(spark, tmp_path):
+    """Unbinned windowed value counts (streaming/drift.py::
+    stream_value_counts): per-(window, value) counts emit only for
+    watermark-closed windows, values stay EXACT (no binning).
+
+    Fixture: 00:10 (v=7), 00:40 (v=7), 00:50 (v=9), 03:30 (v=1,
+    advances the watermark to 02:30 with a 1 h watermark) — the
+    [00:00,01:00) window closes with counts {7: 2, 9: 1}; the hour-3
+    window stays open."""
+    import datetime as dt
+
+    from api_to_amt_data_lake_spark.streaming.drift import (
+        stream_value_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=10), 7.0),
+        (base + dt.timedelta(minutes=40), 7.0),
+        (base + dt.timedelta(minutes=50), 9.0),
+        (base + dt.timedelta(minutes=210), 1.0),
+    ]
+    src = tmp_path / "kssrc"
+    src.mkdir()
+    spark.createDataFrame(rows, "ts timestamp, value double") \
+        .coalesce(1).write.parquet(str(src / "b0"))
+
+    stream = (spark.readStream.schema("ts timestamp, value double")
+              .parquet(str(src / "b*")))
+    out = stream_value_counts(stream, window="1 hour",
+                              watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("ks_vals_t")
+         .option("checkpointLocation", str(tmp_path / "ksckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {(r.window_start.hour, r.value): r.n_cur for r in
+           spark.sql("SELECT * FROM ks_vals_t").collect()}
+    assert got == {(0, 7.0): 2, (0, 9.0): 1}
