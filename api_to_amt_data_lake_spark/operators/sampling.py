@@ -366,3 +366,87 @@ def percentile_normalize(
             (F.col("_rk") - 0.5) / F.col("_n"), round_to))
         .drop("_rk", "_n", *[f"_g_{g}" for g in group_cols])
     )
+
+
+def water_fill_cap(
+    counts: DataFrame,
+    key_col: str,
+    n_col: str,
+    budget: int | DataFrame,
+) -> DataFrame:
+    """Water-filling allocation: the exact per-domain cap C with
+    Σᵢ min(nᵢ, C) = budget — HOW to choose `domain_cap`'s cap when the
+    real constraint is a global token/document budget, not a per-host
+    hunch. Domains below the water level C keep everything; domains
+    above it are cut to C — the allocation that maximizes the minimum
+    kept fraction (and the continuous relaxation of proportional-fair
+    budget splitting).
+
+    Solved exactly in one pass over the DISTINCT count values (never
+    the corpus): ascending cum sums give, for each segment between
+    consecutive distinct counts [v_j, v_{j+1}), the affine total
+    kept(C) = S(v_j) + C·k_above(v_j); the segment whose interval
+    contains (budget − S)/k_above yields the unique real water level,
+    found with one conditional-min aggregation (no iteration — the
+    classic iterative water-filling collapses into sorted prefix
+    algebra, the `trimmed_winsorized_mean` trick). ``budget`` may be
+    an int or a 1-row DataFrame with column ``budget`` (so the budget
+    itself can be computed in-plan, e.g. a fraction of the corpus).
+
+    Returns ONE row: budget, total_n, cap (double water level; NULL
+    when budget ≥ total_n — nothing needs capping), cap_floor (the
+    integer cap to hand `domain_cap`; NULL likewise), kept_at_floor
+    (Σ min(nᵢ, cap_floor) — ≤ budget by construction, the exact count
+    the integer cap admits)."""
+    if isinstance(budget, DataFrame):
+        bdf = budget.select(F.col("budget").cast("long").alias("budget"))
+    else:
+        bdf = counts.sparkSession.range(1).select(
+            F.lit(int(budget)).cast("long").alias("budget"))
+    from pyspark.sql import Window
+
+    per_val = counts.groupBy(F.col(n_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(n_col).alias("_mass"),
+    )
+    w_cum = (Window.orderBy("_v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # |distinct counts| rows: the single-partition window is bounded by
+    # count-value cardinality, never domains (and never corpus rows).
+    cum = per_val.select(
+        "_v", "_k",
+        (F.sum("_mass").over(w_cum) - F.col("_mass")).alias("_below"),
+        (F.sum("_k").over(w_cum) - F.col("_k")).alias("_k_below"),
+        F.lag("_v").over(Window.orderBy("_v")).alias("_v_prev"),
+    )
+    tot = counts.agg(F.sum(n_col).alias("total_n"),
+                     F.count(F.lit(1)).alias("_n_dom"))
+    # Segment [v_prev, v): kept(C) = below + C * k_above, with k_above
+    # = domains whose count >= v (they all sit above the water level
+    # inside this segment); v_prev defaults to 0 for the first segment.
+    j = cum.crossJoin(F.broadcast(bdf)).crossJoin(F.broadcast(tot))
+    k_above = F.col("_n_dom") - F.col("_k_below")
+    c_cand = (F.col("budget") - F.col("_below")) / k_above
+    lo = F.coalesce(F.col("_v_prev"), F.lit(0)).cast("double")
+    valid = ((c_cand >= lo) & (c_cand < F.col("_v").cast("double"))
+             & (F.col("budget") < F.col("total_n")))
+    picked = j.agg(
+        F.max("budget").alias("budget"),
+        F.max("total_n").alias("total_n"),
+        F.min(F.when(valid, F.round(c_cand, 6))).alias("cap"),
+    )
+    alloc = (
+        picked.crossJoin(
+            counts.select(F.col(n_col).alias("_n")))
+        .groupBy("budget", "total_n", "cap")
+        .agg(F.sum(
+            F.when(F.col("cap").isNull(), F.col("_n"))
+            .otherwise(F.least(F.col("_n"),
+                               F.floor("cap")))).alias("kept_at_floor"))
+    )
+    return alloc.select(
+        "budget", "total_n", "cap",
+        F.floor("cap").alias("cap_floor"),
+        F.when(F.col("cap").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.col("kept_at_floor")).alias("kept_at_floor"),
+    )

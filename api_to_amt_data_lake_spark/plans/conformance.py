@@ -10177,6 +10177,62 @@ def q99zzzm_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q99zzzn_water_fill", oracle="""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+b AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS budget FROM documents),
+pv AS (SELECT n AS v, COUNT(*) AS k, SUM(n) AS mass FROM c GROUP BY 1),
+cum AS (
+  SELECT v, k,
+    SUM(mass) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - mass
+      AS below,
+    SUM(k) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - k AS k_below,
+    lag(v) OVER (ORDER BY v) AS v_prev
+  FROM pv
+), tot AS (SELECT SUM(n) AS total_n, COUNT(*) AS n_dom FROM c),
+j AS (
+  SELECT cum.v, budget, total_n,
+    (budget - below) / CAST(n_dom - k_below AS DOUBLE) AS c_cand,
+    COALESCE(v_prev, 0) AS lo
+  FROM cum CROSS JOIN b CROSS JOIN tot
+), picked AS (
+  SELECT MAX(budget) AS budget, MAX(total_n) AS total_n,
+    MIN(CASE WHEN c_cand >= lo AND c_cand < v AND budget < total_n
+             THEN round(c_cand, 6) END) AS cap
+  FROM j
+), alloc AS (
+  SELECT p.budget, p.total_n, p.cap,
+    SUM(CASE WHEN p.cap IS NULL THEN c.n
+             ELSE LEAST(c.n, CAST(floor(p.cap) AS BIGINT)) END) AS kept
+  FROM picked p CROSS JOIN c
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(budget AS BIGINT) AS budget,
+  CAST(total_n AS BIGINT) AS total_n, cap,
+  CAST(floor(cap) AS BIGINT) AS cap_floor,
+  CASE WHEN cap IS NULL THEN NULL
+       ELSE CAST(kept AS BIGINT) END AS kept_at_floor
+FROM alloc
+""")
+def q99zzzn_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling budget cap over per-source document counts
+    (`operators/sampling.py::water_fill_cap`): the exact cap C with
+    Σ min(nᵢ, C) = half the corpus — the principled way to choose
+    `domain_cap`'s parameter from a global budget. The iterative
+    water-filling collapses into sorted prefix algebra over DISTINCT
+    count values (one conditional-min picks the unique valid affine
+    segment); the budget itself is computed in-plan (total // 2), no
+    driver collect."""
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        water_fill_cap,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    budget = d.agg(
+        F.floor(F.count(F.lit(1)) / 2).cast("long").alias("budget"))
+    return water_fill_cap(counts, "source", "n", budget)
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

@@ -183,6 +183,7 @@ HEADLINE = [
     "q99zzzk_bh_fdr",
     "q99zzzl_conformal_threshold",
     "q99zzzm_stream_ks",
+    "q99zzzn_water_fill",
 ]
 
 

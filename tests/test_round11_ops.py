@@ -735,3 +735,90 @@ def test_conformal_threshold_ties_and_coverage(spark):
     assert r["cal_rank"] == k
     assert r["q_hat"] == sorted(vals)[k - 1]
     assert sum(v <= r["q_hat"] for v in vals) / len(vals) >= 0.9
+
+
+def test_water_fill_cap_known_segments(spark):
+    """counts (10, 20, 70), budget 60: C solves 10 + 20 + 2C... work
+    the segments — C in [20,70): kept = 30 + C -> C = 30. floor cap 30
+    keeps 10 + 20 + 30 = 60 exactly."""
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        water_fill_cap,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 70)], ["k", "n"])
+    [r] = water_fill_cap(df, "k", "n", 60).collect()
+    assert (r["budget"], r["total_n"]) == (60, 100)
+    assert r["cap"] == 30.0 and r["cap_floor"] == 30
+    assert r["kept_at_floor"] == 60
+
+    # budget 15 lands in the first segment [0, 10): C = 15/3 = 5.
+    [r] = water_fill_cap(df, "k", "n", 15).collect()
+    assert r["cap"] == 5.0 and r["kept_at_floor"] == 15
+
+    # fractional level: budget 62 -> C = 32 in [20,70); budget 21 ->
+    # C = 7.0 in [0,10).
+    [r] = water_fill_cap(df, "k", "n", 62).collect()
+    assert r["cap"] == 32.0
+    [r] = water_fill_cap(df, "k", "n", 20).collect()
+    # C = 20/3 = 6.666667 -> floor 6 keeps 18 <= budget
+    assert r["cap"] == round(20 / 3, 6)
+    assert r["cap_floor"] == 6 and r["kept_at_floor"] == 18
+
+
+def test_water_fill_cap_budget_covers_everything(spark):
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        water_fill_cap,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20)], ["k", "n"])
+    [r] = water_fill_cap(df, "k", "n", 30).collect()
+    assert r["cap"] is None and r["cap_floor"] is None
+    assert r["kept_at_floor"] is None  # nothing capped
+    [r] = water_fill_cap(df, "k", "n", 1000).collect()
+    assert r["cap"] is None
+
+
+def test_water_fill_cap_matches_python_scan(spark):
+    """Random domain counts: the relational water level == a direct
+    python solve, across a sweep of budgets (including duplicates in
+    the count values)."""
+    import random
+
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        water_fill_cap,
+    )
+
+    rng = random.Random(23)
+    counts = [rng.randint(1, 40) for _ in range(30)]
+    df = spark.createDataFrame(
+        [(f"d{i}", c) for i, c in enumerate(counts)], ["k", "n"])
+    total = sum(counts)
+
+    def solve(budget):
+        if budget >= total:
+            return None
+        vs = sorted(set(counts))
+        below = k_below = 0
+        prev = 0
+        for v in vs:
+            k_here = counts.count(v)
+            k_above = len(counts) - k_below
+            c = (budget - below) / k_above
+            if prev <= c < v:
+                return c
+            below += v * k_here
+            k_below += k_here
+            prev = v
+        raise AssertionError("no segment")
+
+    for budget in (5, 17, 100, 200, 350, total - 1, total, total + 5):
+        [r] = water_fill_cap(df, "k", "n", budget).collect()
+        want = solve(budget)
+        if want is None:
+            assert r["cap"] is None, budget
+        else:
+            assert r["cap"] == round(want, 6), budget
+            kept = sum(min(c, int(want)) for c in counts)
+            assert r["kept_at_floor"] == kept, budget
