@@ -44,7 +44,7 @@ def string_agg_ordered(
 
 def grouped_percentiles_disc(
     df: DataFrame,
-    group_col: str,
+    group_col: str | Sequence[str],
     value_col: Column | str,
     percentiles: Sequence[float],
     out_names: Sequence[str] | None = None,
@@ -62,6 +62,9 @@ def grouped_percentiles_disc(
     holds at most |distinct values| rows however big the group is.
     Identical arithmetic in ANSI SQL (conformance q99w).
 
+    `group_col` may be one column name or a sequence of them (the
+    per-(language, source) slice shape).
+
     NULL values are excluded before the frequency table is built —
     percentile_disc ignores NULLs, and engines disagree on NULL sort
     position (Spark windows sort them first, DuckDB last), so keeping
@@ -69,19 +72,20 @@ def grouped_percentiles_disc(
     """
     from pyspark.sql import Window
 
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     names = list(out_names) if out_names is not None else [
         f"p{str(p).replace('0.', '')}" for p in percentiles]
     counts = (
-        df.select(F.col(group_col), v.alias("_v"))
+        df.select(*[F.col(g) for g in groups], v.alias("_v"))
         .where(F.col("_v").isNotNull())
-        .groupBy(group_col, "_v")
+        .groupBy(*groups, "_v")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    w_cum = Window.partitionBy(group_col).orderBy(F.col("_v").asc())
-    w_tot = Window.partitionBy(group_col)
+    w_cum = Window.partitionBy(*groups).orderBy(F.col("_v").asc())
+    w_tot = Window.partitionBy(*groups)
     cum = counts.select(
-        F.col(group_col), F.col("_v"),
+        *[F.col(g) for g in groups], F.col("_v"),
         F.sum("_n").over(w_cum).alias("_cum"),
         F.sum("_n").over(w_tot).alias("_tot"))
     # ceil(p·n) in DECIMAL, not double: SQL engines parse 0.99 as an
@@ -95,7 +99,7 @@ def grouped_percentiles_disc(
             F.col("_v"))).alias(name)
         for p, name in zip(percentiles, names)
     ]
-    return cum.groupBy(group_col).agg(*aggs)
+    return cum.groupBy(*groups).agg(*aggs)
 
 
 def cascade_time_rollups(

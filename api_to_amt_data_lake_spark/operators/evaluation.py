@@ -315,10 +315,8 @@ def bootstrap_mean_ci(
         .select(*group_cols,
                 (F.col("_sw") / F.col("_w")).alias("_rep_mean"))
     )
-    if len(group_cols) != 1:
-        raise ValueError("bootstrap_mean_ci supports one group column")
     ci = grouped_percentiles_disc(
-        means, group_cols[0], "_rep_mean",
+        means, group_cols, "_rep_mean",
         [alpha / 2, 1 - alpha / 2], ["_lo", "_hi"])
     base = df.where(F.col(value_col).isNotNull()).groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
@@ -480,27 +478,25 @@ def conformal_threshold(
     report NULL q_hat rather than a silently-invalid threshold.
     Output: *group_cols, n, cal_rank (the order statistic used),
     q_hat."""
-    if len(group_cols) != 1:
-        raise ValueError("conformal_threshold supports one group column")
-    g = group_cols[0]
     counts = (
-        df.select(F.col(g), F.col(score_col).alias("_v"))
+        df.select(*[F.col(g) for g in group_cols],
+                  F.col(score_col).alias("_v"))
         .where(F.col("_v").isNotNull())
-        .groupBy(g, "_v")
+        .groupBy(*group_cols, "_v")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    w_cum = (Window.partitionBy(g).orderBy(F.col("_v").asc())
+    w_cum = (Window.partitionBy(*group_cols).orderBy(F.col("_v").asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_tot = Window.partitionBy(g)
+    w_tot = Window.partitionBy(*group_cols)
     cum = counts.select(
-        F.col(g), F.col("_v"),
+        *[F.col(g) for g in group_cols], F.col("_v"),
         F.sum("_n").over(w_cum).alias("_cum"),
         F.sum("_n").over(w_tot).alias("_tot"))
     rank = F.ceil(
         F.lit(1.0 - alpha).cast("decimal(12,6)") * (F.col("_tot") + 1)
     ).cast("long")
     return (
-        cum.groupBy(g)
+        cum.groupBy(*group_cols)
         .agg(F.max("_tot").alias("n"),
              F.max(rank).alias("cal_rank"),
              F.min(F.when(F.col("_cum") >= rank, F.col("_v")))

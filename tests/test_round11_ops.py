@@ -822,3 +822,26 @@ def test_water_fill_cap_matches_python_scan(spark):
             assert r["cap"] == round(want, 6), budget
             kept = sum(min(c, int(want)) for c in counts)
             assert r["kept_at_floor"] == kept, budget
+
+
+def test_bootstrap_and_conformal_multi_group_columns(spark):
+    """grouped_percentiles_disc and its consumers accept multi-column
+    groups: per-(lang, source) slices work end to end."""
+    from api_to_amt_data_lake_spark.operators.evaluation import (
+        bootstrap_mean_ci,
+        conformal_threshold,
+    )
+
+    rows = [(f"l{i % 2}", f"s{i % 3}", i, (i * 7) % 13)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["lang", "src", "rid", "x"])
+    ci = bootstrap_mean_ci(df, ["lang", "src"], "x", "rid",
+                           n_boot=8).collect()
+    assert len(ci) == 6
+    for r in ci:
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    th = conformal_threshold(df, ["lang", "src"], "x",
+                             alpha=0.2).collect()
+    assert len(th) == 6
+    for r in th:
+        assert r["q_hat"] is not None and r["cal_rank"] <= r["n"]
