@@ -142,6 +142,18 @@ SHOWCASE = [
     ("q99zzv_signed_join_ivm", "general join-aggregate IVM: every "
      "signed delta term probes its base with a BroadcastHashJoin — "
      "the only exchanged rows are delta-sized"),
+    ("q99zzzd_ks_drift", "exact two-sample KS: cumulative CDF windows "
+     "over per-(group, DISTINCT value) counts, integer numerator, "
+     "argmax via one min(struct) partial agg -- no corpus window"),
+    ("q99zzzh_bootstrap_ci", "Poisson bootstrap: replicate weights are "
+     "per-row md5 inverse-CDF expressions (no rand(), no group size); "
+     "partial agg collapses the B-fold explode before the shuffle"),
+    ("q99zzzj_isotonic_calibration", "isotonic PAV via the minimax "
+     "formula: bin-bounded pair join + reverse running-min window + "
+     "one max groupBy -- a sequential algorithm made relational"),
+    ("q99zzzn_water_fill", "water-filling budget cap: the unique "
+     "affine segment found by conditional-min over distinct count "
+     "values; budget computed in-plan, no driver collect"),
 ]
 
 
