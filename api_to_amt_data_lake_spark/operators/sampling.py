@@ -450,3 +450,39 @@ def water_fill_cap(
         F.when(F.col("cap").isNull(), F.lit(None).cast("long"))
         .otherwise(F.col("kept_at_floor")).alias("kept_at_floor"),
     )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+) -> DataFrame:
+    """Kish effective sample size per group: ESS = (Σw)² / Σw² — the
+    degeneracy diagnostic for importance weights (Kish 1965; standard
+    in importance sampling / SMC). After DSIR or temperature weighting,
+    n documents with wildly uneven weights behave statistically like
+    ESS ≪ n documents; an ESS ratio near 1 means the weighting is
+    gentle, near 1/n means one document dominates and downstream
+    estimates are noise. The go/no-go check BEFORE trusting a weighted
+    sample or a weighted mean.
+
+    One partial-aggregated groupBy; for integral weights both sums are
+    exact integers (beware Σw² range: |w| ≤ ~3e4 across 1e9 rows stays
+    inside int64; larger weights should be pre-scaled), so the two
+    final divisions are bit-identical cross-engine. NULL and negative
+    weights are excluded (ESS is defined for w ≥ 0; a NULL weight is a
+    missing weight, not a zero). Output: *group_cols, n (rows with
+    w > 0), ess (2dp), ess_ratio (6dp)."""
+    w = F.col(weight_col)
+    base = df.select(*group_cols, w.alias("_w")).where(w > 0)
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_w").alias("_s1"),
+        F.sum(F.col("_w") * F.col("_w")).alias("_s2"),
+    )
+    ess = (F.col("_s1") * F.col("_s1")) / F.col("_s2")
+    return agg.select(
+        *group_cols, "n",
+        F.round(ess, 2).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_ratio"),
+    )

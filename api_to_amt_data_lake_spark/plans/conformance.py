@@ -10233,6 +10233,32 @@ def q99zzzn_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return water_fill_cap(counts, "source", "n", budget)
 
 
+@register("q99zzzo_effective_sample_size", oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+  round((SUM(n_chars) * SUM(n_chars))
+        / CAST(SUM(n_chars * n_chars) AS DOUBLE), 2) AS ess,
+  round((SUM(n_chars) * SUM(n_chars))
+        / CAST(SUM(n_chars * n_chars) AS DOUBLE) / COUNT(*), 6)
+    AS ess_ratio
+FROM documents WHERE n_chars > 0 GROUP BY 1
+""")
+def q99zzzo_effective_sample_size(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Kish effective sample size per language with document length as
+    the importance weight (`operators/sampling.py::
+    effective_sample_size`): ESS = (Σw)²/Σw² — how many EFFECTIVE
+    documents a weighted slice contributes; the degeneracy go/no-go
+    before trusting DSIR/temperature-weighted estimates. One
+    partial-aggregated groupBy; integer sums until the two final
+    divisions."""
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    return effective_sample_size(d, ["lang"], "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Registry finalization. The driver records at most the first 50 queries of
 # the exported dict (CORRECTNESS_r02 stopped at exactly 50 of 71), so the

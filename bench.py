@@ -184,6 +184,7 @@ HEADLINE = [
     "q99zzzl_conformal_threshold",
     "q99zzzm_stream_ks",
     "q99zzzn_water_fill",
+    "q99zzzo_effective_sample_size",
 ]
 
 

@@ -845,3 +845,25 @@ def test_bootstrap_and_conformal_multi_group_columns(spark):
     assert len(th) == 6
     for r in th:
         assert r["q_hat"] is not None and r["cal_rank"] <= r["n"]
+
+
+def test_effective_sample_size_known_values(spark):
+    """Equal weights -> ESS = n (ratio 1). One dominant weight ->
+    ESS ~ 1. Hand case (1,1,2): ESS = 16/6."""
+    from api_to_amt_data_lake_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    rows = ([("eq", 5)] * 4
+            + [("dom", 1000), ("dom", 1), ("dom", 1)]
+            + [("mix", 1), ("mix", 1), ("mix", 2)]
+            + [("null", None), ("null", 3), ("neg", -1), ("neg", 2)])
+    df = spark.createDataFrame(rows, "g string, w int")
+    out = {r["g"]: r for r in
+           effective_sample_size(df, ["g"], "w").collect()}
+    assert out["eq"]["n"] == 4 and out["eq"]["ess"] == 4.0
+    assert out["eq"]["ess_ratio"] == 1.0
+    assert out["dom"]["ess"] == round(1002**2 / 1000002, 2)  # ~1.004
+    assert out["mix"]["ess"] == round(16 / 6, 2)
+    assert out["null"]["n"] == 1  # NULL weight excluded
+    assert out["neg"]["n"] == 1   # negative weight excluded
