@@ -415,7 +415,8 @@ def kmeans_fit(
     into one; the seed's min id is the bucket label (no global-order
     window, so no single-partition WindowExec anywhere). Each iteration
     is fully distributed — assignment broadcasts the k centroids over one
-    corpus pass (`ivf_assign`), and the element-wise mean runs as
+    corpus pass (same argmin semantics as `ivf_assign`, computed as a
+    scan-level expression), and the element-wise mean runs as
     posexplode → groupBy(bucket, pos) → avg, which partial-aggregates
     map-side so the shuffle carries at most k×dim rows. The driver only
     holds the loop counter, never the data; this is the same
@@ -425,6 +426,12 @@ def kmeans_fit(
     vectors): a bucket that loses every member in some iteration keeps
     its previous centroid instead of being dropped by the groupBy, so
     `ivf_topk` never silently searches fewer buckets than requested.
+
+    Round-11 shape: each iteration folds the k-row model through the
+    scan as ONE broadcast array row, so assignment is an expression
+    (identical round-6 + cid-tiebreak argmin) and the only exchange per
+    iteration is the partial-aggregated (bucket, pos) mean — the
+    groupBy(id) assignment shuffle and the corpus join-back are gone.
 
     Output: (bucket, centroid vec) with `id_col`/`vec_col` names so it
     plugs straight into `ivf_topk(..., centroids=...)`. Bucket labels are
@@ -436,18 +443,47 @@ def kmeans_fit(
     full corpus is the caller's single full pass.
     """
     corpus = _training_sample(corpus, id_col, sample_frac)
+    corpus = corpus.select(id_col, _as_double(F.col(vec_col)).alias(vec_col))
     cent = (
-        corpus.select(id_col, _as_double(F.col(vec_col)).alias(vec_col))
-        .groupBy(vec_col).agg(F.min(id_col).alias(id_col))
+        corpus.groupBy(vec_col).agg(F.min(id_col).alias(id_col))
         .orderBy(F.col(id_col).asc()).limit(k)
         .select(id_col, vec_col)
     )
     interm: list[DataFrame] = []
     for _ in range(iters):
-        assign = ivf_assign(corpus, cent, id_col, vec_col)
+        # Fold the k-row model through the corpus scan (guide §2.4 /
+        # §3): pack the centroids into ONE broadcast array row
+        # (collect_list order does not matter — array_min over
+        # struct(d, cid) is order-independent and reproduces
+        # `ivf_assign`'s exact round-6 + cid-tiebreak argmin), so each
+        # iteration's assignment is a scan-level expression. This
+        # removes BOTH per-iteration corpus exchanges the previous
+        # shape paid (the groupBy(id) assignment shuffle and the
+        # corpus⋈assign join-back): the only exchange left per
+        # iteration is the partial-aggregated (bucket, pos) mean,
+        # whose shuffle carries at most partitions × k × dim rows —
+        # at 100 TB, zero corpus-sized shuffles per Lloyd's round.
+        # The loop stays LAZY (one fused action at the end): at bench
+        # scale per-action driver cost dominates, and an eager
+        # collect-per-round variant measured 2.4× slower at sf0.1.
+        centpk = cent.agg(
+            F.collect_list(F.struct(F.col(id_col).alias("cid"),
+                                    F.col(vec_col).alias("cv")))
+            .alias("_cents"))
+        best = F.array_min(F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(sq_euclidean(F.col(vec_col), c.getField("cv")), 6)
+                .alias("d"),
+                c.getField("cid").alias("cid"))))
         means = (
-            corpus.join(assign, id_col)
-            .select("bucket", F.posexplode(_as_double(F.col(vec_col))))
+            corpus.crossJoin(F.broadcast(centpk))
+            .select(best.getField("cid").alias("bucket"), F.col(vec_col))
+            # Generator split from the lambda-bearing projection: a
+            # posexplode in the SAME select as a higher-order-function
+            # expression trips analyzer lambda-variable renaming
+            # (FIELD_NOT_FOUND on the struct fields).
+            .select("bucket", F.posexplode(F.col(vec_col)))
             .groupBy("bucket", "pos")
             # Exact-decimal mean (round-9 terms, DECIMAL sum, one double
             # division): a plain avg() over doubles is partitioning-
@@ -614,31 +650,31 @@ def kmeans_fit_keyed(
     )
     interm: list[DataFrame] = []
     for _ in range(iters):
-        # Assignment: broadcast the |keys|×k model, argmin per (key, id)
-        # under (round-6 distance, centroid id) — identical tiebreak to
-        # `ivf_assign`, one corpus pass, no vector ever shuffled.
-        assign = (
-            subs.join(
-                F.broadcast(cent.select(
-                    F.col(key_col), F.col(id_col).alias("_cent_id"),
-                    F.col(vec_col).alias("_cent_vec"),
-                )),
-                key_col,
-            )
-            .select(
-                key_col, id_col,
-                F.struct(
-                    F.round(sq_euclidean(F.col(vec_col), F.col("_cent_vec")), 6)
-                    .alias("d"),
-                    F.col("_cent_id").alias("cid"),
-                ).alias("_dc"),
-            )
-            .groupBy(key_col, id_col)
-            .agg(F.min("_dc").alias("_best"))
-            .select(key_col, id_col, F.col("_best.cid").alias("bucket"))
-        )
+        # Assignment: fold the |keys|×k model through the scan (guide
+        # §2.4/§3, same shape as `kmeans_fit`): per key ONE broadcast
+        # array row of its k centroids; argmin per row is array_min
+        # over struct(round-6 distance, centroid id) — identical
+        # tiebreak to `ivf_assign`, order-independent of collect_list.
+        # This removes the per-iteration groupBy(key, id) corpus
+        # exchange AND the subs⋈assign join-back; the only exchange
+        # left per round is the partial-aggregated (key, bucket, pos)
+        # mean (≤ partitions × |keys| × k × dim rows on the wire).
+        centpk = cent.groupBy(key_col).agg(
+            F.collect_list(F.struct(F.col(id_col).alias("cid"),
+                                    F.col(vec_col).alias("cv")))
+            .alias("_cents"))
+        best = F.array_min(F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(sq_euclidean(F.col(vec_col), c.getField("cv")), 6)
+                .alias("d"),
+                c.getField("cid").alias("cid"))))
         means = (
-            subs.join(assign, [key_col, id_col])
+            subs.join(F.broadcast(centpk), key_col)
+            .select(F.col(key_col), best.getField("cid").alias("bucket"),
+                    F.col(vec_col))
+            # Generator kept out of the lambda-bearing select (see
+            # `kmeans_fit`: analyzer lambda renaming bug).
             .select(key_col, "bucket", F.posexplode(F.col(vec_col)))
             .groupBy(key_col, "bucket", "pos")
             # Exact-decimal mean (see `kmeans_fit`): order-insensitive,
@@ -703,13 +739,13 @@ def pq_fit(
         "sub_idx", F.col(id_col).alias("cent_id"), F.col("sv").alias("centroid")
     )
     # The codebook is a MODEL (m×k rows), not data: downstream encode /
-    # ADC reference it several times. The trainer already pinned the
-    # final model frame (the projection here is column renames, which
-    # reuse that cache); materialize it eagerly so the training jobs
-    # never re-run under downstream reuse. Callers composing their own
-    # pipelines can pass cache=False and manage materialization.
-    if cache:
-        book.count()
+    # ADC reference it several times. `kmeans_fit_keyed` already fills
+    # the final model frame's cache with its own count (the projection
+    # here is column renames on top of that cache), so an extra eager
+    # count() would only add one more driver action per fit — removed
+    # this round (guide §1.2: per-action fixed cost dominates small
+    # models; the training jobs can already never re-run). `cache`
+    # is kept for signature stability; the model is always pinned.
     return book
 
 
