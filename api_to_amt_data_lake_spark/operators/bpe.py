@@ -104,7 +104,8 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
 
 def bpe_train(corpus: DataFrame, text_col: str,
               n_merges: int = 8,
-              checkpoint_dir: str | None = None) -> DataFrame:
+              checkpoint_dir: str | None = None,
+              pin_interval: int = 8) -> DataFrame:
     """Learn `n_merges` BPE merge rules from the corpus. Returns one row
     per learned rule: (round, left, right, pair_count), round 1-based in
     learning order — the merge table a tokenizer ships. Stops early if
@@ -118,7 +119,20 @@ def bpe_train(corpus: DataFrame, text_col: str,
     executors and is only safe single-node — the same option surface as
     `connected_components` / `pagerank`. The context checkpoint dir is
     set only for the duration of the call (every checkpoint here is
-    eager) and the previous value restored — ADVICE r9."""
+    eager) and the previous value restored — ADVICE r9.
+
+    Round-11 job shape (guide §1.2 "fewer passes"): the per-round
+    rewrite is NOT materialized — each learned merge is a three-replace
+    string expression, and the pending merges since the last pin ride
+    as a chained expression on top of the pinned word table, so a round
+    costs exactly ONE job (the pair-count collect) instead of two
+    (count + eager re-pin). Chained replaces run at scan speed; a
+    re-pin every `pin_interval` rounds bounds the expression depth
+    (3×`pin_interval` replaces) and the re-applied-work window, which
+    keeps the plan codegen-friendly at merge counts in the thousands.
+    The counted sequences are identical expressions of the same merges,
+    so the chosen pairs — and the returned merge table — are unchanged.
+    """
     from api_to_amt_data_lake_spark.operators.checkpoints import (
         scoped_checkpoint_dir,
     )
@@ -130,14 +144,22 @@ def bpe_train(corpus: DataFrame, text_col: str,
                 else df.localCheckpoint())
 
     with scoped_checkpoint_dir(spark, checkpoint_dir):
-        seqs = _initial_sequences(word_counts(corpus, text_col))
+        base = _initial_sequences(word_counts(corpus, text_col))
         # The word table is re-read every round; pin it once (it is the
         # collapsed corpus — small next to its source).
-        seqs = _pin(seqs)
+        base = _pin(base)
+        pending: list[tuple[str, str]] = []  # merges since last pin
+
+        def _seqs() -> DataFrame:
+            seq = F.col("seq")
+            for a, b in pending:
+                seq = _merge_pair(seq, a, b)
+            return base.withColumn("seq", seq) if pending else base
+
         merges: list[tuple[int, str, str, int]] = []
         for rnd in range(1, n_merges + 1):
             best = (
-                _pair_counts(seqs)
+                _pair_counts(_seqs())
                 .orderBy(F.col("pair_count").desc(), F.col("a").asc(),
                          F.col("b").asc())
                 .limit(1)
@@ -148,8 +170,10 @@ def bpe_train(corpus: DataFrame, text_col: str,
             a, b, cnt = (best[0]["a"], best[0]["b"],
                          int(best[0]["pair_count"]))
             merges.append((rnd, a, b, cnt))
-            seqs = _pin(seqs.withColumn(
-                "seq", _merge_pair(F.col("seq"), a, b)))
+            pending.append((a, b))
+            if len(pending) >= pin_interval:
+                base = _pin(_seqs())
+                pending = []
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint")
 
