@@ -9495,12 +9495,20 @@ def q99zzzb_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = stream_binned_counts(stream, width, bins=10,
                                   window="1 hour", watermark="2 hours")
-    q = (counts.writeStream.format("memory")
-         .queryName("q99zzzb_bins").outputMode("append")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(timeout=300)
-    if q.isActive:  # timeout safety: never leave a stream running
-        q.stop()
+    # State here is O(open windows × 10 bins); running the stream at
+    # the data-shuffle width only multiplies per-batch state-store
+    # commit overhead (streaming/tuning.py — sink bit-identical).
+    from api_to_amt_data_lake_spark.streaming.tuning import (
+        scoped_stream_state_partitions,
+    )
+
+    with scoped_stream_state_partitions(spark):
+        q = (counts.writeStream.format("memory")
+             .queryName("q99zzzb_bins").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout=300)
+        if q.isActive:  # timeout safety: never leave a stream running
+            q.stop()
     # Pin the memory sink before deriving both the window spine and the
     # counts from it: a self-join through the MemoryPlan view trips
     # Spark's conflicting-reference resolution (INTERNAL_ERROR), and
@@ -10120,12 +10128,20 @@ def q99zzzm_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = stream_value_counts(stream, window="1 hour",
                                  watermark="2 hours")
-    q = (counts.writeStream.format("memory")
-         .queryName("q99zzzm_vals").outputMode("append")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(timeout=300)
-    if q.isActive:  # timeout safety: never leave a stream running
-        q.stop()
+    # State here is O(open windows × distinct quantized values); run
+    # the stream at the state width, not the data-shuffle width
+    # (streaming/tuning.py — sink bit-identical at any width).
+    from api_to_amt_data_lake_spark.streaming.tuning import (
+        scoped_stream_state_partitions,
+    )
+
+    with scoped_stream_state_partitions(spark):
+        q = (counts.writeStream.format("memory")
+             .queryName("q99zzzm_vals").outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout=300)
+        if q.isActive:  # timeout safety: never leave a stream running
+            q.stop()
     # Pin the bounded sink (closed windows × distinct values) before
     # self-joining through it — the q99zzzb MemoryPlan discipline.
     sink = spark.table("q99zzzm_vals").localCheckpoint()

@@ -925,3 +925,62 @@ def test_stream_value_counts_watermark_close(spark, tmp_path):
     got = {(r.window_start.hour, r.value): r.n_cur for r in
            spark.sql("SELECT * FROM ks_vals_t").collect()}
     assert got == {(0, 7.0): 2, (0, 9.0): 1}
+
+
+def test_scoped_stream_state_partitions(spark, tmp_path):
+    """The state-partition scope (streaming/tuning.py): the stream's
+    sink contents are identical at any width, and the session's
+    shuffle-partition conf is restored afterwards — including when the
+    body raises."""
+    import datetime as dt
+
+    import pytest
+
+    from api_to_amt_data_lake_spark.streaming.drift import (
+        stream_value_counts,
+    )
+    from api_to_amt_data_lake_spark.streaming.tuning import (
+        scoped_stream_state_partitions,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=10), 7.0),
+        (base + dt.timedelta(minutes=40), 7.0),
+        (base + dt.timedelta(minutes=50), 9.0),
+        (base + dt.timedelta(minutes=210), 1.0),
+    ]
+    src = tmp_path / "spsrc"
+    src.mkdir()
+    spark.createDataFrame(rows, "ts timestamp, value double") \
+        .coalesce(1).write.parquet(str(src / "b0"))
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(qname: str, width: int) -> dict:
+        stream = (spark.readStream.schema("ts timestamp, value double")
+                  .parquet(str(src / "b*")))
+        out = stream_value_counts(stream, window="1 hour",
+                                  watermark="1 hour")
+        with scoped_stream_state_partitions(spark, width) as n:
+            assert n == width
+            assert spark.conf.get(
+                "spark.sql.shuffle.partitions") == str(width)
+            q = (out.writeStream.format("memory").queryName(qname)
+                 .option("checkpointLocation",
+                         str(tmp_path / f"ckpt_{qname}"))
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+        return {(r.window_start.hour, r.value): r.n_cur for r in
+                spark.sql(f"SELECT * FROM {qname}").collect()}
+
+    got2 = run("sp_t_w2", 2)
+    got5 = run("sp_t_w5", 5)
+    assert got2 == got5 == {(0, 7.0): 2, (0, 9.0): 1}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    with pytest.raises(RuntimeError):
+        with scoped_stream_state_partitions(spark, 3):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
