@@ -199,8 +199,22 @@ def fuzzy_join(
               .filter(F.col("_rk") <= prefix_len)
               .select("_rid", F.length("_rs").alias("_rlen"),
                       F.col("_pos").alias("_rpos"), "gram"))
+    # The gram join EXPLODES: its inputs are the narrow prefix frames
+    # (a few hundred KB of int tuples at sf0.1) but its output is the
+    # candidate multiset (tens of MB). AQE coalesces the join's input
+    # exchanges on their BYTE stats — it cannot see the explosion — and
+    # ran the entire candidate generation + location/length filter in
+    # ONE task (measured: a 5.0 s single-task job writing 71 MB of
+    # shuffle). An explicit user partition count is the documented
+    # AQE escape hatch (coalescing never overrides a user-specified
+    # numPartitions): spread the posting-list pairing across the
+    # session's shuffle width — scale-parameterized, not a local
+    # constant (guide §3 exploding joins / §2.3).
+    parts = int(l.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
     blocked = (
-        lp.join(rp, "gram")
+        lp.repartition(parts, "gram").join(
+            rp.repartition(parts, "gram"), "gram")
         # Ed-Join's location filter: an edit script of cost <= d shifts
         # any surviving gram by at most d positions, and the prefix
         # lemma applies to the 1-to-1 POSITIONAL matching (Gravano et
@@ -292,11 +306,13 @@ def fuzzy_join(
     candidates = blocked
     for sp in short_parts:
         candidates = candidates.unionAll(sp)
-    # The candidate multiset is many rows but FEW bytes (two ids), so
-    # AQE coalesces the gram join's output to one partition on byte
-    # stats — which would serialize the whole verify. Spread it
-    # explicitly; the exchange moves int pairs only.
-    candidates = candidates.repartition(F.col("_lid"), F.col("_rid"))
+    # The candidate multiset is many rows but FEW bytes (two ids), and
+    # the levenshtein verify is CPU-bound per row — byte-based AQE
+    # coalescing under-parallelizes it. Spread it explicitly with a
+    # user partition count (which AQE never coalesces); the exchange
+    # moves int pairs only.
+    candidates = candidates.repartition(parts, F.col("_lid"),
+                                        F.col("_rid"))
     # VERIFY BEFORE DEDUP: a bounded-length levenshtein is a few
     # hundred codegen char-ops per row, while a distinct over the raw
     # candidate multiset is a full exchange of it — measured 18.6 s to
