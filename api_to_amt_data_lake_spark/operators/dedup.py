@@ -56,6 +56,26 @@ def _shingle_expr(col: str, n: int) -> str:
     )
 
 
+def _spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
+    """Scale-adaptive input spread (guide §2.3) for operators whose
+    map-side work is hundreds of ops per row (shingling, per-token
+    hashing): that work runs on the SCAN's partitioning, and a small
+    input — or one stored in few row groups — serializes it on a
+    handful of cores while the rest idle (measured: the q04/q92
+    MinHash pass ran as ONE 870 ms task at sf0.1 because the source
+    parquet is a single row group). When the source exposes fewer
+    partitions than the scheduler's parallelism, one cheap exchange of
+    the raw rows — hashed on the id so the downstream groupBy(id)
+    reuses the partitioning instead of exchanging again — unlocks full
+    width. At real scale the scan already has ≥ parallelism splits and
+    this is a NO-OP: big inputs are never re-exchanged."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, F.col(id_col))
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, content_col: str,
     num_hashes: int = 8, shingle_n: int = 3,
@@ -73,7 +93,8 @@ def minhash_signatures(
     # drop the null rows (docs shorter than the shingle width) on the
     # *generated* column, which cannot be pushed below the Generate.
     shingled = (
-        df.select(F.col(id_col), F.split(F.trim(F.col(content_col)), " ").alias("ws"))
+        _spread_small_input(df, id_col)
+        .select(F.col(id_col), F.split(F.trim(F.col(content_col)), " ").alias("ws"))
         .select(F.col(id_col), F.expr(_shingle_expr("ws", shingle_n)).alias("sh"))
         .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
@@ -369,7 +390,8 @@ def simhash16(df: DataFrame, id_col: str, content_col: str,
     interpreted and re-evaluates the tokenization per fold: measured ~100×
     slower.)
     """
-    tok = df.select(F.col(id_col), F.explode_outer(tokens(content_col)).alias("_t"))
+    tok = _spread_small_input(df, id_col).select(
+        F.col(id_col), F.explode_outer(tokens(content_col)).alias("_t"))
     hashed = tok.select(
         F.col(id_col),
         F.conv(F.substring(F.md5("_t"), 1, 4), 16, 10).cast("int").alias("_h"),
