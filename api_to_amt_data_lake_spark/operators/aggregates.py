@@ -74,20 +74,42 @@ def grouped_percentiles_disc(
 
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    names = list(out_names) if out_names is not None else [
-        f"p{str(p).replace('0.', '')}" for p in percentiles]
     counts = (
         df.select(*[F.col(g) for g in groups], v.alias("_v"))
         .where(F.col("_v").isNotNull())
         .groupBy(*groups, "_v")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    w_cum = Window.partitionBy(*groups).orderBy(F.col("_v").asc())
+    return grouped_percentiles_disc_from_counts(
+        counts, groups, "_v", "_n", percentiles, out_names)
+
+
+def grouped_percentiles_disc_from_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    count_col: str,
+    percentiles: Sequence[float],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """`grouped_percentiles_disc` over an ALREADY-AGGREGATED
+    (groups…, value, count) frequency table — the reuse point for
+    operators that derive several statistics from one frequency pass
+    (`robust_outlier_stats` computes median, MAD and the outlier
+    census from a single pinned table instead of re-scanning the
+    corpus per statistic). Rows with NULL values must already be
+    excluded; the caller owns that because it owns the count pass."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    names = list(out_names) if out_names is not None else [
+        f"p{str(p).replace('0.', '')}" for p in percentiles]
+    w_cum = Window.partitionBy(*groups).orderBy(F.col(value_col).asc())
     w_tot = Window.partitionBy(*groups)
     cum = counts.select(
-        *[F.col(g) for g in groups], F.col("_v"),
-        F.sum("_n").over(w_cum).alias("_cum"),
-        F.sum("_n").over(w_tot).alias("_tot"))
+        *[F.col(g) for g in groups], F.col(value_col),
+        F.sum(count_col).over(w_cum).alias("_cum"),
+        F.sum(count_col).over(w_tot).alias("_tot"))
     # ceil(p·n) in DECIMAL, not double: SQL engines parse 0.99 as an
     # exact decimal literal while a double 0.99 is 0.98999…, so the
     # float product can straddle the integer boundary and ceil off by
@@ -96,10 +118,69 @@ def grouped_percentiles_disc(
         F.min(F.when(
             F.col("_cum")
             >= F.ceil(F.lit(p).cast("decimal(12,6)") * F.col("_tot")),
-            F.col("_v"))).alias(name)
+            F.col(value_col))).alias(name)
         for p, name in zip(percentiles, names)
     ]
     return cum.groupBy(*groups).agg(*aggs)
+
+
+def grouped_percentiles_cont_from_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    count_col: str,
+    percentiles: Sequence[float],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact INTERPOLATED (quantile_cont / Spark `percentile`)
+    percentiles per group from a (groups…, value, count) frequency
+    table — the scalable replacement for Spark's built-in `percentile`
+    aggregate, which buffers every value of a group in executor memory
+    (a 100 TB group OOMs; this shape's state is bounded by value
+    cardinality, the `grouped_percentiles_disc` contract).
+
+    Arithmetic replicates the built-in bit for bit so callers can swap
+    without moving results: zero-based target = p·(n−1) in double;
+    with lower = floor(target), the result is
+    v[lower]·(lower+1−target) + v[lower+1]·(target−lower) when target
+    is fractional, else exactly v[lower] (the same blend order
+    Spark's `Percentile.getPercentile` uses — NOT the algebraically
+    equal v_lo + frac·Δ, which can differ in the last ulp)."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    names = list(out_names) if out_names is not None else [
+        f"p{str(p).replace('0.', '')}" for p in percentiles]
+    w_cum = Window.partitionBy(*groups).orderBy(F.col(value_col).asc())
+    w_tot = Window.partitionBy(*groups)
+    cum = counts.select(
+        *[F.col(g) for g in groups], F.col(value_col),
+        F.sum(count_col).over(w_cum).alias("_cum"),
+        F.sum(count_col).over(w_tot).alias("_tot"))
+    aggs, posts = [], []
+    for p, name in zip(percentiles, names):
+        target = F.lit(float(p)) * (F.col("_tot") - F.lit(1)).cast("double")
+        lower = F.floor(target)
+        # k-th (1-based) order statistic = min value whose cumulative
+        # count reaches k; lower/upper are order stats lower+1/lower+2.
+        aggs += [
+            F.min(F.when(F.col("_cum") >= lower + 1, F.col(value_col)))
+            .alias(f"_lo_{name}"),
+            F.min(F.when(F.col("_cum") >= lower + 2, F.col(value_col)))
+            .alias(f"_hi_{name}"),
+            F.max("_tot").alias(f"_tot_{name}"),
+        ]
+    for p, name in zip(percentiles, names):
+        t = (F.lit(float(p))
+             * (F.col(f"_tot_{name}") - F.lit(1)).cast("double"))
+        lo = F.floor(t)
+        vlo, vhi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
+        posts.append(
+            F.when(t == lo.cast("double"), vlo)
+            .otherwise(vlo * (lo.cast("double") + F.lit(1.0) - t)
+                       + vhi * (t - lo.cast("double"))).alias(name))
+    return (cum.groupBy(*groups).agg(*aggs)
+            .select(*[F.col(g) for g in groups], *posts))
 
 
 def cascade_time_rollups(
@@ -165,25 +246,41 @@ def robust_outlier_stats(
     each have a 50% breakdown point, so the fences hold on dirty
     data — the curation use case).
 
-    Both medians come from `grouped_percentiles_disc` (value-frequency
-    cumulative windows — no per-row buffering, state bounded by value
-    cardinality), and the per-group scalars ride back onto the rows as
-    broadcast joins, so the whole census is two bounded window passes
-    + one partial-aggregated count over the scan."""
-    base = df.select(F.col(group_col), F.col(value_col).alias("_x")) \
+    ONE corpus pass: the scan collapses to the per-(group, value)
+    frequency table (partial-aggregated, state bounded by value
+    cardinality), which is pinned and feeds every statistic — the
+    median (cumulative window over distinct values), the DEVIATION
+    frequency table (|v − median| re-keys the same counts, no second
+    scan), the MAD (window over the deviation table) and the outlier
+    census (a count-weighted sum over the deviation table). The
+    round-9 form re-derived each statistic from the corpus (4 scans,
+    plus the built-in-percentile shape it replaced would have buffered
+    per-group rows); everything after the one scan now runs on tables
+    bounded by value cardinality."""
+    freq = (
+        df.select(F.col(group_col), F.col(value_col).alias("_x"))
         .where(F.col("_x").isNotNull())
-    med = grouped_percentiles_disc(base, group_col, "_x", [0.5],
-                                   ["median"])
-    dev = base.join(F.broadcast(med), group_col).withColumn(
-        "_d", F.abs(F.col("_x") - F.col("median")))
-    mad = grouped_percentiles_disc(dev, group_col, "_d", [0.5], ["mad"])
+        .groupBy(group_col, "_x")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    ).localCheckpoint()
+    med = grouped_percentiles_disc_from_counts(
+        freq, [group_col], "_x", "_n", [0.5], ["median"])
+    devc = (
+        freq.join(F.broadcast(med), group_col)
+        .groupBy(group_col, "median",
+                 F.abs(F.col("_x") - F.col("median")).alias("_d"))
+        .agg(F.sum("_n").alias("_n"))
+    )
+    mad = grouped_percentiles_disc_from_counts(
+        devc, [group_col], "_d", "_n", [0.5], ["mad"])
     return (
-        dev.join(F.broadcast(mad), group_col)
+        devc.join(F.broadcast(mad), group_col)
         .groupBy(group_col)
         .agg(F.max("median").alias("median"),
              F.max("mad").alias("mad"),
              F.sum(F.when(F.col("_d") > F.lit(n_mads) * F.col("mad"),
-                          1).otherwise(0)).alias("n_outliers"))
+                          F.col("_n")).otherwise(F.lit(0)))
+             .alias("n_outliers"))
     )
 
 

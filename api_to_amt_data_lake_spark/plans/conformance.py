@@ -7120,21 +7120,41 @@ def q99zg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     p05/p95 (interpolated percentiles match DuckDB's quantile_cont at
     that precision, q47's contract), so both engines clip against
     IDENTICAL constants; the clipped values fold through DECIMAL with
-    one final double division. The bounds table is group-cardinality
-    rows — broadcast back onto the fact scan, no second shuffle of the
-    data."""
+    one final double division.
+
+    ONE corpus pass (round 11): the scan collapses to the per-(flag,
+    price) frequency table; the interpolated bounds come from
+    `grouped_percentiles_cont_from_counts` (bit-identical blend to the
+    built-in `percentile`, which buffers every group row in executor
+    memory — the exact OOM `grouped_percentiles_disc` documents), and
+    the winsorized sum/count fold the SAME pinned table count-weighted
+    (Σ n·clip(v) ≡ the row sum, exact in DECIMAL), so the round-9
+    second corpus scan + rejoin is gone."""
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        grouped_percentiles_cont_from_counts,
+    )
+
     l = read_table(spark, sf_dir, "lineitem")
-    b = l.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("p05"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"))
+    freq = (
+        l.select("l_returnflag", F.col("l_extendedprice").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("l_returnflag", "_v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    ).localCheckpoint()
+    b = grouped_percentiles_cont_from_counts(
+        freq, ["l_returnflag"], "_v", "_n", [0.05, 0.95],
+        ["_p05", "_p95"]).select(
+            "l_returnflag",
+            F.round("_p05", 4).alias("p05"),
+            F.round("_p95", 4).alias("p95"))
     clipped = F.round(
-        F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")),
-                F.col("p95")), 4)
+        F.least(F.greatest(F.col("_v"), F.col("p05")), F.col("p95")), 4)
     return (
-        l.join(F.broadcast(b), "l_returnflag")
+        freq.join(F.broadcast(b), "l_returnflag")
         .groupBy("l_returnflag", "p05", "p95")
-        .agg((F.sum(clipped.cast("decimal(38,10)")).cast("double")
-              / F.count(F.lit(1))).cast("double").alias("winsorized_mean"))
+        .agg((F.sum(clipped.cast("decimal(38,10)") * F.col("_n"))
+              .cast("double")
+              / F.sum("_n")).cast("double").alias("winsorized_mean"))
     )
 
 
@@ -7633,26 +7653,32 @@ ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20
 """)
 def q99zp_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket brand co-occurrence: top 20 brand pairs appearing
-    in the same order. Dedup to (order, brand) FIRST — the per-order
-    distinct-brand reduction bounds the self-join fan-out at
-    |brands-per-order|² (single digits), so the pair generation is
-    linear in orders, not lineitems; both the dedup and the self-join
-    share one shuffle key (l_orderkey), and the final top-20 is a
-    TakeOrdered, never a global sort."""
+    in the same order. ONE corpus shuffle (groupBy l_orderkey →
+    sorted distinct-brand set per basket); the a<b pairs are generated
+    IN-ROW from each basket's set (flatten/transform over the sorted
+    array — |brands-per-order|² structs, single digits here), so the
+    round-9 ob-self-join (distinct + two orderkey exchanges + SMJ) is
+    gone entirely. In-row pair fan-out is the same m² the self-join
+    emitted, just not exchanged; the final top-20 is a TakeOrdered,
+    never a global sort."""
     l = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    bk = (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .select("l_orderkey", "p_brand").distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("_bs"))
     )
-    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = ob.select(F.col("l_orderkey").alias("_ok"),
-                  F.col("p_brand").alias("brand_b"))
+    m = F.size("_bs")
+    pairs = F.flatten(F.transform(
+        "_bs",
+        lambda x, i: F.transform(
+            F.slice("_bs", i + F.lit(2), m - i - F.lit(1)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
     return (
-        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
-               & (F.col("brand_a") < F.col("brand_b")))
-        .groupBy("brand_a", "brand_b")
+        bk.select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.a").alias("brand_a"),
+                 F.col("_p.b").alias("brand_b"))
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(20)
@@ -7943,28 +7969,37 @@ ORDER BY lift DESC, antecedent, consequent LIMIT 25
 def q99zv_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over order baskets: support, confidence and
     lift for DIRECTED brand pairs (antecedent → consequent), top 25 by
-    lift. Same bounded pair generation as q99zp (dedup to (order,
-    brand) first, shared orderkey shuffle); the per-brand support
+    lift. Same basket-collect shape as q99zp: ONE corpus shuffle
+    (groupBy l_orderkey → distinct-brand set per basket), then the
+    pinned basket table feeds all three consumers — the round-9 form
+    recomputed the (order, brand) distinct FIVE times (n_orders, supp
+    ×2, pair self-join ×2: 20 scans / 22 exchanges). Directed pairs
+    are generated in-row from each basket's set; the per-brand support
     table and the scalar basket count are broadcast-sized, so the rule
     metrics are three cheap joins over the pair counts — the Apriori
-    k=2 pass expressed relationally."""
+    k=2 pass expressed relationally. The pin is basket-count-sized
+    (one row per order), far smaller than its lineitem input."""
     l = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    bk = (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .select("l_orderkey", "p_brand").distinct()
-    )
-    n_orders = ob.select(
-        F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
-    supp = ob.groupBy("p_brand").agg(F.count("*").alias("n_b"))
-    a = ob.select("l_orderkey", F.col("p_brand").alias("antecedent"))
-    b = ob.select(F.col("l_orderkey").alias("_ok"),
-                  F.col("p_brand").alias("consequent"))
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("_bs"))
+    ).localCheckpoint()
+    n_orders = bk.select(
+        F.count("*").cast("double").alias("n_orders"))
+    supp = (bk.select(F.explode("_bs").alias("p_brand"))
+            .groupBy("p_brand").agg(F.count("*").alias("n_b")))
+    dpairs = F.flatten(F.transform(
+        "_bs",
+        lambda x: F.transform(
+            F.filter("_bs", lambda y: y != x),
+            lambda y: F.struct(x.alias("a"), y.alias("c")))))
     pairs = (
-        a.join(b, (F.col("l_orderkey") == F.col("_ok"))
-               & (F.col("antecedent") != F.col("consequent")))
-        .groupBy("antecedent", "consequent")
+        bk.select(F.explode(dpairs).alias("_p"))
+        .groupBy(F.col("_p.a").alias("antecedent"),
+                 F.col("_p.c").alias("consequent"))
         .agg(F.count("*").alias("n_ab"))
     )
     sa = supp.select(F.col("p_brand").alias("antecedent"),

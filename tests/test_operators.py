@@ -870,6 +870,45 @@ def test_grid_sketch_merge_equals_direct(spark):
             assert exact <= est <= exact + 50, (region, pct, exact, est)
 
 
+def test_grouped_percentiles_cont_matches_builtin_bit_for_bit(spark):
+    """grouped_percentiles_cont_from_counts must reproduce Spark's
+    built-in `percentile` aggregate EXACTLY (== on doubles, no
+    tolerance): q99zg swapped the buffering built-in for this
+    frequency-table form, so any ulp drift would move the clip bounds
+    it feeds. Covers ties, integer positions (p hitting an exact rank),
+    fractional blends, and a single-value group."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from api_to_amt_data_lake_spark.operators.aggregates import (
+        grouped_percentiles_cont_from_counts,
+    )
+
+    rng = np.random.default_rng(7)
+    data = {
+        "a": list(rng.normal(size=257)),
+        "b": [5.0] * 40 + [9.0] * 10 + [7.5] * 3,   # heavy ties
+        "c": list(rng.integers(0, 50, size=101).astype(float)),
+        "d": [42.0],                                # single value
+    }
+    rows = [(g, float(v)) for g, vals in data.items() for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = (0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+    names = [f"q{i}" for i in range(len(ps))]
+    builtin = {
+        r["g"]: tuple(r[n] for n in names)
+        for r in df.groupBy("g").agg(
+            *[F.expr(f"percentile(v, {p})").alias(n)
+              for p, n in zip(ps, names)]).collect()}
+    counts = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        r["g"]: tuple(r[n] for n in names)
+        for r in grouped_percentiles_cont_from_counts(
+            counts, ["g"], "v", "n", ps, names).collect()}
+    assert got == builtin
+
+
 def test_grouped_percentiles_disc_ignores_nulls(spark):
     """percentile_disc semantics ignore NULLs: a null-heavy group must
     report percentiles of its non-null values only (r7 advisor fix —
