@@ -195,7 +195,11 @@ def khop_distances(
         with scoped_checkpoint_dir(df.sparkSession, checkpoint_dir):
             return df.checkpoint()  # eager: materialized inside scope
 
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    # Edges pinned ONCE, like pagerank's degree-annotated list: without
+    # the pin every hop's frontier join re-executes the caller's whole
+    # edge pipeline (for q99zz that is the corpus scan + distinct +
+    # symmetrize, re-run per hop).
+    e = _pin(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t")))
     dist = _pin(seeds.select(F.col(node_col).alias("node")).distinct()
                 .withColumn("dist", F.lit(0)))
     frontier = dist
@@ -209,7 +213,11 @@ def khop_distances(
                    .withColumn("dist", F.lit(hop)))
         if new.isEmpty():
             break
-        dist = _pin(dist.unionAll(new))
+        # No pin on the union: both operands are already pinned, so the
+        # next hop's anti join reads their blocks directly — the former
+        # per-hop union pin was a third driver action re-materializing
+        # rows that were all pinned already.
+        dist = dist.unionAll(new)
         frontier = new
     return dist
 
