@@ -97,7 +97,10 @@ def _folded_pq_recon_expr(vec_col: str, codebook: DataFrame) -> Column:
     the min-struct carries the centroid vector as a trailing field, so
     the chosen sub-centroid pops out of the same array_min — flattened
     across subs this is decode(encode(v)) as a pure scan projection."""
-    rows = codebook.select("sub_idx", "cent_id", "centroid").collect()
+    # Trained codebooks carry a row stash (`pq_fit`) — zero-action fold.
+    rows = getattr(codebook, "_model_rows", None)
+    if rows is None:
+        rows = codebook.select("sub_idx", "cent_id", "centroid").collect()
     by_sub: dict[int, list[tuple[int, list[float]]]] = {}
     for r in rows:
         by_sub.setdefault(int(r["sub_idx"]), []).append(

@@ -267,7 +267,10 @@ def ivf_topk(
     the whole corpus once for the assignment and again for the join
     back. At 100 TB that is two full-corpus shuffles saved per search.
     """
-    cent_rows = centroids.select(F.col(id_col), F.col(vec_col)).collect()
+    cent_rows = getattr(centroids, "_model_rows", None)
+    if cent_rows is None:  # not a trainer output: collect the model
+        cent_rows = centroids.select(F.col(id_col),
+                                     F.col(vec_col)).collect()
     cents = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
     corpus_b = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"),
@@ -332,7 +335,10 @@ def knn_graph(
     — uniform corpora keep the plain join. Results are identical
     either way (per-src top-k is salt-invariant; parity-tested).
     """
-    cent_rows = centroids.select(F.col(id_col), F.col(vec_col)).collect()
+    cent_rows = getattr(centroids, "_model_rows", None)
+    if cent_rows is None:  # not a trainer output: collect the model
+        cent_rows = centroids.select(F.col(id_col),
+                                     F.col(vec_col)).collect()
     cents = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
     b = corpus.select(
         F.col(id_col), F.col(vec_col),
@@ -523,7 +529,13 @@ def kmeans_fit(
         # model stays resident.
         cent = cent.cache()
         interm.append(cent)
-    cent.count()
+    # Materialize via collect, not count: the SAME single fused action
+    # fills the cache, and the k returned rows ride along as the model
+    # stash — folded consumers (`ivf_residuals`, `ivf_topk`,
+    # `knn_graph`) then skip their own collect action (guide §1.2:
+    # per-action fixed cost dominates model-sized work; k rows on the
+    # driver are free). Rows are in the final select's (id, vec) order.
+    cent._model_rows = cent.collect()
     for f in interm[:-1]:
         f.unpersist()
     return cent
@@ -704,7 +716,11 @@ def kmeans_fit_keyed(
         # loop, one fused materialization, then release intermediates.
         cent = cent.cache()
         interm.append(cent)
-    cent.count()
+    # Collect-to-materialize (see `kmeans_fit`): the fused action also
+    # yields the |keys|×k model rows as a stash so folded consumers
+    # skip their re-collect. Rows are (key, id, vec) — the final
+    # select's order.
+    cent._model_rows = cent.collect()
     for f in interm[:-1]:
         f.unpersist()
     return cent
@@ -732,20 +748,29 @@ def pq_fit(
     compression, near-exact) and `ivf` (no compression, scoped search).
     """
     subs = _explode_subvectors(corpus, id_col, vec_col, m)
-    book = kmeans_fit_keyed(
+    keyed = kmeans_fit_keyed(
         subs, "sub_idx", id_col, "sv", k=k, iters=iters,
         sample_frac=sample_frac,
-    ).select(
+    )
+    book = keyed.select(
         "sub_idx", F.col(id_col).alias("cent_id"), F.col("sv").alias("centroid")
     )
     # The codebook is a MODEL (m×k rows), not data: downstream encode /
     # ADC reference it several times. `kmeans_fit_keyed` already fills
-    # the final model frame's cache with its own count (the projection
-    # here is column renames on top of that cache), so an extra eager
-    # count() would only add one more driver action per fit — removed
-    # this round (guide §1.2: per-action fixed cost dominates small
-    # models; the training jobs can already never re-run). `cache`
-    # is kept for signature stability; the model is always pinned.
+    # the final model frame's cache with its own materializing collect
+    # (the projection here is column renames on top of that cache), so
+    # an extra eager count() would only add one more driver action per
+    # fit — removed in round 11 (guide §1.2: per-action fixed cost
+    # dominates small models; the training jobs can already never
+    # re-run). `cache` is kept for signature stability; the model is
+    # always pinned. The keyed trainer's row stash is re-labeled to the
+    # renamed schema so `_folded_pq_pairs_expr` skips its collect too.
+    rows = getattr(keyed, "_model_rows", None)
+    if rows is not None:
+        book._model_rows = [
+            {"sub_idx": r[0], "cent_id": r[1], "centroid": r[2]}
+            for r in rows
+        ]
     return book
 
 
@@ -775,7 +800,12 @@ def _folded_pq_pairs_expr(vec_col: str, codebook: DataFrame) -> Column:
     `_centroid_scores_expr`)."""
     import numpy as np
 
-    rows = codebook.select("sub_idx", "cent_id", "centroid").collect()
+    # Trained codebooks carry their rows as a stash (`pq_fit`), so the
+    # model-to-expression fold costs zero Spark actions; a codebook
+    # loaded from storage (ann_index append/search) collects as before.
+    rows = getattr(codebook, "_model_rows", None)
+    if rows is None:
+        rows = codebook.select("sub_idx", "cent_id", "centroid").collect()
     by_sub: dict[int, list[tuple[int, list[float]]]] = {}
     for r in rows:
         by_sub.setdefault(int(r["sub_idx"]), []).append(
@@ -865,7 +895,12 @@ def ivf_residuals(
     if folded:
         import numpy as np
 
-        rows = coarse.select(F.col(id_col), F.col(vec_col)).collect()
+        # Trainer-produced centroids carry a (id, vec)-ordered row
+        # stash (`kmeans_fit`) — zero-action fold; parquet-loaded
+        # models collect as before.
+        rows = getattr(coarse, "_model_rows", None)
+        if rows is None:
+            rows = coarse.select(F.col(id_col), F.col(vec_col)).collect()
         v = _as_double(F.col(vec_col))
         ids = F.lit(np.asarray([int(r[0]) for r in rows],
                                dtype=np.int64))

@@ -537,6 +537,44 @@ def save_ann_index(
                             opq_iters, sweep_grace_seconds)
 
 
+_MODEL_ARROW_TYPES = {
+    "bigint": "int64", "int": "int32", "double": "float64",
+    "string": "string", "array<double>": "list<float64>",
+}
+
+
+def _write_model_parquet(df: DataFrame, path: str) -> None:
+    """Persist a MODEL frame (kc×dim centroids / m×k codebook) as one
+    parquet file. Trainer outputs carry their rows as a stash
+    (`kmeans_fit`/`pq_fit`), so the write runs driver-side via pyarrow
+    — zero Spark jobs, zero commit protocol — with the arrow schema
+    derived from the frame's own dtypes so a reload sees the exact
+    types a Spark write would have produced (guide §1.2: a model write
+    is model-sized work; the two per-save actions it replaces were
+    pure fixed cost). Frames without a stash, or with dtypes outside
+    the model vocabulary, take the Spark write path unchanged."""
+    rows = getattr(df, "_model_rows", None)
+    if rows is not None and all(t in _MODEL_ARROW_TYPES
+                                for _, t in df.dtypes):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def arrow_t(t: str):
+            return (pa.list_(pa.float64()) if t == "array<double>"
+                    else getattr(pa, _MODEL_ARROW_TYPES[t])())
+
+        cols = df.columns
+        data = [dict(zip(cols, r)) if not isinstance(r, dict) else r
+                for r in rows]
+        table = pa.table(
+            {c: pa.array([d[c] for d in data], type=arrow_t(t))
+             for (c, t) in df.dtypes})
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        return
+    df.write.parquet(path)
+
+
 def _save_locked(root, coarse, book, codes, id_col, vec_col, m,
                  generation, extra_files, rotation, opq_iters,
                  sweep_grace_seconds=0.0) -> None:
@@ -545,8 +583,8 @@ def _save_locked(root, coarse, book, codes, id_col, vec_col, m,
     for leftover in (tmp, old):  # crash debris from a prior swap
         shutil.rmtree(leftover, ignore_errors=True)
     os.makedirs(tmp)
-    coarse.write.parquet(os.path.join(tmp, "coarse"))
-    book.write.parquet(os.path.join(tmp, "book"))
+    _write_model_parquet(coarse, os.path.join(tmp, "coarse"))
+    _write_model_parquet(book, os.path.join(tmp, "book"))
     # Cluster by bucket before partitionBy — unclustered partitioned
     # writes emit tasks × buckets small files (SCALE.md failure mode 8).
     (codes.repartition(F.col("bucket")).write.partitionBy("bucket")
@@ -906,6 +944,53 @@ def _corpus_cols(corpus: DataFrame, root: str) -> tuple[str, str]:
     return idc, vec
 
 
+def _load_models(
+    spark: SparkSession, root: str,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(coarse, book, meta) only — no codes frame. The append path and
+    the search path's probe stage use this: constructing the codes
+    DataFrame builds a driver-side file index over every committed
+    code file (at 100 TB: a listing of the whole index), while the
+    models are two one-file broadcast-sized parquet reads. Both crash
+    windows heal here, same as the full load."""
+    _repair_root(root)
+    _repair_compaction(root)
+    meta = _read_meta(root)
+    coarse = spark.read.parquet(os.path.join(root, "coarse"))
+    book = spark.read.parquet(os.path.join(root, "book"))
+    return coarse, book, meta
+
+
+def _load_codes(spark: SparkSession, root: str, meta: dict,
+                buckets: list | None = None) -> DataFrame:
+    """The committed codes frame, optionally restricted to `buckets`
+    AT LISTING TIME: only the named buckets' manifest entries are
+    handed to the reader, so the driver's file index — and the footer
+    work behind it — is bounded by the probed buckets, not the index
+    (guide §6: at scale the search should list nprobe/kc of the files,
+    not list everything and prune later). Callers that pass `buckets`
+    still apply their own row-level bucket filter; with at least one
+    committed file the schema is preserved even when no probed bucket
+    has files (read one file, filter to empty). Legacy indexes without
+    a manifest fall back to the directory read (then the caller's
+    filter prunes hive partitions instead)."""
+    codes_dir = os.path.join(root, "codes")
+    manifest = _manifest_get(root, meta)
+    if not manifest:
+        return spark.read.parquet(codes_dir)
+    files = manifest
+    if buckets is not None:
+        want = {f"bucket={b}" for b in buckets}
+        kept = [rel for rel in manifest
+                if rel.split("/", 1)[0] in want]
+        # No committed file in any probed bucket: keep one file so the
+        # frame has the index's schema; the caller's bucket filter
+        # makes it empty.
+        files = kept or manifest[:1]
+    return (spark.read.option("basePath", codes_dir)
+            .parquet(*[os.path.join(codes_dir, rel) for rel in files]))
+
+
 def load_ann_index(
     spark: SparkSession, index_root: str,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
@@ -922,20 +1007,8 @@ def load_ann_index(
     sees the index at a whole number of committed shards. Legacy
     indexes without a manifest fall back to the directory read."""
     root = str(index_root)
-    _repair_root(root)
-    _repair_compaction(root)
-    meta = _read_meta(root)
-    coarse = spark.read.parquet(os.path.join(root, "coarse"))
-    book = spark.read.parquet(os.path.join(root, "book"))
-    codes_dir = os.path.join(root, "codes")
-    manifest = _manifest_get(root, meta)
-    if manifest:
-        codes = (spark.read.option("basePath", codes_dir)
-                 .parquet(*[os.path.join(codes_dir, rel)
-                            for rel in manifest]))
-    else:
-        codes = spark.read.parquet(codes_dir)
-    return coarse, book, codes, meta
+    coarse, book, meta = _load_models(spark, root)
+    return coarse, book, _load_codes(spark, root, meta), meta
 
 
 def _apply_rotation(df: DataFrame, meta: dict) -> DataFrame:
@@ -1122,7 +1195,10 @@ def _append_stage(
     (meta, staged relative paths). Exposed as a seam so tests can
     interleave a reader between stage and commit."""
     root = str(index_root)
-    coarse, book, codes, meta = load_ann_index(spark, root)
+    # Models only (round 11): the encode needs coarse/book/meta, and
+    # building the unused codes frame cost a driver-side file index
+    # over the whole committed file list per append.
+    coarse, book, meta = _load_models(spark, root)
     _ensure_manifest(root, meta)   # legacy index: snapshot dir state
     _sweep_uncommitted(root, meta)  # crash debris / superseded files
     shard = _apply_rotation(shard, meta)  # OPQ indexes store rotated codes
@@ -1179,19 +1255,30 @@ def ann_index_search(
     the NEXT writer operation's sweep, so the in-flight window is
     covered; a straggler should simply retry. Never corruption or data
     loss: every committed manifest is complete."""
-    coarse, book, codes, meta = load_ann_index(spark, index_root)
+    root = str(index_root)
+    coarse, book, meta = _load_models(spark, root)
     id_col, vec_col, m = meta["id_col"], meta["vec_col"], meta["m"]
     # OPQ indexes live in the rotated space; orthonormal R preserves
     # euclidean distances, so rotating the (few) queries is the entire
     # search-side cost of OPQ.
     queries = _apply_rotation(queries, meta)
     if prune:
+        # Probe FIRST, then build the codes frame from only the probed
+        # buckets' manifest entries (round 11, guide §6): the driver's
+        # file listing is bounded by nprobe × |queries| buckets instead
+        # of the whole committed file list. The row-level bucket filter
+        # stays — it is what prunes hive partitions on legacy
+        # (manifest-less) indexes and makes the probed-empty edge case
+        # return zero rows.
         probed = [
             r["bucket"]
             for r in ivf_probe_buckets(queries, coarse, id_col, vec_col,
                                        nprobe)
             .select("bucket").distinct().collect()
         ]
-        codes = codes.filter(F.col("bucket").isin(probed))
+        codes = _load_codes(spark, root, meta, buckets=probed) \
+            .filter(F.col("bucket").isin(probed))
+    else:
+        codes = _load_codes(spark, root, meta)
     return ivfpq_topk(queries, coarse, book, codes, id_col, vec_col,
                       m=m, k=k, nprobe=nprobe)
