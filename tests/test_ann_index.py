@@ -671,3 +671,75 @@ def test_concurrent_writer_fails_fast(spark, tmp_path):
     ann_index_append(spark, root, shard)
     *_, codes, meta = load_ann_index(spark, root)
     assert codes.count() == e.count() * meta["m"]
+
+
+def test_model_parquet_driver_write_matches_spark_write(spark, tmp_path):
+    """Round-11 internals: trainer outputs carry a `_model_rows` stash
+    and `save_ann_index` writes the model frames driver-side via
+    pyarrow. The driver-written parquet must reload with the exact
+    schema AND rows a Spark write of the same frame produces, for both
+    stash shapes (Row-list centroids, dict-list codebook)."""
+    from api_to_amt_data_lake_spark.operators.similarity import (
+        kmeans_fit,
+        pq_fit,
+    )
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        _write_model_parquet,
+    )
+
+    e = _emb(spark)
+    coarse = kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
+    book = pq_fit(e, "vec_id", "embedding", m=2, k=4, iters=2)
+    for name, model in (("coarse", coarse), ("book", book)):
+        assert getattr(model, "_model_rows", None) is not None
+        drv, spk = str(tmp_path / f"{name}_drv"), str(tmp_path / f"{name}_spk")
+        _write_model_parquet(model, drv)
+        # No Spark commit artifacts: the write never ran a Spark job.
+        assert not os.path.exists(os.path.join(drv, "_SUCCESS"))
+        model.write.parquet(spk)
+        got, want = spark.read.parquet(drv), spark.read.parquet(spk)
+        assert got.dtypes == want.dtypes, name
+        key = lambda r: tuple(  # noqa: E731
+            tuple(v) if isinstance(v, list) else v for v in r)
+        assert sorted(map(key, got.collect())) == \
+            sorted(map(key, want.collect())), name
+
+
+def test_model_parquet_stashless_frame_falls_back_to_spark(spark, tmp_path):
+    """A frame without the trainer stash (e.g. models re-read from a
+    persisted index at rebuild time) takes the plain Spark write."""
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        _write_model_parquet,
+    )
+
+    df = spark.range(3).select(F.col("id").alias("vec_id"),
+                               F.array(F.lit(1.0), F.lit(2.0))
+                               .alias("embedding"))
+    out = str(tmp_path / "fallback")
+    _write_model_parquet(df, out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))  # Spark wrote it
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_search_listing_bounded_by_probed_buckets(spark, index_root):
+    """Round-11 listing-time prune: a pruned search's codes scan must
+    list only the probed buckets' committed files (subset of the
+    manifest), while results stay equal to the unpruned search (the
+    existing parity test); here we pin the file-index bound itself."""
+    from api_to_amt_data_lake_spark.sources.ann_index import (
+        committed_files,
+        load_ann_index,
+    )
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 5)
+    df = ann_index_search(spark, index_root, q, k=3, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    total = len(committed_files(index_root))
+    *_, codes, _meta = load_ann_index(spark, index_root)
+    # The probed search must NOT reference every committed file: at
+    # nprobe=1 with 4 coarse buckets the probed set is a strict subset.
+    listed = [rel for rel in committed_files(index_root)
+              if rel.split("/", 1)[0] + "/" in plan
+              or rel.split("/", 1)[-1] in plan]
+    assert 0 < len(listed) < total
