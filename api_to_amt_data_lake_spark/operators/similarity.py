@@ -181,7 +181,26 @@ def ivf_probe_buckets(
     """The `nprobe` nearest centroid buckets per query vector (rank by
     squared euclidean, centroid-id tiebreak). One row per (query, bucket).
     Centroids broadcast; the rank window partitions by query id — k rows
-    per query, never a large sort."""
+    per query, never a large sort.
+
+    When the centroid frame carries a trainer/loader row stash
+    (`_model_rows`), the probe folds into the scan instead (round 12,
+    guide §2.4): slice(array_sort(per-centroid scores), 1, nprobe) is
+    the identical rank — round-6 distance asc, centroid-id tiebreak —
+    as the window path, with zero joins and zero window exchange.
+    Stashless model frames keep the join+window plan (no collect is
+    added where none existed)."""
+    cent_rows = getattr(centroids, "_model_rows", None)
+    if cent_rows is not None:
+        cents = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
+        return queries.select(
+            F.col(id_col),
+            F.explode(F.transform(
+                F.slice(F.array_sort(
+                    _centroid_scores_expr(F.col(vec_col), cents)),
+                    1, nprobe),
+                lambda s: s.getField("cid"))).alias("bucket"),
+        )
     cent = F.broadcast(centroids.select(
         F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_vec")
     ))
@@ -213,13 +232,20 @@ def _vec_lit(values) -> Column:
 
 
 def _centroid_scores_expr(vec_col: Column,
-                          cents: list[tuple[int, list[float]]]) -> Column:
+                          cents: list[tuple[int, list[float]]],
+                          with_cv: bool = False) -> Column:
     """array<struct<d,cid>> of (rounded squared-euclidean, centroid id)
     for a vector column against LITERAL centroids — the model folded
     into the expression, so nearest-centroid logic runs at scan speed
     with no join and no shuffle. Struct order (d first, cid second)
     makes array_min/array_sort reproduce ivf_assign's min-struct
     semantics exactly (round-6 distance, centroid-id tiebreak).
+
+    `with_cv=True` appends the centroid vector itself as a TRAILING
+    struct field (the `ivf_residuals(folded=True)` shape): (d, cid) is
+    already unique, so cv never participates in the ordering — it just
+    rides along so consumers (probe-and-residual folds) can subtract
+    the winning centroid without a join back to the model frame.
 
     Built as ONE zip_with over (literal id array, literal vector
     array), not a per-centroid Python loop: expression construction is
@@ -245,7 +271,8 @@ def _centroid_scores_expr(vec_col: Column,
             F.round(F.aggregate(
                 F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, x: acc + x), 6).alias("d"),
-            cid.alias("cid")))
+            cid.alias("cid"),
+            *((cv.alias("cv"),) if with_cv else ())))
 
 
 def ivf_topk(
@@ -1014,18 +1041,36 @@ def ivfpq_topk(
     quadruples through one broadcast join, and the only shuffle carries
     (query, match, partial-sum) rows. Same exact-decimal ADC fold as
     `pq_adc_topk`, so results are engine-stable.
+
+    Round-12 shape: the coarse model is a trained (or loaded)
+    broadcast-sized table, so the whole query side — probe ranking AND
+    per-bucket residual — folds into ONE scan expression over the
+    queries (guide §2.4): `array_sort` over literal
+    struct(round-6 d, cid, cv) reproduces `ivf_probe_buckets`' exact
+    rank order (d asc, bucket asc; cv trails and never decides because
+    (d, cid) is unique), `slice(…, 1, nprobe)` its rank <= nprobe
+    filter, and the winning centroid vector rides in the struct so the
+    residual is an inline zip_with. That removes the probe window plus
+    the queries⋈probes⋈centroids joins (and their exchanges) from
+    every search. Trainer outputs carry their rows as a stash
+    (`kmeans_fit`); loaded models collect once — kc model rows.
     """
-    probes = ivf_probe_buckets(queries, coarse, id_col, vec_col, nprobe)
-    cents = F.broadcast(coarse.select(
-        F.col(id_col).alias("bucket"), _as_double(F.col(vec_col)).alias("_cv")
-    ))
-    qres = (
-        queries.join(probes, id_col).join(cents, "bucket")
-        .select(
-            F.col(id_col).alias("query_id"), F.col("bucket"),
-            F.zip_with(_as_double(F.col(vec_col)), F.col("_cv"),
-                       lambda a, b: a - b).alias("_rv"),
-        )
+    cent_rows = getattr(coarse, "_model_rows", None)
+    if cent_rows is None:  # not a trainer output: collect the model
+        cent_rows = coarse.select(F.col(id_col), F.col(vec_col)).collect()
+    cents = [(r[0], [float(x) for x in r[1]]) for r in cent_rows]
+    scores = _centroid_scores_expr(F.col(vec_col), cents, with_cv=True)
+    qres = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+        # generator kept clear of further lambda-bearing projections
+        # (see kmeans_fit: analyzer lambda-renaming bug); the residual
+        # zip_with lands in the NEXT select.
+        F.explode(F.slice(F.array_sort(scores), 1, nprobe)).alias("_s"),
+    ).select(
+        "query_id", F.col("_s.cid").alias("bucket"),
+        F.zip_with(F.col("_qv"), F.col("_s.cv"),
+                   lambda a, b: a - b).alias("_rv"),
     )
     structs = [
         F.struct(F.lit(j).alias("sub_idx"),
@@ -1339,10 +1384,20 @@ def ivfpq_topk_refined_pruned(
     )
 
     spark = queries.sparkSession
-    cands = ivfpq_topk(queries, coarse, book, codes, id_col, vec_col,
-                       m=m, k=refine_from, nprobe=nprobe) \
-        .select("query_id", "match_id").localCheckpoint()
-    ids = [r[0] for r in cands.select("match_id").distinct().collect()]
+    # ONE action materializes the candidate set (round 12, guide §1.2):
+    # the collected Q × refine_from pairs drive the listing-time prune
+    # AND come back as a LocalRelation for the rerank join — the
+    # round-11 shape paid a localCheckpoint action (full ADC run) plus
+    # a second distinct+collect job over the pinned frame for the same
+    # information. The candidate set is bounded/model-sized by the
+    # refine contract, so holding it on the driver is the cheap side
+    # of the trade at any scale.
+    cand_df = ivfpq_topk(queries, coarse, book, codes, id_col, vec_col,
+                         m=m, k=refine_from, nprobe=nprobe) \
+        .select("query_id", "match_id")
+    rows = cand_df.collect()
+    ids = sorted({r["match_id"] for r in rows})
+    cands = spark.createDataFrame(rows, cand_df.schema)
     vecs, kept = read_pruned_ids(spark, vector_store_path, id_col, ids)
     out = _exact_rerank(cands, queries,
                         vecs.select(id_col, vec_col),

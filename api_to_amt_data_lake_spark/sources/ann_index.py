@@ -944,6 +944,36 @@ def _corpus_cols(corpus: DataFrame, root: str) -> tuple[str, str]:
     return idc, vec
 
 
+def _read_model_rows(path: str):
+    """Driver-side read of a persisted MODEL dir (kc×dim coarse table /
+    m×k codebook — one small parquet file from `_write_model_parquet`,
+    or a handful from a legacy Spark write) into pyspark Rows, or None
+    when anything about the layout is unexpected. Model-sized work by
+    construction — the symmetric read of the driver-side model write
+    (round 12, guide §1.2): consumers that fold the model into scan
+    expressions (`ivfpq_topk`, `ivf_probe_buckets`, `encode_shard`'s
+    residual/code folds) get their rows without a Spark job per
+    consumer."""
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql import Row
+
+        files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+                 if f.endswith(".parquet") and not f.startswith((".", "_"))]
+        if not files:
+            return None
+        tables = [pq.read_table(f) for f in files]
+        tbl = tables[0] if len(tables) == 1 else \
+            tables[0].from_batches(
+                [b for t in tables for b in t.to_batches()],
+                schema=tables[0].schema)
+        cols = tbl.column_names
+        make = Row(*cols)
+        return [make(*[d[c] for c in cols]) for d in tbl.to_pylist()]
+    except Exception:
+        return None  # fall back to collect-on-demand
+
+
 def _load_models(
     spark: SparkSession, root: str,
 ) -> tuple[DataFrame, DataFrame, dict]:
@@ -952,12 +982,25 @@ def _load_models(
     DataFrame builds a driver-side file index over every committed
     code file (at 100 TB: a listing of the whole index), while the
     models are two one-file broadcast-sized parquet reads. Both crash
-    windows heal here, same as the full load."""
+    windows heal here, same as the full load.
+
+    Round 12: the model ROWS are additionally read driver-side via
+    pyarrow and stashed on the returned frames (`_model_rows`, the
+    trainer-output contract), so every folded consumer — append's
+    encode, search's probe and ADC stages — skips its per-consumer
+    collect job; the frames themselves stay lazy parquet reads for
+    any caller that wants the DataFrame."""
     _repair_root(root)
     _repair_compaction(root)
     meta = _read_meta(root)
     coarse = spark.read.parquet(os.path.join(root, "coarse"))
     book = spark.read.parquet(os.path.join(root, "book"))
+    coarse_rows = _read_model_rows(os.path.join(root, "coarse"))
+    if coarse_rows is not None:
+        coarse._model_rows = coarse_rows
+    book_rows = _read_model_rows(os.path.join(root, "book"))
+    if book_rows is not None:
+        book._model_rows = book_rows
     return coarse, book, meta
 
 
